@@ -1,0 +1,146 @@
+"""Device-side frequency-domain LTI filtering (XLA FFT path).
+
+Every ``scipy.signal.lfilter`` / ``filtfilt`` / ``fftconvolve`` call in the
+reference DSP chain (backend/app/pipeline.py) maps onto one of three
+primitives here, all of which compile to rFFT → complex multiply → irFFT on
+TPU:
+
+- :func:`lfilter_fd`   — causal filtering with zero initial state
+                         (``scipy.signal.lfilter(b, a, x)`` semantics).
+- :func:`filtfilt_fd`  — zero-phase forward-backward filtering with exact
+                         emulation of scipy's ``filtfilt`` edge handling
+                         (odd extension + steady-state initial conditions,
+                         scipy default ``padtype='odd'``,
+                         ``padlen=3*max(len(a),len(b))``), or a fused
+                         single-pass ``|H|²`` approximation (``exact=False``)
+                         that differs only in sub-settling-length edge
+                         transients.
+- :func:`fftconvolve_same_fd` — FIR convolution with 'same' cropping
+                         (``scipy.signal.fftconvolve(x, h, mode='same')``).
+
+IIR responses are exact up to tail truncation at ``design.SETTLE_EPS``; the
+caller supplies ``settle`` (from :func:`amw_tpu.ops.design.settle_len`) and an
+FFT size with enough guard:  ``nfft >= n + 2*padlen + 3*settle`` for the exact
+path.  Responses ``H`` are host-designed float64 arrays converted to
+complex64/float32 device arrays — they are the "weights" of the mastering
+graph and are reused across calls/batches.
+
+All functions operate on the trailing axis and broadcast over leading axes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _rfft(x, nfft):
+    return jnp.fft.rfft(x, n=nfft, axis=-1)
+
+
+def _irfft(X, nfft):
+    return jnp.fft.irfft(X, n=nfft, axis=-1)
+
+
+def odd_ext(x: jax.Array, p: int) -> jax.Array:
+    """Odd extension by ``p`` samples at both ends (scipy ``odd_ext``)."""
+    if p <= 0:
+        return x
+    left = 2.0 * x[..., :1] - x[..., p:0:-1]
+    right = 2.0 * x[..., -1:] - x[..., -2:-p - 2:-1]
+    return jnp.concatenate([left, x, right], axis=-1)
+
+
+def lfilter_fd(x: jax.Array, H: jax.Array, nfft: int) -> jax.Array:
+    """Causal LTI filter, zero initial state.  ``H``: complex response on the
+    rFFT grid of ``nfft``.  Requires ``nfft >= x.shape[-1] + settle``."""
+    n = x.shape[-1]
+    y = _irfft(_rfft(x, nfft) * H, nfft)
+    return y[..., :n]
+
+
+def filtfilt_fd(
+    x: jax.Array,
+    H: jax.Array,
+    nfft: int,
+    *,
+    padlen: int,
+    settle: int,
+    exact: bool = True,
+) -> jax.Array:
+    """Zero-phase forward-backward filter.
+
+    exact=True  — two FFT passes reproducing scipy ``filtfilt``'s odd
+                  extension and ``lfilter_zi`` steady-state initialisation
+                  (emulated with a ``settle``-sample constant prefix/suffix,
+                  exact to the IR truncation level).  ``H`` is the *causal*
+                  cascade response (complex).
+    exact=False — single fused pass multiplying by ``|H|²`` (pass
+                  ``H = |H|²`` as a real array); edge transients differ from
+                  scipy within ~``settle`` samples of the track ends.
+    """
+    n = x.shape[-1]
+    p = min(padlen, max(n - 1, 0))
+    core = odd_ext(x, p)  # length n + 2p
+    ncore = n + 2 * p
+
+    if not exact:
+        y = _irfft(_rfft(core, nfft) * H, nfft)
+        return y[..., p:p + n]
+
+    M = settle
+    x0 = core[..., :1]
+    prefix = jnp.broadcast_to(x0, x.shape[:-1] + (M,))
+    ext1 = jnp.concatenate([prefix, core], axis=-1)
+    yf = _irfft(_rfft(ext1, nfft) * H, nfft)[..., M:M + ncore]
+
+    y_end = yf[..., -1:]
+    suffix = jnp.broadcast_to(y_end, x.shape[:-1] + (M,))
+    ext2 = jnp.concatenate([yf, suffix], axis=-1)
+    # Anti-causal pass: multiply by conj(H) == reverse, filter, reverse with
+    # the right-end steady state provided by the constant suffix.
+    z = _irfft(_rfft(ext2, nfft) * jnp.conj(H), nfft)
+    return z[..., p:p + n]
+
+
+def fftconvolve_same_fd(x: jax.Array, h: jax.Array, nfft: int) -> jax.Array:
+    """Linear convolution with 'same' cropping (centered), matching
+    ``scipy.signal.fftconvolve(x, h, mode='same')``.  ``h`` is a 1-D FIR
+    (device array); requires ``nfft >= n + len(h) - 1``."""
+    n = x.shape[-1]
+    L = h.shape[-1]
+    y = _irfft(_rfft(x, nfft) * _rfft(h, nfft), nfft)
+    start = (L - 1) // 2
+    return y[..., start:start + n]
+
+
+def resample_fft(x: jax.Array, n_out: int) -> jax.Array:
+    """FFT-domain resampling with ``scipy.signal.resample`` semantics for real
+    input (reference: pipeline.py:920-936 and the exciter oversampling path).
+
+    Matches scipy's rfft-based branch: spectrum truncation/zero-padding with
+    Nyquist-bin halving/doubling and ``n_out/n_in`` amplitude scaling.
+    """
+    n_in = x.shape[-1]
+    if n_out == n_in:
+        return x
+    X = jnp.fft.rfft(x, axis=-1)
+    nyq_out = n_out // 2 + 1
+    if n_out < n_in:
+        X = X[..., :nyq_out]
+        # When the new length is even, the new Nyquist bin aggregates both
+        # conjugate halves of the old interior bin (scipy doubles it; irfft
+        # then uses its real part once).
+        if n_out % 2 == 0:
+            X = X.at[..., -1].set(X[..., -1] * 2.0)
+    else:
+        if n_in % 2 == 0:
+            # Old Nyquist bin becomes an interior bin: split between the
+            # positive and (implicit) negative frequency.
+            X = X.at[..., -1].set(X[..., -1] * 0.5)
+        pad = nyq_out - X.shape[-1]
+        X = jnp.concatenate(
+            [X, jnp.zeros(x.shape[:-1] + (pad,), X.dtype)], axis=-1
+        )
+    y = jnp.fft.irfft(X, n=n_out, axis=-1)
+    return y * (n_out / n_in)

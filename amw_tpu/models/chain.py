@@ -1,0 +1,242 @@
+"""Config-driven mastering chain → one fused jitted XLA graph.
+
+The reference's v2 chain runtime (backend/app/chain.py) interprets a JSON
+config into a list of module objects and runs them sequentially on CPU.
+Here the same config *compiles*: each module id maps to an op builder that
+returns ``(params, fn)``; the compiler threads the audio through all enabled
+modules inside a single ``jax.jit`` graph, with per-module ``amount``
+dry/wet blending resolved at trace time (base.py:33-50 semantics) and the
+final clip/NaN-scrub of chain.py:93-94.
+
+Unlike the reference, module failure→bypass (base.py:40-43) is a *build-time*
+validation concern: builders raise at build if a config is unusable, and the
+compiler bypasses that module (recorded in ``CompiledChain.bypassed``) —
+traced graphs cannot throw per-sample.
+
+Compiled chains are cached by (spec, canonical config) — recompilation only
+happens per new shape bucket or config shape.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import jax
+
+from ..constants import STYLE_CONFIGS
+from ..ops import basic, meters
+from ..ops.bands import build_dynamics
+from ..ops.dynamics import build_maximizer_transient_aware
+from ..ops.eq import (
+    build_final_spectral_balance,
+    build_style_eq,
+    build_target_curve,
+)
+from ..ops.exciter import build_harmonic_exciter
+from ..ops.reverb import build_reverb
+from ..ops.stereo import build_stereo_imager
+from ..spec import GraphSpec
+
+
+def _b_dc(spec, cfg):
+    return [], lambda x, p: basic.remove_dc_offset(x)
+
+
+def _b_peak_guard(spec, cfg):
+    headroom = float(cfg.get("headroom_db", 0.5))
+    return [], lambda x, p: basic.remove_intersample_peaks(x, headroom)
+
+
+def _b_target_curve(spec, cfg):
+    return build_target_curve(
+        spec,
+        phase_mode=str(cfg.get("phase_mode", "minimum")),
+        eq_ms=bool(cfg.get("eq_ms", False)),
+    )
+
+
+def _b_dynamics(spec, cfg):
+    return build_dynamics(
+        spec,
+        knee_db=float(cfg.get("knee_db", 6.0)),
+        crossovers_hz=cfg.get("crossovers_hz"),
+        band_ratios=cfg.get("band_ratios"),
+        max_upward_boost_db=float(cfg.get("max_upward_boost_db", 12.0)),
+        compressor=str(cfg.get("compressor", "soft_knee")),
+    )
+
+
+def _b_maximizer(spec, cfg):
+    return build_maximizer_transient_aware(
+        spec, sensitivity=float(cfg.get("sensitivity", 0.5))
+    )
+
+
+def _b_normalize(spec, cfg):
+    return meters.build_normalize_lufs(
+        spec, target_lufs=float(cfg.get("target_lufs", -14.0))
+    )
+
+
+def _b_final_balance(spec, cfg):
+    return build_final_spectral_balance(spec)
+
+
+def _b_style_eq(spec, cfg):
+    return build_style_eq(spec, style=str(cfg.get("style", "standard")))
+
+
+def _b_exciter(spec, cfg):
+    return build_harmonic_exciter(
+        spec,
+        exciter_db=float(cfg.get("exciter_db", 0.0)),
+        mode=str(cfg.get("mode", "warm")),
+        oversample=int(cfg.get("oversample", 1)),
+    )
+
+
+def _b_imager(spec, cfg):
+    return build_stereo_imager(
+        spec,
+        width=float(cfg.get("width", 1.0)),
+        stereoize_delay_ms=float(cfg.get("stereoize_delay_ms", 0.0)),
+        stereoize_mix=float(cfg.get("stereoize_mix", 0.12)),
+        band_widths=cfg.get("band_widths"),
+        crossovers_hz=cfg.get("crossovers_hz"),
+    )
+
+
+def _b_reverb(spec, cfg):
+    return build_reverb(
+        spec,
+        reverb_type=str(cfg.get("reverb_type", "plate")),
+        decay_sec=float(cfg.get("decay_sec", 1.2)),
+        mix=float(cfg.get("mix", 0.15)),
+        mix_mid=cfg.get("mix_mid"),
+        mix_side=cfg.get("mix_side"),
+    )
+
+
+MODULE_BUILDERS: dict[str, Callable] = {
+    "dc_offset": _b_dc,
+    "peak_guard": _b_peak_guard,
+    "target_curve": _b_target_curve,
+    "dynamics": _b_dynamics,
+    "maximizer": _b_maximizer,
+    "normalize_lufs": _b_normalize,
+    "final_spectral_balance": _b_final_balance,
+    "style_eq": _b_style_eq,
+    "exciter": _b_exciter,
+    "imager": _b_imager,
+    "reverb": _b_reverb,
+}
+
+
+def default_chain_config(target_lufs: float = -14.0, style: str = "standard") -> dict:
+    """Default v2 chain config — mirrors chain.py:101-125 verbatim, including
+    the 2230 Hz crossover drift."""
+    cfg = STYLE_CONFIGS.get(style, STYLE_CONFIGS["standard"])
+    exciter_db = cfg.get("exciter_db", 0.0)
+    imager_width = cfg.get("imager_width", 1.0)
+    return {
+        "modules": [
+            {"id": "dc_offset", "enabled": True, "amount": 1.0},
+            {"id": "peak_guard", "enabled": True, "headroom_db": 0.5, "amount": 1.0},
+            {"id": "target_curve", "enabled": True, "phase_mode": "minimum", "eq_ms": False, "amount": 1.0},
+            {"id": "dynamics", "enabled": True, "knee_db": 6.0, "crossovers_hz": [214.0, 2230.0, 10000.0], "amount": 1.0},
+            {"id": "normalize_lufs", "enabled": True, "target_lufs": target_lufs, "amount": 1.0},
+            {"id": "final_spectral_balance", "enabled": True, "amount": 1.0},
+            {"id": "style_eq", "enabled": True, "style": style, "amount": 1.0},
+            {"id": "exciter", "enabled": abs(exciter_db) >= 0.05, "exciter_db": exciter_db, "mode": "warm", "oversample": 1, "amount": 1.0},
+            {"id": "imager", "enabled": abs(imager_width - 1.0) >= 0.01, "width": imager_width, "stereoize_delay_ms": 0.0, "stereoize_mix": 0.12, "band_widths": None, "crossovers_hz": [214.0, 2230.0, 10000.0], "amount": 1.0},
+            {"id": "reverb", "enabled": False, "reverb_type": "plate", "decay_sec": 1.2, "mix": 0.15, "mix_mid": None, "mix_side": None, "amount": 1.0},
+            {"id": "peak_guard", "enabled": True, "headroom_db": 0.5, "amount": 1.0},
+        ]
+    }
+
+
+@dataclass
+class CompiledChain:
+    spec: GraphSpec
+    module_ids: list
+    params: list = field(repr=False)   # per-module list of device arrays
+    fn: Callable = field(repr=False)   # jitted (x, params) -> x
+    bypassed: list = field(default_factory=list)
+
+    def __call__(self, x):
+        x = np.ascontiguousarray(x, np.float32)
+        return np.asarray(self.fn(x, self.params))
+
+
+_CHAIN_CACHE: dict = {}
+
+
+def compile_chain(
+    spec: GraphSpec,
+    config: dict | None = None,
+    *,
+    target_lufs: float | None = None,
+    style: str | None = None,
+    jit: bool = True,
+) -> CompiledChain:
+    """Build and jit a chain from a v2-style config dict.
+
+    ``target_lufs``/``style`` mirror the chain.process kwargs overrides
+    (chain.py:86-90): they take precedence over per-module config values.
+    """
+    if config is None:
+        config = default_chain_config(
+            target_lufs if target_lufs is not None else -14.0,
+            style if style is not None else "standard",
+        )
+    key = (spec, json.dumps(config, sort_keys=True, default=str),
+           target_lufs, style, jit)
+    cached = _CHAIN_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    fns, params_all, ids, bypassed = [], [], [], []
+    for item in config.get("modules", []):
+        item = dict(item)
+        mid = item.pop("id", None)
+        if not mid or mid not in MODULE_BUILDERS:
+            continue
+        if not bool(item.get("enabled", True)):
+            continue
+        if target_lufs is not None and mid == "normalize_lufs":
+            item["target_lufs"] = target_lufs
+        if style is not None and mid == "style_eq":
+            item["style"] = style
+        amount = float(np.clip(float(item.get("amount", 1.0)), 0.0, 1.0))
+        try:
+            p, f = MODULE_BUILDERS[mid](spec, item)
+        except Exception as exc:  # build-time bypass (reference: runtime bypass)
+            bypassed.append((mid, repr(exc)))
+            continue
+        if amount < 1.0:
+            f = _amount_blend(f, amount)
+        fns.append(f)
+        params_all.append([np.asarray(a) for a in p])
+        ids.append(mid)
+
+    def chain_fn(x, params):
+        for f, p in zip(fns, params):
+            x = f(x, p)
+        return basic.finalize_clip(x)
+
+    fn = jax.jit(chain_fn) if jit else chain_fn
+    params_dev = jax.device_put(params_all) if jit else params_all
+    out = CompiledChain(spec=spec, module_ids=ids, params=params_dev,
+                        fn=fn, bypassed=bypassed)
+    _CHAIN_CACHE[key] = out
+    return out
+
+
+def _amount_blend(f, amount: float):
+    def blended(x, p):
+        return x * (1.0 - amount) + f(x, p) * amount
+
+    return blended

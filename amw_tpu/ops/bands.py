@@ -1,0 +1,175 @@
+"""Multiband dynamics: band split, per-band compression, maximizer, limiter.
+
+Reference: backend/app/pipeline.py:333-481 (``_split_bands`` 4-band
+Butterworth-2 filtfilt split, ``apply_multiband_dynamics``) and :610-641
+(``apply_dynamics`` = multiband → maximizer → brickwall at -1.5 dBTP).
+
+Two per-band compressor paths:
+
+- ``soft_knee`` — the reference's scipy fallback (static memoryless curve,
+  pipeline.py:282-330).  Bit-parity path used by the oracle tests.
+- ``envelope`` — the TPU-native replacement for the reference's optional
+  Pedalboard (JUCE C++) compressor: feed-forward design with the published
+  per-band ballistics (10/80, 12/130, 18/180 ms — pipeline.py:452-456), an
+  attack/release envelope detector (chunked-parallel scan) and a dB-domain
+  hard-knee gain computer.  Validated by window-metric regression, not
+  bit-parity (the JUCE algorithm is unspecified upstream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import (
+    MULTIBAND_ATTACK_RELEASE_MS,
+    MULTIBAND_CONFIG,
+    MULTIBAND_CROSSOVERS_HZ,
+    TRUE_PEAK_LIMIT_DB,
+)
+from ..spec import GraphSpec
+from . import design
+from .basic import compress_soft_knee, limiter, maximizer
+from .scan import ar_coefs, envelope_follower
+from .zphase import make_zp, make_zp_from_power, scipy_padlen
+
+
+def normalize_crossovers(crossovers_hz):
+    cross = (
+        tuple(float(c) for c in crossovers_hz)
+        if crossovers_hz and len(crossovers_hz) == 3
+        else MULTIBAND_CROSSOVERS_HZ
+    )
+    cross = tuple(float(np.clip(c, 20.0, 20000.0)) for c in cross)
+    if cross[0] >= cross[1] or cross[1] >= cross[2]:
+        cross = MULTIBAND_CROSSOVERS_HZ
+    return cross
+
+
+def band_split_plan(spec: GraphSpec, crossovers_hz=None):
+    """Prepare the 4-band split.  Returns (params, split_fn) where
+    ``split_fn(x, params) -> [band1..band4]`` (each same shape as x)."""
+    cross = normalize_crossovers(crossovers_hz)
+    nyq = spec.nyq
+    f1, f2, f3 = (min(c / nyq, 0.99) for c in cross)
+    lp = lambda f: design.butter_ba_norm(2, f, "low")
+    hp = lambda f: design.butter_ba_norm(2, f, "high")
+    stages = [
+        [lp(f1)],
+        [hp(f1), lp(f2)],
+        [hp(f2), lp(f3)],
+        [hp(f3)],
+    ]
+    if spec.exact:
+        zps = [[make_zp(spec, [ba]) for ba in chain] for chain in stages]
+        params = [z.resp for chain in zps for z in chain]
+
+        def split_fn(x, params):
+            out = []
+            i = 0
+            for chain in zps:
+                y = x
+                for z in chain:
+                    y = z(y, params[i])
+                    i += 1
+                out.append(y)
+            return out
+
+    else:
+        all_bas = [ba for chain in stages for ba in chain]
+        padlen = scipy_padlen([all_bas[0]])
+        settle = design.settle_len(*all_bas)
+        nfft = design.next_fft_size(spec.n + 2 * padlen + 3 * settle + 16)
+        zps = []
+        for chain in stages:
+            R = np.ones(nfft // 2 + 1, np.float64)
+            for ba in chain:
+                R = R * design.zero_phase_power([ba], nfft)
+            zps.append(make_zp_from_power(spec, R, nfft, padlen, settle))
+        params = [z.resp for z in zps]
+
+        def split_fn(x, params):
+            return [z(x, p) for z, p in zip(zps, params)]
+
+    return params, split_fn
+
+
+def _band_attack_release(i: int):
+    return MULTIBAND_ATTACK_RELEASE_MS[min(i, 3)]
+
+
+def build_multiband_dynamics(
+    spec: GraphSpec,
+    knee_db: float = 6.0,
+    crossovers_hz=None,
+    band_ratios=None,
+    max_upward_boost_db: float = 12.0,
+    compressor: str = "soft_knee",
+):
+    params, split_fn = band_split_plan(spec, crossovers_hz)
+    ratios_override = (
+        tuple(float(band_ratios[i]) for i in range(4))
+        if band_ratios is not None and len(band_ratios) == 4
+        else None
+    )
+
+    band_cfg = []
+    for i in range(4):
+        lim_db, comp_ratio, comp_db, gain = MULTIBAND_CONFIG[i]
+        ratio = ratios_override[i] if ratios_override else comp_ratio
+        atk_ms, rel_ms = _band_attack_release(i)
+        band_cfg.append((lim_db, ratio, comp_db, gain, atk_ms, rel_ms))
+
+    use_env = compressor == "envelope"
+
+    def fn(x, params):
+        bands = split_fn(x, params)
+        out = None
+        for i, band in enumerate(bands):
+            lim_db, ratio, comp_db, gain, atk_ms, rel_ms = band_cfg[i]
+            if use_env and ratio >= 1.0:
+                band = _envelope_compress(
+                    band, spec.sr, comp_db, ratio, atk_ms, rel_ms
+                )
+            else:
+                band = compress_soft_knee(
+                    band, threshold_db=comp_db, ratio=ratio, knee_db=knee_db,
+                    max_upward_boost_db=max_upward_boost_db,
+                )
+            band = limiter(band, threshold_db=lim_db) * gain
+            out = band if out is None else out + band
+        return out
+
+    return params, fn
+
+
+def _envelope_compress(band, sr, threshold_db, ratio, attack_ms, release_ms):
+    """Feed-forward compressor with attack/release detector (TPU-native
+    stand-in for the Pedalboard/JUCE band compressor)."""
+    att, rel = ar_coefs(sr, attack_ms / 1000.0, release_ms / 1000.0)
+    env = envelope_follower(jnp.abs(band), att, rel)
+    env_db = 20.0 * jnp.log10(jnp.maximum(env, 1e-10))
+    over = jnp.maximum(env_db - threshold_db, 0.0)
+    gain_db = over * (1.0 / ratio - 1.0)
+    return band * 10.0 ** (gain_db / 20.0)
+
+
+def build_dynamics(
+    spec: GraphSpec,
+    knee_db: float = 6.0,
+    crossovers_hz=None,
+    band_ratios=None,
+    max_upward_boost_db: float = 12.0,
+    compressor: str = "soft_knee",
+):
+    """Full dynamics stage: 4-band dynamics → maximizer → brickwall limiter."""
+    params, mb_fn = build_multiband_dynamics(
+        spec, knee_db, crossovers_hz, band_ratios, max_upward_boost_db, compressor
+    )
+
+    def fn(x, params):
+        y = mb_fn(x, params)
+        y = maximizer(y)
+        return limiter(y, threshold_db=TRUE_PEAK_LIMIT_DB)
+
+    return params, fn

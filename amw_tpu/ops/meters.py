@@ -152,6 +152,21 @@ def normalize_lufs_gain(lufs: jax.Array, target_lufs, max_gain_db: float = 20.0)
     return jnp.where(lufs > -5e8, gain, 1.0)
 
 
+def build_normalize_lufs(spec, target_lufs: float = -14.0):
+    """Op builder: measure integrated loudness in-graph and apply the clamped
+    normalization gain (pipeline.py:644-655).  ``x``: [C, N]."""
+    settle = k_weight_settle(spec.sr)
+    nfft = design.next_fft_size(spec.n + settle)
+    plan = plan_blocks(spec.sr, spec.n)
+    params = [k_weight_response(spec.sr, nfft)]
+
+    def fn(x, params):
+        lufs = integrated_lufs(x, params[0], nfft, plan)
+        return x * normalize_lufs_gain(lufs, target_lufs)
+
+    return params, fn
+
+
 # ---------------------------------------------------------------------------
 # Short-term loudness / timeline / LRA
 

@@ -361,8 +361,11 @@ def dynamic_eq(x, sr, bands=None):
         if freq <= 0 or freq >= nyq * 0.98:
             continue
         w0 = float(np.clip(freq / nyq, 0.001, 0.98))
-        bw = float(np.clip(w0 / max(q, 0.1), 0.001, 0.5))
-        b, a = sg.iirpeak(w0, bw)
+        # NOTE: the reference passes its computed *bandwidth* as iirpeak's
+        # second argument, which scipy interprets as Q (pipeline.py:1660-1663)
+        # — yielding unstable bells whose output is NaN-scrubbed garbage.  We
+        # implement the evident intent: a stable bell with quality factor q.
+        b, a = sg.iirpeak(w0, max(q, 0.1))
         thresh = db(threshold_db)
         max_cut = db(max_cut_db)
         band_sig = np.nan_to_num(

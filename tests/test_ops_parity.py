@@ -1,0 +1,201 @@
+"""Per-op parity: TPU graph ops vs the numpy/scipy oracle (exact mode)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from amw_tpu import refimpl
+from amw_tpu.spec import GraphSpec
+from amw_tpu.ops import basic
+from amw_tpu.ops.bands import build_dynamics, build_multiband_dynamics
+from amw_tpu.ops.dynamics import (
+    build_deesser,
+    build_dynamic_eq,
+    build_maximizer_transient_aware,
+    build_transient_designer,
+)
+from amw_tpu.ops.eq import (
+    build_final_spectral_balance,
+    build_high_freq_trim,
+    build_rumble_filter,
+    build_style_eq,
+    build_target_curve,
+)
+from amw_tpu.ops.exciter import build_harmonic_exciter
+from amw_tpu.ops.reverb import build_reverb
+from amw_tpu.ops.spectral import build_reference_match, build_spectral_denoise, spectral_envelope
+from amw_tpu.ops.stereo import build_stereo_imager
+
+SR = 44100
+
+
+def run_op(build, x, *args, **kw):
+    spec = GraphSpec(sr=SR, n=x.shape[-1], channels=x.shape[0])
+    params, fn = build(spec, *args, **kw)
+    return np.asarray(fn(jnp.asarray(x), [jnp.asarray(p) for p in params]))
+
+
+def max_err(a, b):
+    return float(np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))))
+
+
+@pytest.fixture(scope="module")
+def mix():
+    """Music-like fixture: tones + noise + transients, stereo."""
+    g = np.random.default_rng(7)
+    n = 2 * SR
+    t = np.arange(n) / SR
+    x = (0.3 * np.sin(2 * np.pi * 110 * t)
+         + 0.15 * np.sin(2 * np.pi * 997 * t)
+         + 0.08 * np.sin(2 * np.pi * 7000 * t)
+         + 0.05 * g.standard_normal(n))
+    hits = np.zeros(n)
+    hits[::SR // 4] = 1.0
+    from scipy.signal import lfilter
+    punch = lfilter([1.0], [1.0, -0.995], hits) * 0.4
+    left = (x + punch).astype(np.float32)
+    right = (0.8 * x + 0.9 * punch).astype(np.float32)
+    return np.clip(np.stack([left, right]), -0.99, 0.99)
+
+
+def test_target_curve(mix):
+    got = run_op(build_target_curve, mix)
+    want = refimpl.target_curve(mix, SR)
+    assert max_err(got, want) < 3e-5
+
+
+def test_target_curve_ms(mix):
+    got = run_op(build_target_curve, mix, eq_ms=True)
+    want = refimpl.target_curve(mix, SR, eq_ms=True)
+    assert max_err(got, want) < 3e-5
+
+
+def test_target_curve_linear_phase(mix):
+    got = run_op(build_target_curve, mix, phase_mode="linear_phase")
+    want = refimpl.target_curve(mix, SR, phase_mode="linear_phase")
+    assert max_err(got, want) < 3e-5
+
+
+def test_style_eq(mix):
+    for style in ("edm", "lofi", "podcast"):
+        got = run_op(build_style_eq, mix, style=style)
+        want = refimpl.style_eq(mix, SR, style)
+        assert max_err(got, want) < 5e-5, style
+
+
+def test_final_spectral_balance(mix):
+    got = run_op(build_final_spectral_balance, mix)
+    want = refimpl.final_spectral_balance(mix, SR)
+    assert max_err(got, want) < 3e-5
+
+
+def test_rumble_filter(mix):
+    got = run_op(build_rumble_filter, mix, cutoff_hz=80.0)
+    want = refimpl.rumble_filter(mix, SR, 80.0)
+    assert max_err(got, want) < 3e-5
+
+
+def test_high_freq_trim(mix):
+    got = run_op(build_high_freq_trim, mix)
+    want = refimpl.high_freq_trim(mix, SR)
+    assert max_err(got, want) < 3e-5
+
+
+def test_multiband_dynamics(mix):
+    got = run_op(build_multiband_dynamics, mix)
+    want = refimpl.multiband_dynamics(mix, SR)
+    assert max_err(got, want) < 1e-4
+
+
+def test_dynamics_full(mix):
+    got = run_op(build_dynamics, mix)
+    want = refimpl.dynamics(mix, SR)
+    assert max_err(got, want) < 1e-4
+
+
+def test_deesser(mix):
+    got = run_op(build_deesser, mix)
+    want = refimpl.deesser(mix, SR)
+    assert max_err(got, want) < 1e-4
+
+
+def test_dynamic_eq(mix):
+    got = run_op(build_dynamic_eq, mix)
+    want = refimpl.dynamic_eq(mix, SR)
+    assert max_err(got, want) < 3e-4
+
+
+def test_transient_designer(mix):
+    got = run_op(build_transient_designer, mix, 1.4, 0.8)
+    want = refimpl.transient_designer(mix, SR, 1.4, 0.8)
+    assert max_err(got, want) < 1e-4
+
+
+def test_maximizer_transient_aware(mix):
+    got = run_op(build_maximizer_transient_aware, mix, 0.5)
+    want = refimpl.maximizer_transient_aware(mix, SR, 0.5)
+    assert max_err(got, want) < 1e-4
+
+
+def test_maximizer_lookahead(mix):
+    got = np.asarray(basic.maximizer_lookahead(jnp.asarray(mix), SR))
+    want = refimpl.maximizer_lookahead(mix, SR)
+    assert max_err(got, want) < 1e-5
+
+
+def test_exciter(mix):
+    got = run_op(build_harmonic_exciter, mix, 0.6)
+    want = refimpl.harmonic_exciter(mix, SR, 0.6)
+    assert max_err(got, want) < 5e-5
+
+
+def test_exciter_oversampled(mix):
+    got = run_op(build_harmonic_exciter, mix, 0.6, "tape", 2)
+    want = refimpl.harmonic_exciter(mix, SR, 0.6, "tape", 2)
+    assert max_err(got, want) < 5e-5
+
+
+def test_imager_width(mix):
+    got = run_op(build_stereo_imager, mix, 1.3)
+    want = refimpl.stereo_imager(mix, 1.3)
+    assert max_err(got, want) < 1e-5
+
+
+def test_imager_bands_haas(mix):
+    got = run_op(build_stereo_imager, mix, 1.0, 5.0, 0.2, (1.0, 1.1, 1.25, 1.4), None)
+    want = refimpl.stereo_imager(mix, 1.0, 5.0, 0.2, SR, (1.0, 1.1, 1.25, 1.4), None)
+    assert max_err(got, want) < 5e-5
+
+
+def test_spectral_denoise(mix):
+    got = run_op(build_spectral_denoise, mix, 0.5, 15.0)
+    want = refimpl.spectral_denoise(mix, SR, 0.5, 15.0)
+    assert max_err(got, want) < 5e-4
+
+
+def test_spectral_envelope(mix):
+    got = np.asarray(spectral_envelope(jnp.asarray(mix)))
+    want = refimpl.spectral_envelope(mix, SR)
+    assert np.max(np.abs(got - want) / (np.abs(want) + 1e-3)) < 1e-2
+
+
+def test_reference_match(mix):
+    ref = np.roll(mix, 1000, axis=-1) * 0.8  # a 'reference' track
+    ref_env = refimpl.spectral_envelope(ref, SR)
+    got = run_op(build_reference_match, mix, ref_env, 0.8)
+    want = refimpl.reference_match(mix, SR, ref, SR, strength=0.8)
+    assert max_err(got, want) < 2e-3
+
+
+@pytest.mark.parametrize("preset", ["plate", "hall"])
+def test_reverb(mix, preset):
+    got = run_op(build_reverb, mix, preset, 1.2, 0.2)
+    want = refimpl.reverb(mix, SR, preset, 1.2, 0.2)
+    assert max_err(got, want) < 1e-4
+
+
+def test_reverb_ms(mix):
+    got = run_op(build_reverb, mix, "room", 0.6, 0.15, 0.2, 0.1)
+    want = refimpl.reverb(mix, SR, "room", 0.6, 0.15, 0.2, 0.1)
+    assert max_err(got, want) < 1e-4

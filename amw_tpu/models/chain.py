@@ -164,6 +164,7 @@ class CompiledChain:
     module_ids: list
     params: list = field(repr=False)   # per-module list of device arrays
     fn: Callable = field(repr=False)   # jitted (x, params) -> x
+    raw_fn: Callable = field(repr=False, default=None)  # unjitted, for vmap/pjit
     bypassed: list = field(default_factory=list)
 
     def __call__(self, x):
@@ -230,7 +231,7 @@ def compile_chain(
     fn = jax.jit(chain_fn) if jit else chain_fn
     params_dev = jax.device_put(params_all) if jit else params_all
     out = CompiledChain(spec=spec, module_ids=ids, params=params_dev,
-                        fn=fn, bypassed=bypassed)
+                        fn=fn, raw_fn=chain_fn, bypassed=bypassed)
     _CHAIN_CACHE[key] = out
     return out
 

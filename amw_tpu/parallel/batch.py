@@ -1,0 +1,65 @@
+"""Batch mastering: vmapped chain over [B, C, N], optionally mesh-sharded.
+
+Length bucketing: tracks are padded (with zeros) up to a bucket length so one
+compiled graph serves a range of durations.  NOTE: ops whose semantics depend
+on track length (LUFS gating, fades) currently treat the padded length as the
+track length; bucket granularity should therefore be fine (±2%) — masked
+valid-length support is tracked for a later round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.chain import compile_chain
+from ..spec import GraphSpec
+
+DEFAULT_BUCKETS_SEC = tuple(float(s) for s in
+                            (15, 30, 60, 90, 120, 150, 180, 240, 300, 420, 600))
+
+
+def pad_to_bucket(x: np.ndarray, sr: int, buckets_sec=DEFAULT_BUCKETS_SEC):
+    """Pad [C, N] to the smallest bucket >= N.  Returns (padded, n_valid)."""
+    n = x.shape[-1]
+    for s in buckets_sec:
+        bn = int(round(s * sr))
+        if bn >= n:
+            pad = bn - n
+            return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]), n
+    return x, n
+
+
+def make_batch_fn(spec: GraphSpec, config: dict | None = None, *,
+                  mesh=None, donate: bool = True, **chain_kw):
+    """Returns (jitted_step, params) computing the chain over [B, C, N].
+
+    With ``mesh``, the batch axis is sharded over the mesh's first axis and
+    params are replicated — pure data parallelism over ICI."""
+    chain = compile_chain(spec, config, jit=False, **chain_kw)
+    step = lambda xb, params: jax.vmap(chain.raw_fn, in_axes=(0, None))(xb, params)
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        x_sh = NamedSharding(mesh, P(axis))
+        p_sh = NamedSharding(mesh, P())
+        params = jax.device_put(chain.params, p_sh)
+        jitted = jax.jit(
+            step,
+            in_shardings=(x_sh, p_sh),
+            out_shardings=x_sh,
+            donate_argnums=(0,) if donate else (),
+        )
+    else:
+        params = jax.device_put(chain.params)
+        jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jitted, params
+
+
+def batch_master(xb: np.ndarray, sr: int, config: dict | None = None, *,
+                 mesh=None, **chain_kw) -> np.ndarray:
+    """Master a batch [B, C, N] in one fused SPMD step."""
+    xb = np.ascontiguousarray(xb, np.float32)
+    spec = GraphSpec(sr=sr, n=xb.shape[-1], channels=xb.shape[1])
+    fn, params = make_batch_fn(spec, config, mesh=mesh, **chain_kw)
+    return np.asarray(fn(xb, params))

@@ -1,0 +1,128 @@
+"""Host-side audio load/export (the chain's I/O boundary).
+
+Mirrors the reference's format policy (pipeline.py:802-827, 965-1052):
+WAV decodes natively (pure numpy codec); MP3/OPUS/AAC/FLAC ride ffmpeg via
+subprocess when present and raise the reference's explanatory error when not.
+Export always quantizes through the dithered 16-bit path (except FLAC/WAV24,
+which are 24-bit).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+import numpy as np
+
+from ..refimpl import pipeline as refimpl
+from . import wav
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def _ffmpeg_error(fmt: str) -> RuntimeError:
+    return RuntimeError(
+        f"Format {fmt.upper()} requires ffmpeg, which is not installed on this "
+        "server. Install it with: sudo apt-get install -y ffmpeg"
+    )
+
+
+def _run_ffmpeg(args: list[str], input_bytes: bytes) -> bytes:
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", *args],
+        input=input_bytes, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        timeout=600,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"ffmpeg failed: {proc.stderr.decode()[:500]}")
+    return proc.stdout
+
+
+def load_audio_from_bytes(data: bytes, fmt: str):
+    """-> (audio[C, N] float32, sr).  Channel-major (reference is [N, C])."""
+    ext = fmt.rsplit(".", 1)[-1].lower().lstrip(".")
+    if ext == "wav":
+        return wav.read_wav(data)
+    if not ffmpeg_available():
+        raise _ffmpeg_error(ext)
+    out = _run_ffmpeg(
+        ["-i", "pipe:0", "-f", "wav", "-acodec", "pcm_f32le", "pipe:1"], data
+    )
+    return wav.read_wav(out)
+
+
+def auto_blank_end(x: np.ndarray, sr: int, threshold_dbfs: float = -50.0,
+                   min_silence_sec: float = 0.5) -> np.ndarray:
+    """Trim trailing silence (pipeline.py:902-917)."""
+    if x.size == 0 or min_silence_sec <= 0:
+        return x
+    thr = 10 ** (threshold_dbfs / 20.0)
+    peak = np.max(np.abs(x), axis=0) if x.ndim > 1 else np.abs(x)
+    above = np.nonzero(peak > thr)[0]
+    if len(above) == 0:
+        return x
+    idx = min(x.shape[-1], int(above[-1]) + 1 + int(sr * min_silence_sec))
+    return x[..., :idx]
+
+
+def dithered_int16(x: np.ndarray, dither_type: str = "tpdf",
+                   rng: np.random.Generator | None = None) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    x = np.clip(np.nan_to_num(np.asarray(x, np.float64),
+                              nan=0.0, posinf=1.0, neginf=-1.0), -1.0, 1.0)
+    n = x.shape[-1]
+    if dither_type == "ns_e" and n >= 4:
+        noise = refimpl.dither_ns_e(x.shape, rng)
+    elif dither_type == "ns_itu" and n >= 8:
+        noise = refimpl.dither_ns_itu(x.shape, rng)
+    else:
+        noise = refimpl.dither_tpdf(x.shape, rng)
+    return refimpl.quantize16(x, noise)
+
+
+def export_audio(
+    samples: np.ndarray,
+    sr: int,
+    out_format: str = "wav",
+    dither_type: str = "tpdf",
+    auto_blank_sec: float = 0.0,
+    bitrate: int | None = None,
+    rng: np.random.Generator | None = None,
+) -> bytes:
+    """[C, N] float -> encoded bytes (pipeline.py:965-1052 semantics)."""
+    x = np.atleast_2d(np.asarray(samples, np.float32))
+    x = np.clip(x, -1.0, 1.0)
+    if auto_blank_sec > 0:
+        x = auto_blank_end(x, sr, threshold_dbfs=-50.0,
+                           min_silence_sec=auto_blank_sec)
+
+    if out_format == "wav":
+        return wav.write_wav_int16(dithered_int16(x, dither_type, rng), sr)
+    if out_format == "wav24":
+        return wav.write_wav_int24(x, sr)
+    if out_format == "wav32f":
+        return wav.write_wav_float32(x, sr)
+
+    if not ffmpeg_available():
+        raise _ffmpeg_error(out_format)
+    wav_bytes = wav.write_wav_int16(dithered_int16(x, dither_type, rng), sr)
+    if out_format == "flac":
+        # 24-bit FLAC like the reference's soundfile PCM_24 export.
+        src = wav.write_wav_int24(x, sr)
+        return _run_ffmpeg(["-i", "pipe:0", "-f", "flac", "pipe:1"], src)
+    if out_format == "mp3":
+        br = bitrate if bitrate in (128, 192, 256, 320) else 320
+        return _run_ffmpeg(
+            ["-i", "pipe:0", "-f", "mp3", "-b:a", f"{br}k", "pipe:1"], wav_bytes)
+    if out_format == "opus":
+        br = bitrate if bitrate in (128, 192) else 192
+        return _run_ffmpeg(
+            ["-i", "pipe:0", "-f", "opus", "-c:a", "libopus", "-b:a", f"{br}k",
+             "pipe:1"], wav_bytes)
+    if out_format == "aac":
+        return _run_ffmpeg(
+            ["-i", "pipe:0", "-f", "ipod", "-c:a", "aac", "-b:a", "192k",
+             "-movflags", "frag_keyframe+empty_moov", "pipe:1"], wav_bytes)
+    return _run_ffmpeg(["-i", "pipe:0", "-f", out_format, "pipe:1"], wav_bytes)

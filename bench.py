@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark: full v1 mastering chain throughput on one TPU chip.
+
+Workload = BASELINE config #1: 3-minute stereo 44.1 kHz track -> -14 LUFS
+"spotify" default chain (the reference's ``run_mastering_pipeline``), fused
+into one jitted graph and vmapped over a batch.  Prints ONE JSON line with
+the realtime factor per chip plus parity/latency extras.
+
+Timing notes: on the axon relay backend ``block_until_ready`` returns at
+remote enqueue, so every measurement is fenced by fetching a scalar
+reduction of the output (forces full execution), with the relay round-trip
+baseline measured separately and subtracted.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_track(sr: int, dur_sec: float, seed: int = 0) -> np.ndarray:
+    g = np.random.default_rng(seed)
+    n = int(sr * dur_sec)
+    t = np.arange(n) / sr
+    x = (0.28 * np.sin(2 * np.pi * 110 * t)
+         + 0.12 * np.sin(2 * np.pi * 997 * t)
+         + 0.06 * np.sin(2 * np.pi * 6100 * t)
+         + 0.05 * g.standard_normal(n))
+    env = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 0.25 * t))
+    left = (x * env).astype(np.float32)
+    right = (0.85 * x * env).astype(np.float32)
+    return np.clip(np.stack([left, right]), -0.99, 0.99)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from amw_tpu import refimpl
+    from amw_tpu.models.pipeline_v1 import build_v1_pipeline
+    from amw_tpu.spec import GraphSpec
+
+    sr = 44100
+    dur = 180.0
+    n = int(sr * dur)
+    log(f"devices: {jax.devices()}")
+
+    spec = GraphSpec(sr=sr, n=n, channels=2, exact=True)
+    params, raw_fn, names = build_v1_pipeline(
+        spec, target_lufs=-14.0, style="standard", jit=False
+    )
+    log(f"stages: {names}")
+    params_dev = jax.device_put(params)
+
+    def batched(b):
+        return jax.jit(
+            lambda xb, p: jnp.sum(
+                jnp.square(jax.vmap(raw_fn, in_axes=(0, None))(xb, p))
+            )
+        )
+
+    # fence(): fetching a scalar forces execution through the relay.
+    def fence(v):
+        return float(v)
+
+    # Relay round-trip baseline.
+    ready = jax.device_put(np.float32(1.0))
+    for _ in range(2):
+        fence(jnp.sum(ready))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        fence(jnp.sum(ready))
+    relay = (time.perf_counter() - t0) / 4
+    log(f"relay round-trip: {relay*1e3:.0f} ms")
+
+    # Find the largest micro-batch that compiles (remote compiler limits).
+    micro = None
+    step = None
+    xb = None
+    for trial in (4, 2, 1):
+        try:
+            tracks = np.stack([make_track(sr, dur, seed=i) for i in range(trial)])
+            xb = jax.device_put(tracks)
+            f = batched(trial)
+            t0 = time.perf_counter()
+            fence(f(xb, params_dev))
+            log(f"micro-batch={trial} compiled+ran in {time.perf_counter()-t0:.1f}s")
+            micro, step = trial, f
+            break
+        except Exception as e:  # noqa: BLE001
+            log(f"micro-batch={trial} failed: {type(e).__name__}: {str(e)[:160]}")
+    if step is None:
+        print(json.dumps({"metric": "realtime_factor_v1_chain", "value": 0.0,
+                          "unit": "x_realtime_per_chip", "vs_baseline": 0.0,
+                          "error": "no batch size compiled"}))
+        return
+
+    # Steady-state throughput (amortize the fence over several dispatches).
+    reps = 4
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(reps):
+        acc = step(xb, params_dev)
+    fence(acc)
+    dt = (time.perf_counter() - t0 - relay) / reps
+    rtf = micro * dur / dt
+    log(f"throughput: {dt:.3f}s per batch of {micro} -> {rtf:.0f}x realtime")
+
+    # Single-track p50 latency (its own compiled graph).
+    step1 = batched(1)
+    x1 = jax.device_put(make_track(sr, dur, seed=0)[None])
+    fence(step1(x1, params_dev))
+    lats = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fence(step1(x1, params_dev))
+        lats.append(time.perf_counter() - t0 - relay)
+    p50 = float(np.median(lats))
+    log(f"p50 single-track latency: {p50*1e3:.0f} ms")
+
+    # CPU oracle baseline + parity on a shorter probe.
+    probe_dur = 20.0
+    probe = make_track(sr, probe_dur, seed=99)
+    t0 = time.perf_counter()
+    want = refimpl.v1_pipeline(probe, sr, target_lufs=-14.0, style="standard")
+    cpu_dt = time.perf_counter() - t0
+    cpu_rtf = probe_dur / cpu_dt
+    log(f"CPU oracle: {cpu_dt:.1f}s for {probe_dur}s -> {cpu_rtf:.2f}x realtime")
+
+    pspec = GraphSpec(sr=sr, n=int(sr * probe_dur), channels=2, exact=True)
+    pparams, pfn, _ = build_v1_pipeline(pspec, target_lufs=-14.0,
+                                        style="standard", jit=True)
+    got = np.asarray(pfn(probe, jax.device_put(pparams)))
+    err = float(np.max(np.abs(got.astype(np.float64) - want)))
+    err_dbfs = 20 * np.log10(max(err, 1e-12))
+    lu_delta = abs(refimpl.integrated_lufs(got, sr) - refimpl.integrated_lufs(want, sr))
+    out_lufs = refimpl.integrated_lufs(got, sr)
+    tp = refimpl.true_peak_dbfs(got, sr)
+    log(f"parity: max err {err_dbfs:.1f} dBFS, LU delta {lu_delta:.4f}, "
+        f"out LUFS {out_lufs:.2f}, TP {tp:.2f} dBTP")
+
+    print(json.dumps({
+        "metric": "realtime_factor_v1_chain",
+        "value": round(rtf, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / cpu_rtf, 1),
+        "batch": micro,
+        "p50_latency_ms": round(p50 * 1e3, 1),
+        "relay_rtt_ms": round(relay * 1e3, 1),
+        "cpu_oracle_rtf": round(cpu_rtf, 2),
+        "parity_max_err_dbfs": round(err_dbfs, 1),
+        "parity_lu_delta": round(lu_delta, 4),
+        "out_lufs": round(out_lufs, 2),
+        "out_true_peak_dbtp": round(tp, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -199,6 +199,35 @@ def compile_chain(
     if cached is not None:
         return cached
 
+    ids, params_all, fns, bypassed = build_chain_ops(
+        spec, config, target_lufs=target_lufs, style=style
+    )
+
+    def chain_fn(x, params):
+        for f, p in zip(fns, params):
+            x = f(x, p)
+        return basic.finalize_clip(x)
+
+    fn = jax.jit(chain_fn) if jit else chain_fn
+    params_dev = jax.device_put(params_all) if jit else params_all
+    out = CompiledChain(spec=spec, module_ids=ids, params=params_dev,
+                        fn=fn, raw_fn=chain_fn, bypassed=bypassed)
+    _CHAIN_CACHE[key] = out
+    return out
+
+
+def _amount_blend(f, amount: float):
+    def blended(x, p):
+        return x * (1.0 - amount) + f(x, p) * amount
+
+    return blended
+
+
+def build_chain_ops(spec: GraphSpec, config: dict, *,
+                    target_lufs: float | None = None, style: str | None = None):
+    """Build the per-module op list for a config.  Returns
+    (ids, params_list, fns, bypassed) — used by compile_chain and by the v2
+    job graph (which wraps the chain with PRE/POST pro stages)."""
     fns, params_all, ids, bypassed = [], [], [], []
     for item in config.get("modules", []):
         item = dict(item)
@@ -222,22 +251,4 @@ def compile_chain(
         fns.append(f)
         params_all.append([np.asarray(a) for a in p])
         ids.append(mid)
-
-    def chain_fn(x, params):
-        for f, p in zip(fns, params):
-            x = f(x, p)
-        return basic.finalize_clip(x)
-
-    fn = jax.jit(chain_fn) if jit else chain_fn
-    params_dev = jax.device_put(params_all) if jit else params_all
-    out = CompiledChain(spec=spec, module_ids=ids, params=params_dev,
-                        fn=fn, raw_fn=chain_fn, bypassed=bypassed)
-    _CHAIN_CACHE[key] = out
-    return out
-
-
-def _amount_blend(f, amount: float):
-    def blended(x, p):
-        return x * (1.0 - amount) + f(x, p) * amount
-
-    return blended
+    return ids, params_all, fns, bypassed

@@ -158,11 +158,12 @@ def build_normalize_lufs(spec, target_lufs: float = -14.0):
     settle = k_weight_settle(spec.sr)
     nfft = design.next_fft_size(spec.n + settle)
     plan = plan_blocks(spec.sr, spec.n)
-    params = [k_weight_response(spec.sr, nfft)]
+    # target is a runtime parameter so one compiled graph serves any target.
+    params = [k_weight_response(spec.sr, nfft), np.float32(target_lufs)]
 
     def fn(x, params):
         lufs = integrated_lufs(x, params[0], nfft, plan)
-        return x * normalize_lufs_gain(lufs, target_lufs)
+        return x * normalize_lufs_gain(lufs, params[1])
 
     return params, fn
 

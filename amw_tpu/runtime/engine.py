@@ -1,0 +1,231 @@
+"""Mastering execution engine: compiled-graph cache + job runners.
+
+The reference runs numpy chains on worker threads; here each job resolves to
+a cached, fused, jitted TPU graph keyed by (sample rate, length bucket,
+channels, chain/pro configuration).  Variable track lengths hit a small set
+of buckets so steady-state service traffic never recompiles; the loudness
+target is a runtime parameter inside the graph.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import numpy as np
+import jax
+
+from ..models.pipeline_v1 import build_v1_pipeline
+from ..models.v2_job import build_v2_job_graph
+from ..ops import basic, design, meters
+from ..parallel.batch import pad_to_bucket
+from ..spec import GraphSpec
+from ..utils.audio_io import export_audio, load_audio_from_bytes
+from .config import settings
+
+_SILENT_MSG = (
+    "Processing produced silence. Disable some of the extra modules "
+    "(Spectral Denoiser, De-esser, Transient Designer, Parallel Compression, "
+    "Dynamic EQ) and try again."
+)
+_NANINF_MSG = (
+    "Processing produced invalid values (NaN/Inf). Disable Dynamic EQ or "
+    "other extra modules and try again."
+)
+
+
+class ValidationError(ValueError):
+    pass
+
+
+class MasteringEngine:
+    """Thread-safe cache of compiled mastering graphs."""
+
+    def __init__(self, exact: bool | None = None, bucket: bool = True):
+        self.exact = settings.engine_exact_mode if exact is None else exact
+        self.bucket = bucket
+        self._cache: dict = {}
+        self._lock = threading.Lock()
+
+    # -- graph cache -------------------------------------------------------
+
+    def _get_graph(self, kind: str, spec: GraphSpec, key_extra: str, build):
+        key = (kind, spec, key_extra)
+        with self._lock:
+            hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        built = build()
+        with self._lock:
+            self._cache.setdefault(key, built)
+        return self._cache[key]
+
+    def _spec_for(self, sr: int, n: int, channels: int):
+        if self.bucket:
+            bn = n
+            from ..parallel.batch import DEFAULT_BUCKETS_SEC
+            for s in DEFAULT_BUCKETS_SEC:
+                cand = int(round(s * sr))
+                if cand >= n:
+                    bn = cand
+                    break
+            else:
+                bn = n
+        else:
+            bn = n
+        return GraphSpec(sr=sr, n=bn, channels=channels, exact=self.exact)
+
+    @staticmethod
+    def _pad(x: np.ndarray, n_bucket: int) -> np.ndarray:
+        pad = n_bucket - x.shape[-1]
+        if pad <= 0:
+            return x
+        return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+    # -- job runners -------------------------------------------------------
+
+    def master_v2_bytes(
+        self, data: bytes, filename: str, *,
+        target_lufs: float, out_format: str = "wav", style: str = "standard",
+        chain_config: dict | None = None, dither_type: str | None = None,
+        auto_blank_sec: float | None = None, bitrate: int | None = None,
+        pro: dict | None = None, progress=None,
+    ) -> dict:
+        """Full v2 job: decode → fused graph → validate → export."""
+        report = progress or (lambda pct, msg: None)
+        report(2, "Loading audio…")
+        audio, sr = load_audio_from_bytes(data, filename or "wav")
+        n, C = audio.shape[-1], audio.shape[0]
+        spec = self._spec_for(sr, n, C)
+        key = json.dumps(
+            {"cfg": chain_config, "pro": pro, "style": style,
+             "t": round(float(target_lufs), 2)},
+            sort_keys=True, default=str)
+        report(5, "Mastering (v2)…")
+        params, fn, names = self._get_graph(
+            "v2", spec, key,
+            lambda: self._built_v2(spec, chain_config, pro, target_lufs, style),
+        )
+        xb = self._pad(np.ascontiguousarray(audio, np.float32), spec.n)
+        res = fn(xb, params)
+        out = np.asarray(res["out"])[..., :n]
+        before = float(np.asarray(res["before_lufs"]))
+        after = float(np.asarray(res["after_lufs"]))
+        peak = float(np.asarray(res["peak"]))
+        finite = bool(np.asarray(res["finite"]))
+
+        if out.size == 0 or peak < 1e-5:
+            raise ValidationError(_SILENT_MSG)
+        if not finite:
+            raise ValidationError(_NANINF_MSG)
+
+        report(98, "Exporting file…")
+        dt = dither_type or (chain_config or {}).get("dither_type") or "tpdf"
+        if dt not in ("tpdf", "ns_e", "ns_itu"):
+            dt = "tpdf"
+        ab = (auto_blank_sec if auto_blank_sec is not None
+              else float((chain_config or {}).get("auto_blank_sec", 0) or 0))
+        out_bytes = export_audio(out, sr, out_format.lower(), dither_type=dt,
+                                 auto_blank_sec=max(0.0, ab), bitrate=bitrate)
+        return {
+            "bytes": out_bytes, "sr": sr,
+            "before_lufs": None if before < -1e8 else before,
+            "after_lufs": None if after < -1e8 else after,
+        }
+
+    def _built_v2(self, spec, chain_config, pro, target_lufs, style):
+        params, fn, _ = build_v2_job_graph(
+            spec, chain_config, pro, target_lufs, style, jit=True
+        )
+        return jax.device_put(params), fn, _
+
+    def master_v1_bytes(
+        self, data: bytes, filename: str, *,
+        target_lufs: float, out_format: str = "wav", style: str = "standard",
+        denoise_strength: float = 0.0, transient_attack: float = 1.0,
+        transient_sustain: float = 1.0, reference_env=None,
+        reference_strength: float = 0.8, dither_type: str = "tpdf",
+        bitrate: int | None = None, progress=None,
+    ) -> dict:
+        report = progress or (lambda pct, msg: None)
+        report(2, "Loading audio…")
+        audio, sr = load_audio_from_bytes(data, filename or "wav")
+        n, C = audio.shape[-1], audio.shape[0]
+        spec = self._spec_for(sr, n, C)
+        key = json.dumps(
+            {"style": style, "t": round(float(target_lufs), 2),
+             "dn": round(float(denoise_strength), 2),
+             "ta": round(float(transient_attack), 2),
+             "ts": round(float(transient_sustain), 2),
+             "ref": reference_env is not None,
+             "rs": round(float(reference_strength), 2)},
+            sort_keys=True)
+        report(5, "Mastering…")
+        params, fn, _names = self._get_graph(
+            "v1", spec, key,
+            lambda: self._built_v1(spec, target_lufs, style, denoise_strength,
+                                   transient_attack, transient_sustain,
+                                   reference_env, reference_strength),
+        )
+        xb = self._pad(np.ascontiguousarray(audio, np.float32), spec.n)
+        res = fn(xb, params)
+        out = np.asarray(res["out"])[..., :n]
+        before = float(np.asarray(res["before_lufs"]))
+        after = float(np.asarray(res["after_lufs"]))
+        peak = float(np.asarray(res["peak"]))
+        finite = bool(np.asarray(res["finite"]))
+        if out.size == 0 or peak < 1e-5:
+            raise ValidationError(_SILENT_MSG)
+        if not finite:
+            raise ValidationError(_NANINF_MSG)
+        report(98, "Exporting file…")
+        out_bytes = export_audio(out, sr, out_format.lower(),
+                                 dither_type=dither_type, bitrate=bitrate)
+        return {
+            "bytes": out_bytes, "sr": sr,
+            "before_lufs": None if before < -1e8 else before,
+            "after_lufs": None if after < -1e8 else after,
+        }
+
+    def _built_v1(self, spec, target_lufs, style, denoise_strength,
+                  transient_attack, transient_sustain, reference_env,
+                  reference_strength):
+        params, raw_fn, names = build_v1_pipeline(
+            spec, target_lufs=target_lufs, style=style,
+            denoise_strength=denoise_strength,
+            transient_attack=transient_attack,
+            transient_sustain=transient_sustain,
+            reference_env=reference_env,
+            reference_strength=reference_strength, jit=False,
+        )
+        settle = meters.k_weight_settle(spec.sr)
+        nfft = design.next_fft_size(spec.n + settle)
+        Hk = meters.k_weight_response(spec.sr, nfft)
+        try:
+            plan = meters.plan_blocks(spec.sr, spec.n)
+        except ValueError:
+            plan = None
+        all_params = list(params) + [[Hk]]
+
+        def fn(x, ps):
+            before = (meters.integrated_lufs(x, ps[-1][0], nfft, plan)
+                      if plan is not None else np.float32(-1e9))
+            y = raw_fn(x, ps[:-1])
+            after = (meters.integrated_lufs(y, ps[-1][0], nfft, plan)
+                     if plan is not None else np.float32(-1e9))
+            finite, peak = basic.validate_stats(y)
+            return {"out": y, "before_lufs": before, "after_lufs": after,
+                    "peak": peak, "finite": finite}
+
+        return jax.device_put(all_params), jax.jit(fn), names
+
+
+# Module-level default engine (created lazily by the service).
+_default_engine: MasteringEngine | None = None
+
+
+def get_engine() -> MasteringEngine:
+    global _default_engine
+    if _default_engine is None:
+        _default_engine = MasteringEngine()
+    return _default_engine

@@ -1,0 +1,543 @@
+"""HTTP service shell (aiohttp) — the reference's FastAPI surface (L4).
+
+Round-1 scope: the mastering API (v1 + v2 + batch), job status/SSE/result/
+preview, analysis endpoints, health/metrics/version, presets/styles/chain
+config.  Auth/admin/AI/payments routers land in later rounds; the route
+names, response shapes, and status codes mirror backend/app/routers/
+mastering.py, tools.py, misc.py and main.py.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+
+import numpy as np
+from aiohttp import web
+
+from .. import __version__
+from ..constants import PRESET_LUFS, STYLE_CONFIGS
+from ..models.analyze import analyze, lufs_analyze_tool
+from ..models.chain import default_chain_config
+from ..utils.audio_io import ffmpeg_available, load_audio_from_bytes
+from . import db, jobs, settings_store
+from .config import settings
+from .engine import MasteringEngine, ValidationError, get_engine
+
+START_TIME = time.time()
+
+ALLOWED_EXTS = ("wav", "mp3", "flac")
+
+
+def _ext(filename: str) -> str:
+    return (filename or "").rsplit(".", 1)[-1].lower()
+
+
+def allowed_file(filename: str) -> bool:
+    return _ext(filename) in ALLOWED_EXTS
+
+
+def check_audio_magic_bytes(data: bytes, filename: str) -> bool:
+    """Magic-byte sniff (reference helpers.py:33-49)."""
+    if len(data) < 12:
+        return False
+    ext = _ext(filename)
+    if ext == "wav":
+        return data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    if ext == "flac":
+        return data[:4] == b"fLaC"
+    if ext == "mp3":
+        return data[:3] == b"ID3" or (data[0] == 0xFF and (data[1] & 0xE0) == 0xE0)
+    return False
+
+
+def _json_safe(v):
+    if v is None:
+        return None
+    f = float(v)
+    if not np.isfinite(f):
+        return None
+    return round(f, 2)
+
+
+def _err(status: int, detail: str) -> web.HTTPException:
+    exc_cls = {400: web.HTTPBadRequest, 404: web.HTTPNotFound,
+               409: web.HTTPConflict, 429: web.HTTPTooManyRequests,
+               503: web.HTTPServiceUnavailable}.get(status, web.HTTPBadRequest)
+    return exc_cls(text=json.dumps({"detail": detail}),
+                   content_type="application/json")
+
+
+async def _read_upload(request: web.Request):
+    """Parse multipart form -> (fields dict, file bytes, filename)."""
+    reader = await request.multipart()
+    fields: dict = {}
+    data = None
+    filename = None
+    async for part in reader:
+        if part.name == "file":
+            filename = part.filename or "audio.wav"
+            data = await part.read(decode=False)
+        else:
+            fields[part.name] = (await part.read(decode=False)).decode()
+    return fields, data, filename
+
+
+def _validate_upload(data: bytes, filename: str, max_mb: int) -> None:
+    if not allowed_file(filename):
+        raise _err(400, "Unsupported format. Allowed: WAV, MP3, FLAC.")
+    if data is None or len(data) == 0:
+        raise _err(400, "Empty upload")
+    if len(data) > max_mb * 1024 * 1024:
+        raise _err(400, f"File larger than {max_mb} MB.")
+    if not check_audio_magic_bytes(data, filename):
+        raise _err(400, "File content does not match a supported audio format.")
+    if _ext(filename) != "wav" and not ffmpeg_available():
+        raise _err(400, f"Reading {_ext(filename).upper()} requires ffmpeg. "
+                        "Install: sudo apt-get install -y ffmpeg")
+
+
+def _resolve_target_lufs(fields: dict) -> tuple[float, str]:
+    preset = (fields.get("preset") or "").strip().lower()
+    if preset in PRESET_LUFS:
+        return PRESET_LUFS[preset], preset
+    try:
+        t = float(fields.get("target_lufs", settings.default_target_lufs))
+    except ValueError:
+        t = settings.default_target_lufs
+    return float(np.clip(t, -36.0, -6.0)), preset or "custom"
+
+
+# ───────────────────────────── job execution ─────────────────────────────
+
+
+async def _run_job_v1(app, job_id: str, kwargs: dict):
+    sem = jobs.select_semaphore(kwargs.pop("is_priority", False))
+    async with sem:
+        job = jobs.get_job(job_id)
+        if job is None:
+            return
+        engine: MasteringEngine = app["engine"]
+
+        def progress(pct, msg):
+            jobs.update_job(job_id, progress=pct, message=msg)
+
+        try:
+            res = await asyncio.to_thread(
+                engine.master_v1_bytes,
+                job["original_bytes"], job["original_filename"],
+                progress=progress, **kwargs,
+            )
+            out_name = ((job["original_filename"] or "master").rsplit(".", 1)[0]
+                        + f"_mastered.{job['out_format']}")
+            jobs.update_job(
+                job_id, status="done", progress=100, message="Done",
+                result_bytes=res["bytes"], filename=out_name,
+                before_lufs=res["before_lufs"], after_lufs=res["after_lufs"],
+                done_at=time.time(),
+            )
+            db.record_mastering(job.get("notify_user_id"),
+                                job["original_filename"], job.get("style"),
+                                job.get("target_lufs"), res["before_lufs"],
+                                res["after_lufs"], job["out_format"])
+        except Exception as e:  # noqa: BLE001
+            jobs.update_job(job_id, status="error", progress=0, message="",
+                            error=str(e), done_at=time.time())
+
+
+async def _run_job_v2(app, job_id: str, kwargs: dict):
+    sem = jobs.select_semaphore(kwargs.pop("is_priority", False))
+    async with sem:
+        job = jobs.get_job(job_id)
+        if job is None:
+            return
+        engine: MasteringEngine = app["engine"]
+
+        def progress(pct, msg):
+            jobs.update_job(job_id, progress=pct, message=msg)
+
+        try:
+            res = await asyncio.to_thread(
+                engine.master_v2_bytes,
+                job["original_bytes"], job["original_filename"],
+                progress=progress, **kwargs,
+            )
+            fmt = job["out_format"]
+            out_ext = "m4a" if fmt == "aac" else fmt
+            out_name = ((job["original_filename"] or "master").rsplit(".", 1)[0]
+                        + f"_mastered.{out_ext}")
+            jobs.update_job(
+                job_id, status="done", progress=100, message="Done",
+                result_bytes=res["bytes"], filename=out_name,
+                before_lufs=res["before_lufs"], after_lufs=res["after_lufs"],
+                done_at=time.time(),
+            )
+            db.record_mastering(job.get("notify_user_id"),
+                                job["original_filename"], job.get("style"),
+                                job.get("target_lufs"), res["before_lufs"],
+                                res["after_lufs"], fmt)
+        except Exception as e:  # noqa: BLE001
+            jobs.update_job(job_id, status="error", progress=0, message="",
+                            error=str(e), done_at=time.time())
+
+
+# ───────────────────────────── handlers ──────────────────────────────────
+
+
+async def h_health(request):
+    ok_db = True
+    try:
+        db.setting_get("_health_probe")
+    except Exception:
+        ok_db = False
+    c = jobs.counts()
+    status = "ok" if ok_db else "degraded"
+    return web.json_response({
+        "status": status,
+        "uptime_sec": round(time.time() - START_TIME, 1),
+        "db": "ok" if ok_db else "unavailable",
+        "ffmpeg": "ok" if ffmpeg_available() else "missing",
+        "jobs_running": c["jobs_running"],
+        "jobs_total": c["jobs_total"],
+        "version": __version__,
+    })
+
+
+async def h_metrics(request):
+    c = jobs.counts()
+    return web.json_response({
+        "uptime_sec": round(time.time() - START_TIME, 1),
+        "jobs_running": c["jobs_running"],
+        "jobs_total": c["jobs_total"],
+        "version": __version__,
+    })
+
+
+async def h_version(request):
+    return web.json_response({"version": __version__, "engine": "amw_tpu"})
+
+
+async def h_presets(request):
+    return web.json_response({"presets": PRESET_LUFS})
+
+
+async def h_styles(request):
+    styles = {
+        name: {"lufs": cfg["lufs"], "exciter_db": cfg["exciter_db"],
+               "imager_width": cfg["imager_width"],
+               "parallel_mix": cfg["parallel_mix"],
+               "comp_mult": cfg["comp_mult"]}
+        for name, cfg in STYLE_CONFIGS.items()
+    }
+    return web.json_response({"styles": styles})
+
+
+async def h_chain_default(request):
+    try:
+        target = float(request.query.get("target_lufs", -14.0))
+    except ValueError:
+        target = -14.0
+    style = request.query.get("style", "standard")
+    return web.json_response(default_chain_config(target, style))
+
+
+async def h_master_v1(request):
+    jobs.prune_jobs()
+    fields, data, filename = await _read_upload(request)
+    target_lufs, preset = _resolve_target_lufs(fields)
+    style = (fields.get("style") or "standard").strip().lower()
+    if style not in STYLE_CONFIGS:
+        style = "standard"
+    out_format = (fields.get("out_format") or "wav").strip().lower()
+    _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))
+    try:
+        load_audio_from_bytes(data[: 4 << 20] if _ext(filename) == "wav" else data,
+                              filename)
+    except Exception:
+        # trial decode of the head may fail for truncated WAV chunks; decode
+        # fully in the job instead
+        pass
+
+    job_id = str(uuid.uuid4())
+    jobs.new_job(job_id, target_lufs=target_lufs, style=style, data=data,
+                 filename=filename, out_format=out_format)
+    kwargs = dict(
+        target_lufs=target_lufs, out_format=out_format, style=style,
+        denoise_strength=float(fields.get("denoise_strength", 0) or 0),
+        transient_attack=float(fields.get("transient_attack", 1.0) or 1.0),
+        transient_sustain=float(fields.get("transient_sustain", 1.0) or 1.0),
+        dither_type=(fields.get("dither_type") or "tpdf"),
+        is_priority=False,
+    )
+    asyncio.create_task(_run_job_v1(request.app, job_id, kwargs))
+    return web.json_response({"job_id": job_id, "preset": preset,
+                              "target_lufs": target_lufs, "style": style})
+
+
+async def h_master_v2(request):
+    jobs.prune_jobs()
+    fields, data, filename = await _read_upload(request)
+    target_lufs, preset = _resolve_target_lufs(fields)
+    style = (fields.get("style") or "standard").strip().lower()
+    if style not in STYLE_CONFIGS:
+        style = "standard"
+    out_format = (fields.get("out_format") or "wav").strip().lower()
+    if out_format not in ("wav", "flac", "mp3", "opus", "aac"):
+        out_format = "wav"
+    bitrate = None
+    if fields.get("bitrate"):
+        try:
+            bitrate = int(fields["bitrate"])
+        except ValueError:
+            bitrate = None
+    chain_config = None
+    if fields.get("config"):
+        try:
+            chain_config = json.loads(fields["config"])
+        except json.JSONDecodeError:
+            raise _err(400, "Invalid chain config JSON")
+    _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))
+
+    pro = {}
+    for k in ("rumble_enabled", "deesser_enabled", "dynamic_eq_enabled",
+              "apply_vocal_isolation"):
+        if fields.get(k) is not None:
+            pro[k] = fields[k].strip().lower() in ("1", "true", "yes", "on")
+    for k in ("rumble_cutoff", "denoise_strength", "denoise_noise_percentile",
+              "deesser_threshold", "deesser_freq_hi", "transient_attack",
+              "transient_sustain", "parallel_mix"):
+        if fields.get(k) not in (None, ""):
+            try:
+                pro[k] = float(fields[k])
+            except ValueError:
+                pass
+    if fields.get("denoise_preset"):
+        pro["denoise_preset"] = fields["denoise_preset"]
+    if pro.get("apply_vocal_isolation") and not settings.vocal_isolation_enabled:
+        raise _err(503, "Vocal isolation is disabled on this server")
+
+    job_id = str(uuid.uuid4())
+    jobs.new_job(job_id, target_lufs=target_lufs, style=style, data=data,
+                 filename=filename, out_format=out_format)
+    kwargs = dict(
+        target_lufs=target_lufs, out_format=out_format, style=style,
+        chain_config=chain_config,
+        dither_type=fields.get("dither_type"),
+        auto_blank_sec=(float(fields["auto_blank_sec"])
+                        if fields.get("auto_blank_sec") else None),
+        bitrate=bitrate, pro=pro, is_priority=False,
+    )
+    asyncio.create_task(_run_job_v2(request.app, job_id, kwargs))
+    return web.json_response({"job_id": job_id, "preset": preset,
+                              "target_lufs": target_lufs, "style": style,
+                              "version": "v2"})
+
+
+async def h_batch_v2(request):
+    if not settings_store.get_setting_bool("feature_batch_enabled", True):
+        raise _err(503, "Batch mastering is disabled")
+    jobs.prune_jobs()
+    reader = await request.multipart()
+    files = []
+    fields: dict = {}
+    async for part in reader:
+        if part.name == "files":
+            files.append((part.filename or "audio.wav",
+                          await part.read(decode=False)))
+        else:
+            fields[part.name] = (await part.read(decode=False)).decode()
+    if not files:
+        raise _err(400, "No files uploaded")
+    if len(files) > settings.batch_max_files:
+        raise _err(400, f"At most {settings.batch_max_files} files per batch")
+    target_lufs, _ = _resolve_target_lufs(fields)
+    style = (fields.get("style") or "standard").strip().lower()
+    out_format = (fields.get("out_format") or "wav").strip().lower()
+    job_ids = []
+    for filename, data in files:
+        _validate_upload(data, filename,
+                         settings_store.get_max_upload_mb(filename))
+        job_id = str(uuid.uuid4())
+        jobs.new_job(job_id, target_lufs=target_lufs, style=style, data=data,
+                     filename=filename, out_format=out_format)
+        kwargs = dict(target_lufs=target_lufs, out_format=out_format,
+                      style=style, chain_config=None, dither_type=None,
+                      auto_blank_sec=None, bitrate=None, pro={},
+                      is_priority=False)
+        asyncio.create_task(_run_job_v2(request.app, job_id, kwargs))
+        job_ids.append(job_id)
+    return web.json_response({"job_ids": job_ids, "count": len(job_ids)})
+
+
+def _job_payload(job):
+    return {
+        "status": job["status"],
+        "progress": int(job.get("progress", 0)),
+        "message": job.get("message") or "",
+        "error": job.get("error"),
+        "before_lufs": _json_safe(job.get("before_lufs")),
+        "after_lufs": _json_safe(job.get("after_lufs")),
+        "target_lufs": _json_safe(job.get("target_lufs")),
+        "style": job.get("style", "standard"),
+    }
+
+
+async def h_status(request):
+    jobs.prune_jobs()
+    job = jobs.get_job(request.match_info["job_id"])
+    if job is None:
+        raise _err(404, "Job not found")
+    return web.json_response(_job_payload(job))
+
+
+async def h_progress_sse(request):
+    job_id = request.match_info["job_id"]
+    resp = web.StreamResponse(headers={
+        "Content-Type": "text/event-stream",
+        "Cache-Control": "no-cache",
+        "X-Accel-Buffering": "no",
+        "Connection": "keep-alive",
+    })
+    await resp.prepare(request)
+
+    async def send(payload):
+        await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+
+    poll, max_wait, elapsed, last = 0.4, 600.0, 0.0, -1
+    while elapsed < max_wait:
+        job = jobs.get_job(job_id)
+        if job is None:
+            await send({"status": "error", "progress": 0,
+                        "message": "Job not found"})
+            break
+        progress = int(job.get("progress", 0))
+        status = job.get("status", "running")
+        if progress != last or status in ("done", "error"):
+            await send(_job_payload(job))
+            last = progress
+            if status in ("done", "error"):
+                break
+        await asyncio.sleep(poll)
+        elapsed += poll
+    else:
+        await send({"status": "error", "progress": 0, "message": "Timeout"})
+    await resp.write_eof()
+    return resp
+
+
+async def h_result(request):
+    job_id = request.match_info["job_id"]
+    job = jobs.get_job(job_id)
+    if job is None:
+        raise _err(404, "Job not found")
+    if job["status"] != "done" or not job.get("result_bytes"):
+        raise _err(400, "Result not ready or job errored")
+    out = job["result_bytes"]
+    filename = job.get("filename") or "mastered.wav"
+    jobs.all_jobs().pop(job_id, None)
+    return web.Response(
+        body=out, content_type="application/octet-stream",
+        headers={"Content-Disposition": f'attachment; filename="{filename}"'},
+    )
+
+
+async def h_preview(request):
+    job = jobs.get_job(request.match_info["job_id"])
+    if job is None:
+        raise _err(404, "Job not found")
+    src = request.query.get("src", "mastered")
+    if src == "original":
+        blob = job.get("original_bytes")
+        ext = _ext(job.get("original_filename") or "audio.wav")
+    else:
+        if job.get("status") != "done" or not job.get("result_bytes"):
+            raise _err(400, "Mastered version not ready yet")
+        blob = job.get("result_bytes")
+        ext = job.get("out_format", "wav")
+    if not blob:
+        raise _err(404, "Audio unavailable")
+    mime = {"wav": "audio/wav", "mp3": "audio/mpeg", "flac": "audio/flac",
+            "opus": "audio/ogg", "aac": "audio/mp4",
+            "m4a": "audio/mp4"}.get(ext, "audio/wav")
+    return web.Response(body=blob, content_type=mime, headers={
+        "Accept-Ranges": "bytes", "Cache-Control": "no-cache"})
+
+
+async def h_analyze(request):
+    fields, data, filename = await _read_upload(request)
+    _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))
+    try:
+        audio, sr = load_audio_from_bytes(data, filename)
+    except Exception as e:  # noqa: BLE001
+        raise _err(400, f"Could not read audio: {e}")
+    extended = (fields.get("extended") or "").strip().lower() in (
+        "1", "true", "yes", "on")
+    out = await asyncio.to_thread(analyze, audio, sr, extended)
+    return web.json_response(out)
+
+
+async def h_lufs_tool(request):
+    fields, data, filename = await _read_upload(request)
+    if not allowed_file(filename or ""):
+        raise _err(400, "Format: WAV, MP3 or FLAC.")
+    if len(data) > 50 * 1024 * 1024:
+        raise _err(400, "File larger than 50 MB.")
+    if not check_audio_magic_bytes(data, filename):
+        raise _err(400, "File content does not look like a supported format.")
+    try:
+        audio, sr = load_audio_from_bytes(data, filename)
+    except Exception as e:  # noqa: BLE001
+        raise _err(400, f"Could not read audio: {e}")
+    out = await asyncio.to_thread(lufs_analyze_tool, audio, sr, _ext(filename))
+    return web.json_response(out)
+
+
+async def h_measure(request):
+    fields, data, filename = await _read_upload(request)
+    _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))
+    try:
+        audio, sr = load_audio_from_bytes(data, filename)
+    except Exception as e:  # noqa: BLE001
+        raise _err(400, f"Could not read audio: {e}")
+    out = await asyncio.to_thread(analyze, audio, sr, False)
+    return web.json_response({
+        "lufs": out.get("lufs"),
+        "peak_dbfs": out.get("peak_dbfs"),
+        "duration_sec": out.get("duration_sec"),
+        "sample_rate": out.get("sample_rate"),
+        "channels": out.get("channels"),
+    })
+
+
+def create_app(engine: MasteringEngine | None = None) -> web.Application:
+    db.create_tables()
+    jobs.restore_from_db()
+    app = web.Application(client_max_size=900 * 1024 * 1024)
+    app["engine"] = engine or get_engine()
+    app.router.add_get("/api/health", h_health)
+    app.router.add_get("/api/metrics", h_metrics)
+    app.router.add_get("/api/version", h_version)
+    app.router.add_get("/api/presets", h_presets)
+    app.router.add_get("/api/styles", h_styles)
+    app.router.add_get("/api/v2/chain/default", h_chain_default)
+    app.router.add_post("/api/master", h_master_v1)
+    app.router.add_post("/api/v2/master", h_master_v2)
+    app.router.add_post("/api/v2/batch", h_batch_v2)
+    app.router.add_get("/api/master/status/{job_id}", h_status)
+    app.router.add_get("/api/master/progress/{job_id}", h_progress_sse)
+    app.router.add_get("/api/master/result/{job_id}", h_result)
+    app.router.add_get("/api/master/preview/{job_id}", h_preview)
+    app.router.add_post("/api/v2/analyze", h_analyze)
+    app.router.add_post("/api/tools/lufs-analyze", h_lufs_tool)
+    app.router.add_post("/api/measure", h_measure)
+    return app
+
+
+def main(host: str = "0.0.0.0", port: int = 8000):
+    web.run_app(create_app(), host=host, port=port)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,7 +69,7 @@ def main():
         return float(v)
 
     # Relay round-trip baseline.
-    ready = jax.device_put(np.float32(1.0))
+    ready = jax.device_put(np.ones(8, np.float32))
     for _ in range(2):
         fence(jnp.sum(ready))
     t0 = time.perf_counter()

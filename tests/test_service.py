@@ -1,0 +1,217 @@
+"""In-process API tests against the aiohttp app (the reference's
+ASGITransport-style 'fake backend': full stack, no network, real SQLite)."""
+
+import asyncio
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from amw_tpu.runtime import db
+from amw_tpu.utils import wav
+
+SR = 8000
+
+
+def _wav_bytes(dur=2.0, freq=440.0, amp=0.4, sr=SR):
+    t = np.arange(int(sr * dur)) / sr
+    x = (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    stereo = np.stack([x, 0.8 * x])
+    q = (np.clip(stereo, -1, 1) * 32767).astype(np.int16)
+    return wav.write_wav_int16(q, sr)
+
+
+@pytest.fixture(scope="module")
+def app_factory():
+    tmp = tempfile.NamedTemporaryFile(suffix=".sqlite3", delete=False)
+    db.set_db_path(tmp.name)
+    from amw_tpu.runtime.engine import MasteringEngine
+    from amw_tpu.runtime.service import create_app
+
+    engine = MasteringEngine(bucket=True)
+
+    def make():
+        return create_app(engine)
+
+    yield make
+    os.unlink(tmp.name)
+
+
+def run_async(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+def _client_test(app_factory, fn):
+    async def inner():
+        app = app_factory()
+        async with TestClient(TestServer(app)) as client:
+            await fn(client)
+
+    run_async(inner())
+
+
+def test_health_metrics_version(app_factory):
+    async def fn(client):
+        r = await client.get("/api/health")
+        assert r.status == 200
+        body = await r.json()
+        assert body["status"] in ("ok", "degraded")
+        assert body["db"] == "ok"
+        r = await client.get("/api/metrics")
+        assert (await r.json())["jobs_total"] >= 0
+        r = await client.get("/api/version")
+        assert "version" in await r.json()
+
+    _client_test(app_factory, fn)
+
+
+def test_presets_styles_chain_default(app_factory):
+    async def fn(client):
+        r = await client.get("/api/presets")
+        assert (await r.json())["presets"]["spotify"] == -14.0
+        r = await client.get("/api/styles")
+        assert "edm" in (await r.json())["styles"]
+        r = await client.get("/api/v2/chain/default?style=edm&target_lufs=-9")
+        cfg = await r.json()
+        ids = [m["id"] for m in cfg["modules"]]
+        assert ids[0] == "dc_offset" and "dynamics" in ids
+        assert cfg["modules"][3]["crossovers_hz"] == [214.0, 2230.0, 10000.0]
+
+    _client_test(app_factory, fn)
+
+
+def test_analyze_endpoint(app_factory):
+    async def fn(client):
+        data = {"file": _wav_bytes(), "extended": "true"}
+        form = _form(data)
+        r = await client.post("/api/v2/analyze", data=form)
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert body["version"] == "v2"
+        assert body["channels"] == 2
+        assert "streaming_preview" in body
+        assert len(body["spectrum_bars"]) == 64
+
+    _client_test(app_factory, fn)
+
+
+def _form(fields):
+    import aiohttp
+
+    form = aiohttp.FormData()
+    for k, v in fields.items():
+        if k == "file":
+            form.add_field("file", v, filename="test.wav",
+                           content_type="audio/wav")
+        elif k == "files":
+            for blob in v:
+                form.add_field("files", blob, filename="test.wav",
+                               content_type="audio/wav")
+        else:
+            form.add_field(k, str(v))
+    return form
+
+
+def test_master_v2_full_job_cycle(app_factory):
+    async def fn(client):
+        form = _form({"file": _wav_bytes(), "preset": "spotify",
+                      "style": "standard", "out_format": "wav"})
+        r = await client.post("/api/v2/master", data=form)
+        assert r.status == 200, await r.text()
+        job_id = (await r.json())["job_id"]
+        for _ in range(240):
+            r = await client.get(f"/api/master/status/{job_id}")
+            st = await r.json()
+            if st["status"] in ("done", "error"):
+                break
+            await asyncio.sleep(0.5)
+        assert st["status"] == "done", st
+        assert st["after_lufs"] is not None
+        r = await client.get(f"/api/master/result/{job_id}")
+        assert r.status == 200
+        blob = await r.read()
+        assert blob[:4] == b"RIFF"
+        back, sr = wav.read_wav(blob)
+        assert sr == SR and np.all(np.isfinite(back))
+        # job deleted after download
+        r = await client.get(f"/api/master/status/{job_id}")
+        assert r.status == 404
+
+    _client_test(app_factory, fn)
+
+
+def test_master_v1_and_sse(app_factory):
+    # 22.05 kHz: at 8 kHz the reference's final_spectral_balance crashes
+    # (8 kHz band above Nyquist) and errors the v1 job — mirrored behavior —
+    # so the happy path needs a rate where the chain is valid.
+    async def fn(client):
+        form = _form({"file": _wav_bytes(sr=22050), "target_lufs": "-16",
+                      "out_format": "wav"})
+        r = await client.post("/api/master", data=form)
+        assert r.status == 200, await r.text()
+        job_id = (await r.json())["job_id"]
+        r = await client.get(f"/api/master/progress/{job_id}")
+        assert r.status == 200
+        events = []
+        async for line in r.content:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[6:]))
+                if events[-1]["status"] in ("done", "error"):
+                    break
+        assert events[-1]["status"] == "done", events[-1]
+        r = await client.get(f"/api/master/preview/{job_id}?src=mastered")
+        assert r.status == 200
+
+    _client_test(app_factory, fn)
+
+
+def test_batch_endpoint(app_factory):
+    async def fn(client):
+        form = _form({"files": [_wav_bytes(), _wav_bytes(freq=330)],
+                      "preset": "apple"})
+        r = await client.post("/api/v2/batch", data=form)
+        assert r.status == 200, await r.text()
+        ids = (await r.json())["job_ids"]
+        assert len(ids) == 2
+        done = 0
+        for _ in range(240):
+            done = 0
+            for jid in ids:
+                st = await (await client.get(f"/api/master/status/{jid}")).json()
+                if st["status"] == "done":
+                    done += 1
+                elif st["status"] == "error":
+                    raise AssertionError(st)
+            if done == len(ids):
+                break
+            await asyncio.sleep(0.5)
+        assert done == len(ids)
+
+    _client_test(app_factory, fn)
+
+
+def test_rejects_bad_upload(app_factory):
+    async def fn(client):
+        form = _form({"file": b"not audio at all, definitely"})
+        r = await client.post("/api/v2/master", data=form)
+        assert r.status == 400
+        r = await client.get("/api/master/status/nonexistent")
+        assert r.status == 404
+
+    _client_test(app_factory, fn)
+
+
+def test_lufs_tool_endpoint(app_factory):
+    async def fn(client):
+        form = _form({"file": _wav_bytes()})
+        r = await client.post("/api/tools/lufs-analyze", data=form)
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert isinstance(body["spotify_ready"], bool)
+        assert body["integrated_lufs"] < 0
+
+    _client_test(app_factory, fn)

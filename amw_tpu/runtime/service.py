@@ -19,6 +19,7 @@ from aiohttp import web
 
 from .. import __version__
 from ..constants import PRESET_LUFS, STYLE_CONFIGS
+from ..utils.trace import TraceContext, trace_job_done, trace_job_error, trace_job_start
 from ..models.analyze import analyze, lufs_analyze_tool
 from ..models.chain import default_chain_config
 from ..utils.audio_io import ffmpeg_available, load_audio_from_bytes
@@ -120,6 +121,10 @@ async def _run_job_v1(app, job_id: str, kwargs: dict):
         if job is None:
             return
         engine: MasteringEngine = app["engine"]
+        ctx = TraceContext.build(job_id, job.get("original_filename") or "",
+                                 "v1", style=job.get("style", "standard"),
+                                 target_lufs=job.get("target_lufs"))
+        trace_job_start(ctx)
 
         def progress(pct, msg):
             jobs.update_job(job_id, progress=pct, message=msg)
@@ -142,9 +147,12 @@ async def _run_job_v1(app, job_id: str, kwargs: dict):
                                 job["original_filename"], job.get("style"),
                                 job.get("target_lufs"), res["before_lufs"],
                                 res["after_lufs"], job["out_format"])
+            trace_job_done(ctx, before_lufs=res["before_lufs"],
+                           after_lufs=res["after_lufs"])
         except Exception as e:  # noqa: BLE001
             jobs.update_job(job_id, status="error", progress=0, message="",
                             error=str(e), done_at=time.time())
+            trace_job_error(ctx, e)
 
 
 async def _run_job_v2(app, job_id: str, kwargs: dict):
@@ -154,6 +162,11 @@ async def _run_job_v2(app, job_id: str, kwargs: dict):
         if job is None:
             return
         engine: MasteringEngine = app["engine"]
+        ctx = TraceContext.build(job_id, job.get("original_filename") or "",
+                                 "v2", style=job.get("style", "standard"),
+                                 target_lufs=job.get("target_lufs"),
+                                 pro_params=kwargs.get("pro"))
+        trace_job_start(ctx)
 
         def progress(pct, msg):
             jobs.update_job(job_id, progress=pct, message=msg)
@@ -178,9 +191,12 @@ async def _run_job_v2(app, job_id: str, kwargs: dict):
                                 job["original_filename"], job.get("style"),
                                 job.get("target_lufs"), res["before_lufs"],
                                 res["after_lufs"], fmt)
+            trace_job_done(ctx, before_lufs=res["before_lufs"],
+                           after_lufs=res["after_lufs"])
         except Exception as e:  # noqa: BLE001
             jobs.update_job(job_id, status="error", progress=0, message="",
                             error=str(e), done_at=time.time())
+            trace_job_error(ctx, e)
 
 
 # ───────────────────────────── handlers ──────────────────────────────────

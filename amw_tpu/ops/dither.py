@@ -28,7 +28,9 @@ def _ns_response(kind: str, nfft: int) -> np.ndarray:
         b, a = (1.0, -2.0, 1.0), (1.0, -1.96, 0.9604)
     else:
         raise ValueError(kind)
-    return design.freqz(np.asarray(b), np.asarray(a), nfft).astype(np.complex64)
+    from .zphase import pack_complex
+
+    return pack_complex(design.freqz(np.asarray(b), np.asarray(a), nfft))
 
 
 def dither_noise(key: jax.Array, shape, dither_type: str = "tpdf") -> jax.Array:
@@ -40,7 +42,8 @@ def dither_noise(key: jax.Array, shape, dither_type: str = "tpdf") -> jax.Array:
     white = 2.0 * jax.random.uniform(key, shape) - 1.0
     settle = 2000 if dither_type == "ns_e" else 4000
     nfft = design.next_fft_size(n + settle)
-    H = jnp.asarray(_ns_response(dither_type, nfft))
+    Hp = jnp.asarray(_ns_response(dither_type, nfft))
+    H = jax.lax.complex(Hp[0], Hp[1])
     y = jnp.fft.irfft(jnp.fft.rfft(white, n=nfft, axis=-1) * H, n=nfft, axis=-1)[..., :n]
     return y * 0.9
 

@@ -39,9 +39,13 @@ _ABS_GATE_LUFS = -70.0
 
 @functools.lru_cache(maxsize=None)
 def k_weight_response(sr: float, nfft: int) -> np.ndarray:
-    """Causal K-weighting cascade response on the rFFT grid (complex64)."""
+    """Causal K-weighting cascade response on the rFFT grid, packed as
+    float32 [2, nbins] real/imag (complex device transfers are unsupported
+    on the TPU relay — see ops.zphase.pack_complex)."""
+    from .zphase import pack_complex
+
     H = design.cascade_response(design.k_weighting_ba(sr), nfft)
-    return H.astype(np.complex64)
+    return pack_complex(H)
 
 
 @functools.lru_cache(maxsize=None)
@@ -139,8 +143,10 @@ def gated_loudness(z: jax.Array, rel_gate_lu: float = 10.0) -> jax.Array:
 
 
 def integrated_lufs(x: jax.Array, Hk: jax.Array, nfft: int, plan: BlockPlan) -> jax.Array:
-    """Integrated loudness of ``x`` [C, N].  ``Hk``: K-weighting response."""
-    y = lfilter_fd(x, Hk, nfft)
+    """Integrated loudness of ``x`` [C, N].  ``Hk``: packed K-weighting
+    response (float32 [2, nbins])."""
+    H = jax.lax.complex(Hk[0], Hk[1])
+    y = lfilter_fd(x, H, nfft)
     return gated_loudness(block_energies(y, plan))
 
 
@@ -200,7 +206,7 @@ def timeline_lufs(
     absolute gate).  Returns [n_points] LUFS values (-1e9 where gated)."""
     n = x.shape[-1]
     starts = segment_starts(n, sr, block_sec, max_points)
-    y = lfilter_fd(x, Hk, nfft)
+    y = lfilter_fd(x, jax.lax.complex(Hk[0], Hk[1]), nfft)
     block_samples = int(sr * block_sec)
     if starts.size == 0:
         # Track shorter than one block: single integrated measurement region.

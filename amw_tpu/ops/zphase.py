@@ -22,6 +22,23 @@ def scipy_padlen(ba_pairs) -> int:
     return max(3 * max(len(np.atleast_1d(b)), len(np.atleast_1d(a))) for b, a in ba_pairs)
 
 
+def pack_complex(H: np.ndarray) -> np.ndarray:
+    """complex response -> float32 [2, n] (real, imag).
+
+    Device params must be real: complex64 host<->device transfers are
+    unimplemented on the axon TPU relay (empirically: any complex device_put
+    wedges the session), so responses travel as stacked real/imag planes and
+    are recombined in-graph.
+    """
+    return np.stack([H.real, H.imag]).astype(np.float32)
+
+
+def unpack_complex(p):
+    import jax
+
+    return jax.lax.complex(p[0], p[1])
+
+
 @dataclass
 class ZP:
     """One zero-phase pass.  ``resp``: complex64 H (exact) or float32 |H|²
@@ -31,16 +48,17 @@ class ZP:
     padlen: int
     settle: int
     exact: bool
-    resp: np.ndarray = field(repr=False)
+    resp: np.ndarray = field(repr=False)  # exact: f32 [2, n] packed complex
 
     def __call__(self, x, resp_dev):
+        H = unpack_complex(resp_dev) if self.exact else resp_dev
         if self.padlen >= x.shape[-1]:
             # scipy filtfilt raises for padlen >= n; the reference's
             # _safe_filtfilt then falls back to causal lfilter (exact mode).
             # Fast mode has no causal response — bypass (sub-10-sample inputs).
-            return lfilter_fd(x, resp_dev, self.nfft) if self.exact else x
+            return lfilter_fd(x, H, self.nfft) if self.exact else x
         return filtfilt_fd(
-            x, resp_dev, self.nfft,
+            x, H, self.nfft,
             padlen=self.padlen, settle=self.settle, exact=self.exact,
         )
 
@@ -57,7 +75,7 @@ def make_zp(spec: GraphSpec, ba_pairs, nfft: int | None = None) -> ZP:
     if nfft is None:
         nfft = design.next_fft_size(spec.n + 2 * padlen + 3 * settle + 16)
     if spec.exact:
-        resp = design.cascade_response(ba_pairs, nfft).astype(np.complex64)
+        resp = pack_complex(design.cascade_response(ba_pairs, nfft))
     else:
         resp = design.zero_phase_power(ba_pairs, nfft).astype(np.float32)
     return ZP(nfft=nfft, padlen=padlen, settle=settle, exact=spec.exact, resp=resp)

@@ -24,6 +24,16 @@ class WavError(ValueError):
     pass
 
 
+def _native():
+    """The C++ codec module when built, else None (numpy fallback)."""
+    try:
+        from .. import native
+
+        return native if native.available() else None
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def read_wav(data: bytes):
     """Parse a RIFF/WAVE blob -> (audio[C, N] float32, sr)."""
     buf = memoryview(data)
@@ -50,6 +60,14 @@ def read_wav(data: bytes):
     tag, channels, sr, _brate, _align, bits = fmt[:6]
     if channels < 1 or channels > 8:
         raise WavError(f"unsupported channel count {channels}")
+
+    native = _native()
+    if native is not None and tag == WAVE_FORMAT_PCM and bits == 16:
+        return native.pcm16_decode(raw, channels), int(sr)
+    if native is not None and tag == WAVE_FORMAT_PCM and bits == 24:
+        return native.pcm24_decode(raw, channels), int(sr)
+    if native is not None and tag == WAVE_FORMAT_IEEE_FLOAT and bits == 32:
+        return native.f32_decode(raw, channels), int(sr)
 
     if tag == WAVE_FORMAT_IEEE_FLOAT and bits == 32:
         x = np.frombuffer(raw, "<f4").astype(np.float32)

@@ -17,8 +17,10 @@ from . import db
 from .config import settings
 from . import settings_store
 
-sem_priority = asyncio.Semaphore(max(1, settings.semaphore_priority))
-sem_normal = asyncio.Semaphore(max(1, settings.semaphore_normal))
+# Semaphores are created per event loop: a Semaphore whose holder task dies
+# with its loop would otherwise stay acquired forever (and asyncio primitives
+# must not be shared across loops).
+_sems: dict[tuple[int, str], asyncio.Semaphore] = {}
 
 _jobs: dict[str, dict] = {}
 
@@ -101,7 +103,17 @@ def restore_from_db() -> int:
 
 
 def select_semaphore(is_priority: bool) -> asyncio.Semaphore:
-    return sem_priority if is_priority else sem_normal
+    loop = asyncio.get_running_loop()
+    kind = "priority" if is_priority else "normal"
+    key = (id(loop), kind)
+    sem = _sems.get(key)
+    if sem is None:
+        slots = settings.semaphore_priority if is_priority else settings.semaphore_normal
+        sem = asyncio.Semaphore(max(1, slots))
+        if len(_sems) > 64:
+            _sems.clear()
+        _sems[key] = sem
+    return sem
 
 
 def counts() -> dict:

@@ -23,11 +23,26 @@ from ..utils.trace import TraceContext, trace_job_done, trace_job_error, trace_j
 from ..models.analyze import analyze, lufs_analyze_tool
 from ..models.chain import default_chain_config
 from ..utils.audio_io import ffmpeg_available, load_audio_from_bytes
-from . import db, jobs, settings_store
+from . import auth_routes, db, deps, jobs, settings_store, users
 from .config import settings
 from .engine import MasteringEngine, ValidationError, get_engine
 
 START_TIME = time.time()
+
+
+def _spawn_job(app, coro):
+    """Run a job coroutine as a tracked task (cancelled on app cleanup)."""
+    task = asyncio.create_task(coro)
+    app["job_tasks"].add(task)
+    task.add_done_callback(app["job_tasks"].discard)
+    return task
+
+
+async def _cancel_jobs_on_cleanup(app):
+    for task in list(app["job_tasks"]):
+        task.cancel()
+    if app["job_tasks"]:
+        await asyncio.gather(*app["job_tasks"], return_exceptions=True)
 
 ALLOWED_EXTS = ("wav", "mp3", "flac")
 
@@ -259,6 +274,23 @@ async def h_chain_default(request):
     return web.json_response(default_chain_config(target, style))
 
 
+def _admit(request, filename: str, data: bytes):
+    """Shared admission: user, tier upload limit, free-anon weekly limit.
+    Returns (user, is_priority)."""
+    user = deps.get_current_user_optional(request)
+    tier = (user.get("tier") if user else "free") or "free"
+    _validate_upload(data, filename,
+                     settings_store.get_max_upload_mb(filename, tier))
+    if user is None and not settings.debug \
+            and not settings.mastering_debug_skip_limits:
+        ip = deps.client_ip(request)
+        lim = deps.check_free_weekly_limit(ip)
+        if not lim["allowed"]:
+            raise _err(429, "Free weekly limit reached. Sign in or upgrade.")
+        deps.record_free_usage(ip)
+    return user, deps.is_priority_user(user)
+
+
 async def h_master_v1(request):
     jobs.prune_jobs()
     fields, data, filename = await _read_upload(request)
@@ -267,7 +299,7 @@ async def h_master_v1(request):
     if style not in STYLE_CONFIGS:
         style = "standard"
     out_format = (fields.get("out_format") or "wav").strip().lower()
-    _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))
+    user, is_priority = _admit(request, filename, data)
     try:
         load_audio_from_bytes(data[: 4 << 20] if _ext(filename) == "wav" else data,
                               filename)
@@ -278,16 +310,17 @@ async def h_master_v1(request):
 
     job_id = str(uuid.uuid4())
     jobs.new_job(job_id, target_lufs=target_lufs, style=style, data=data,
-                 filename=filename, out_format=out_format)
+                 filename=filename, out_format=out_format,
+                 notify_user_id=int(user["sub"]) if user else None)
     kwargs = dict(
         target_lufs=target_lufs, out_format=out_format, style=style,
         denoise_strength=float(fields.get("denoise_strength", 0) or 0),
         transient_attack=float(fields.get("transient_attack", 1.0) or 1.0),
         transient_sustain=float(fields.get("transient_sustain", 1.0) or 1.0),
         dither_type=(fields.get("dither_type") or "tpdf"),
-        is_priority=False,
+        is_priority=is_priority,
     )
-    asyncio.create_task(_run_job_v1(request.app, job_id, kwargs))
+    _spawn_job(request.app, _run_job_v1(request.app, job_id, kwargs))
     return web.json_response({"job_id": job_id, "preset": preset,
                               "target_lufs": target_lufs, "style": style})
 
@@ -314,7 +347,7 @@ async def h_master_v2(request):
             chain_config = json.loads(fields["config"])
         except json.JSONDecodeError:
             raise _err(400, "Invalid chain config JSON")
-    _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))
+    user, is_priority = _admit(request, filename, data)
 
     pro = {}
     for k in ("rumble_enabled", "deesser_enabled", "dynamic_eq_enabled",
@@ -336,16 +369,17 @@ async def h_master_v2(request):
 
     job_id = str(uuid.uuid4())
     jobs.new_job(job_id, target_lufs=target_lufs, style=style, data=data,
-                 filename=filename, out_format=out_format)
+                 filename=filename, out_format=out_format,
+                 notify_user_id=int(user["sub"]) if user else None)
     kwargs = dict(
         target_lufs=target_lufs, out_format=out_format, style=style,
         chain_config=chain_config,
         dither_type=fields.get("dither_type"),
         auto_blank_sec=(float(fields["auto_blank_sec"])
                         if fields.get("auto_blank_sec") else None),
-        bitrate=bitrate, pro=pro, is_priority=False,
+        bitrate=bitrate, pro=pro, is_priority=is_priority,
     )
-    asyncio.create_task(_run_job_v2(request.app, job_id, kwargs))
+    _spawn_job(request.app, _run_job_v2(request.app, job_id, kwargs))
     return web.json_response({"job_id": job_id, "preset": preset,
                               "target_lufs": target_lufs, "style": style,
                               "version": "v2"})
@@ -372,17 +406,21 @@ async def h_batch_v2(request):
     style = (fields.get("style") or "standard").strip().lower()
     out_format = (fields.get("out_format") or "wav").strip().lower()
     job_ids = []
+    user = deps.get_current_user_optional(request)
+    is_priority = deps.is_priority_user(user)
+    tier = (user.get("tier") if user else "free") or "free"
     for filename, data in files:
         _validate_upload(data, filename,
-                         settings_store.get_max_upload_mb(filename))
+                         settings_store.get_max_upload_mb(filename, tier))
         job_id = str(uuid.uuid4())
         jobs.new_job(job_id, target_lufs=target_lufs, style=style, data=data,
-                     filename=filename, out_format=out_format)
+                     filename=filename, out_format=out_format,
+                     notify_user_id=int(user["sub"]) if user else None)
         kwargs = dict(target_lufs=target_lufs, out_format=out_format,
                       style=style, chain_config=None, dither_type=None,
                       auto_blank_sec=None, bitrate=None, pro={},
-                      is_priority=False)
-        asyncio.create_task(_run_job_v2(request.app, job_id, kwargs))
+                      is_priority=is_priority)
+        _spawn_job(request.app, _run_job_v2(request.app, job_id, kwargs))
         job_ids.append(job_id)
     return web.json_response({"job_ids": job_ids, "count": len(job_ids)})
 
@@ -529,9 +567,13 @@ async def h_measure(request):
 
 def create_app(engine: MasteringEngine | None = None) -> web.Application:
     db.create_tables()
+    users.ensure_schema()
     jobs.restore_from_db()
     app = web.Application(client_max_size=900 * 1024 * 1024)
     app["engine"] = engine or get_engine()
+    app["job_tasks"] = set()
+    app.on_cleanup.append(_cancel_jobs_on_cleanup)
+    auth_routes.register_routes(app)
     app.router.add_get("/api/health", h_health)
     app.router.add_get("/api/metrics", h_metrics)
     app.router.add_get("/api/version", h_version)

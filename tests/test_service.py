@@ -28,15 +28,20 @@ def _wav_bytes(dur=2.0, freq=440.0, amp=0.4, sr=SR):
 def app_factory():
     tmp = tempfile.NamedTemporaryFile(suffix=".sqlite3", delete=False)
     db.set_db_path(tmp.name)
+    from amw_tpu.runtime import deps
+    from amw_tpu.runtime.config import settings
     from amw_tpu.runtime.engine import MasteringEngine
     from amw_tpu.runtime.service import create_app
 
+    settings.mastering_debug_skip_limits = True  # anon weekly limit off
     engine = MasteringEngine(bucket=True)
 
     def make():
+        deps.reset_rate_limits()
         return create_app(engine)
 
     yield make
+    settings.mastering_debug_skip_limits = False
     os.unlink(tmp.name)
 
 

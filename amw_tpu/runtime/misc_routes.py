@@ -1,0 +1,233 @@
+"""Misc/referral/blog routes (reference: routers/misc.py, referral.py,
+blog.py)."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+from aiohttp import web
+
+from ..constants import DENOISE_PRESETS, PRESET_LUFS, REVERB_PRESETS
+from . import db, deps, settings_store, users
+from .config import settings
+
+
+def _err(status, detail):
+    cls = {400: web.HTTPBadRequest, 401: web.HTTPUnauthorized,
+           404: web.HTTPNotFound}.get(status, web.HTTPBadRequest)
+    return cls(text=json.dumps({"detail": detail}),
+               content_type="application/json")
+
+
+async def h_news_public(request):
+    with db.connect() as c:
+        rows = c.execute(
+            "SELECT id, title, body, created_at FROM news_posts"
+            " WHERE published=1 ORDER BY id DESC LIMIT 20").fetchall()
+    return web.json_response({"items": [dict(r) for r in rows]})
+
+
+async def h_debug_mode(request):
+    return web.json_response({"debug": bool(settings.debug)})
+
+
+async def h_limits(request):
+    """Current tier and mastering limits (misc.py:69-126)."""
+    user = deps.get_current_user_optional(request)
+    if settings.debug:
+        return web.json_response({
+            "tier": "pro", "used": 0, "limit": -1, "remaining": 999,
+            "tokens_balance": 999, "daily_used": 0, "daily_limit": 30,
+            "reset_at": None, "debug": True, "priority_queue": True,
+        })
+    if user:
+        tier = (user.get("tier") or "free").lower()
+        u = users.get_user_by_id(int(user["sub"]))
+        tokens = int(u.get("tokens") or 0) if u else 0
+        daily_limit = {"free": 3, "pro": 30, "studio": -1}.get(tier, 3)
+        return web.json_response({
+            "tier": tier, "used": 0, "limit": -1 if tier != "free" else 1,
+            "remaining": tokens if tier != "free" else 1,
+            "tokens_balance": tokens,
+            "daily_used": 0, "daily_limit": daily_limit, "reset_at": None,
+            "priority_queue": tier in ("pro", "studio"),
+        })
+    ip = deps.client_ip(request)
+    lim = deps.check_free_weekly_limit(ip)
+    return web.json_response({
+        "tier": "free", "used": lim["used"], "limit": lim["limit"],
+        "remaining": max(0, lim["limit"] - lim["used"]),
+        "tokens_balance": 0, "daily_used": lim["used"],
+        "daily_limit": lim["limit"], "reset_at": None,
+        "priority_queue": False,
+    })
+
+
+async def h_progress_md(request):
+    p = pathlib.Path(__file__).resolve().parent.parent.parent / "PROGRESS.md"
+    text = p.read_text() if p.is_file() else "# Progress\n(no file)"
+    return web.Response(text=text, content_type="text/markdown")
+
+
+async def h_presets_info(request):
+    """Preset catalog: platform LUFS + denoise + reverb presets."""
+    return web.json_response({
+        "presets": PRESET_LUFS,
+        "denoise_presets": {k: {"strength": v[0], "noise_percentile": v[1]}
+                            for k, v in DENOISE_PRESETS.items()},
+        "reverb_presets": sorted(REVERB_PRESETS),
+    })
+
+
+async def h_presets_community(request):
+    items = users.list_community_presets()
+    for it in items:
+        try:
+            it["config"] = json.loads(it.pop("config_json"))
+        except Exception:  # noqa: BLE001
+            it["config"] = None
+    return web.json_response({"items": items})
+
+
+async def h_extensions(request):
+    """Optional-extension availability (misc.py:209-230)."""
+    from ..utils.audio_io import ffmpeg_available
+    from .. import native
+
+    return web.json_response({
+        "ffmpeg": ffmpeg_available(),
+        "native_pcm": native.available(),
+        "vocal_isolation": settings.vocal_isolation_enabled,
+        "ai_llm": settings_store.get_setting_str("ai_api_key", None) is not None,
+        "backend": "jax-tpu",
+    })
+
+
+# --- referral (reference: routers/referral.py) ----------------------------
+
+
+async def h_referral_link(request):
+    user = deps.get_current_user_optional(request)
+    if not user:
+        raise _err(401, "Not authorized")
+    u = users.get_user_by_id(int(user["sub"]))
+    if not u:
+        raise _err(404, "User not found")
+    code = u.get("referral_code") or ""
+    base = str(request.url.origin())
+    return web.json_response({
+        "code": code,
+        "link": f"{base}/register?ref={code}",
+        "reward_inviter_tokens": settings.referral_reward_inviter_tokens,
+        "reward_invitee_tokens": settings.referral_reward_invitee_tokens,
+    })
+
+
+async def h_referral_stats(request):
+    user = deps.get_current_user_optional(request)
+    if not user:
+        raise _err(401, "Not authorized")
+    uid = int(user["sub"])
+    with db.connect() as c:
+        total = c.execute("SELECT COUNT(*) n FROM referrals WHERE"
+                          " inviter_id=?", (uid,)).fetchone()["n"]
+        rewarded = c.execute("SELECT COUNT(*) n FROM referrals WHERE"
+                             " inviter_id=? AND rewarded=1",
+                             (uid,)).fetchone()["n"]
+    return web.json_response({
+        "invited_total": total, "rewarded": rewarded,
+        "tokens_earned": rewarded * settings.referral_reward_inviter_tokens,
+    })
+
+
+def reward_inviter_on_first_mastering(user_id: int) -> None:
+    """Referral hook: reward the inviter when the invitee completes the first
+    mastering (database.py:514-554 semantics)."""
+    with db.connect() as c:
+        row = c.execute(
+            "SELECT * FROM referrals WHERE invitee_id=? AND rewarded=0",
+            (user_id,)).fetchone()
+        if row is None:
+            return
+        c.execute("UPDATE referrals SET rewarded=1 WHERE id=?", (row["id"],))
+    users.add_tokens(int(row["inviter_id"]),
+                     settings.referral_reward_inviter_tokens)
+
+
+# --- blog (reference: routers/blog.py — markdown + YAML frontmatter) -------
+
+BLOG_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "content" / "blog"
+
+
+def _load_posts() -> list[dict]:
+    import yaml
+
+    posts = []
+    if not BLOG_DIR.is_dir():
+        return posts
+    for p in sorted(BLOG_DIR.glob("*.md")):
+        text = p.read_text(encoding="utf-8")
+        meta = {}
+        body = text
+        if text.startswith("---"):
+            parts = text.split("---", 2)
+            if len(parts) >= 3:
+                try:
+                    meta = yaml.safe_load(parts[1]) or {}
+                except yaml.YAMLError:
+                    meta = {}
+                body = parts[2]
+        posts.append({
+            "slug": p.stem,
+            "title": meta.get("title", p.stem),
+            "date": str(meta.get("date", "")),
+            "description": meta.get("description", ""),
+            "body_md": body.strip(),
+        })
+    posts.sort(key=lambda x: x["date"], reverse=True)
+    return posts
+
+
+def _render_page(title: str, body_html: str) -> str:
+    return (f"<!doctype html><html><head><meta charset='utf-8'>"
+            f"<title>{title}</title></head><body>{body_html}</body></html>")
+
+
+async def h_blog_index(request):
+    posts = _load_posts()
+    items = "".join(
+        f'<li><a href="/blog/{p["slug"]}">{p["title"]}</a> '
+        f'<small>{p["date"]}</small></li>' for p in posts)
+    return web.Response(
+        text=_render_page("Blog", f"<h1>Blog</h1><ul>{items}</ul>"),
+        content_type="text/html")
+
+
+async def h_blog_post(request):
+    import markdown as md
+
+    slug = request.match_info["slug"]
+    for p in _load_posts():
+        if p["slug"] == slug:
+            html = md.markdown(p["body_md"])
+            return web.Response(
+                text=_render_page(p["title"], f"<h1>{p['title']}</h1>{html}"),
+                content_type="text/html")
+    raise _err(404, "Post not found")
+
+
+def register_routes(app: web.Application) -> None:
+    r = app.router
+    r.add_get("/api/news", h_news_public)
+    r.add_get("/api/debug-mode", h_debug_mode)
+    r.add_get("/api/limits", h_limits)
+    r.add_get("/api/progress", h_progress_md)
+    r.add_get("/api/presets/info", h_presets_info)
+    r.add_get("/api/presets/community", h_presets_community)
+    r.add_get("/api/extensions", h_extensions)
+    r.add_get("/api/referral/my-link", h_referral_link)
+    r.add_get("/api/referral/stats", h_referral_stats)
+    r.add_get("/blog", h_blog_index)
+    r.add_get("/blog/{slug}", h_blog_post)

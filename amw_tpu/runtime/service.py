@@ -23,7 +23,7 @@ from ..utils.trace import TraceContext, trace_job_done, trace_job_error, trace_j
 from ..models.analyze import analyze, lufs_analyze_tool
 from ..models.chain import default_chain_config
 from ..utils.audio_io import ffmpeg_available, load_audio_from_bytes
-from . import ai_routes, auth_routes, db, deps, jobs, settings_store, users
+from . import admin_routes, ai_routes, auth_routes, db, deps, jobs, misc_routes, payments, settings_store, users
 from .config import settings
 from .engine import MasteringEngine, ValidationError, get_engine
 
@@ -575,6 +575,10 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
     app.on_cleanup.append(_cancel_jobs_on_cleanup)
     auth_routes.register_routes(app)
     ai_routes.register_routes(app)
+    admin_routes.register_routes(app)
+    payments.register_routes(app)
+    misc_routes.register_routes(app)
+    admin_routes.ensure_initial_admin()
     app.router.add_get("/api/health", h_health)
     app.router.add_get("/api/metrics", h_metrics)
     app.router.add_get("/api/version", h_version)

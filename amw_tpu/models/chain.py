@@ -249,6 +249,6 @@ def build_chain_ops(spec: GraphSpec, config: dict, *,
         if amount < 1.0:
             f = _amount_blend(f, amount)
         fns.append(f)
-        params_all.append([np.asarray(a) for a in p])
+        params_all.append(list(p))
         ids.append(mid)
     return ids, params_all, fns, bypassed

@@ -74,7 +74,7 @@ def build_v1_pipeline(
     add("output_fade_in", ([], lambda x, p: basic.output_edge_fade_in(x, spec.sr, 6.0)))
 
     names = [s[0] for s in stages]
-    params = [[np.asarray(a) for a in s[1]] for s in stages]
+    params = [list(s[1]) for s in stages]
     fns = [s[2] for s in stages]
 
     def fn(x, params):

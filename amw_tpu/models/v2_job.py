@@ -49,7 +49,7 @@ def build_v2_job_graph(
     stages = []
 
     def add(name, built):
-        stages.append((name, [np.asarray(a) for a in built[0]], built[1]))
+        stages.append((name, list(built[0]), built[1]))
 
     if pro.get("rumble_enabled"):
         add("rumble_filter",

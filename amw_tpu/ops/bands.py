@@ -48,7 +48,17 @@ def normalize_crossovers(crossovers_hz):
 
 def band_split_plan(spec: GraphSpec, crossovers_hz=None):
     """Prepare the 4-band split.  Returns (params, split_fn) where
-    ``split_fn(x, params) -> [band1..band4]`` (each same shape as x)."""
+    ``split_fn(x, params) -> [band1..band4]`` (each same shape as x).
+
+    Hybrid mode shares ONE forward FFT across the four band responses (1
+    rfft + 4 irfft for the whole track) and splices exact two-pass edge
+    windows per band."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from .fdfilter import odd_ext
+
     cross = normalize_crossovers(crossovers_hz)
     nyq = spec.nyq
     f1, f2, f3 = (min(c / nyq, 0.99) for c in cross)
@@ -60,36 +70,75 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None):
         [hp(f2), lp(f3)],
         [hp(f3)],
     ]
-    if spec.exact:
-        zps = [[make_zp(spec, [ba]) for ba in chain] for chain in stages]
-        params = [z.resp for chain in zps for z in chain]
+    all_bas = [ba for chain in stages for ba in chain]
+    padlen = scipy_padlen([all_bas[0]])
+    settle = design.settle_len(*all_bas)
+
+    def build_twopass(s):
+        zps = [[make_zp(dataclasses.replace(s, hybrid=False), [ba])
+                for ba in chain] for chain in stages]
+        params = [[z.params for z in chain] for chain in zps]
 
         def split_fn(x, params):
             out = []
-            i = 0
-            for chain in zps:
+            for chain, ps in zip(zps, params):
                 y = x
-                for z in chain:
-                    y = z(y, params[i])
-                    i += 1
+                for z, p in zip(chain, ps):
+                    y = z(y, p)
                 out.append(y)
             return out
 
-    else:
-        all_bas = [ba for chain in stages for ba in chain]
-        padlen = scipy_padlen([all_bas[0]])
-        settle = design.settle_len(*all_bas)
-        nfft = design.next_fft_size(spec.n + 2 * padlen + 3 * settle + 16)
-        zps = []
-        for chain in stages:
-            R = np.ones(nfft // 2 + 1, np.float64)
-            for ba in chain:
-                R = R * design.zero_phase_power([ba], nfft)
-            zps.append(make_zp_from_power(spec, R, nfft, padlen, settle))
-        params = [z.resp for z in zps]
+        return params, split_fn
 
-        def split_fn(x, params):
-            return [z(x, p) for z, p in zip(zps, params)]
+    if spec.exact and spec.hybrid:
+        from .zphase import _edge_windows
+
+        L, w_in = _edge_windows(settle, padlen, spec.n)
+        if 2 * w_in + 16 < spec.n:
+            n = spec.n
+            nfft = design.next_fft_size(n + 2 * padlen + 3 * settle + 16)
+            R = np.stack([
+                np.prod([design.zero_phase_power([ba], nfft)
+                         for ba in chain], axis=0)
+                for chain in stages
+            ]).astype(np.float32)  # [4, nbins]
+            small_spec = dataclasses.replace(spec, n=w_in, hybrid=False)
+            p_small, f_small = build_twopass(small_spec)
+            params = [R, p_small]
+
+            def split_fn(x, params):
+                Rd, ps = params
+                core = odd_ext(x, padlen)
+                X = jnp.fft.rfft(core, n=nfft, axis=-1)
+                left = f_small(x[..., :w_in], ps)
+                right = f_small(x[..., -w_in:], ps)
+                out = []
+                for i in range(4):
+                    y = jnp.fft.irfft(X * Rd[i], n=nfft, axis=-1)
+                    y = y[..., padlen:padlen + n]
+                    out.append(jnp.concatenate(
+                        [left[i][..., :L], y[..., L:n - L],
+                         right[i][..., -L:]], axis=-1))
+                return out
+
+            return params, split_fn
+        # short signals: fall through to pure two-pass
+        return build_twopass(spec)
+
+    if spec.exact:
+        return build_twopass(spec)
+
+    nfft = design.next_fft_size(spec.n + 2 * padlen + 3 * settle + 16)
+    zps = []
+    for chain in stages:
+        R = np.ones(nfft // 2 + 1, np.float64)
+        for ba in chain:
+            R = R * design.zero_phase_power([ba], nfft)
+        zps.append(make_zp_from_power(spec, R, nfft, padlen, settle))
+    params = [z.params for z in zps]
+
+    def split_fn(x, params):
+        return [z(x, p) for z, p in zip(zps, params)]
 
     return params, split_fn
 

@@ -47,7 +47,7 @@ def build_deesser(
         k += 1
     ker = (np.ones(k) / k).astype(np.float32)
     nfft_s = design.next_fft_size(spec.n + k)
-    params = [zp.resp, ker]
+    params = [zp.params, ker]
 
     def fn(x, params):
         sidechain = zp(x, params[0])
@@ -98,7 +98,7 @@ def build_dynamic_eq(spec: GraphSpec, bands=None):
             ratio=float(band.get("ratio", 3.0)),
             max_cut=_db(float(band.get("max_cut_db", -6))),
         ))
-    params = [p["zp"].resp for p in plans]
+    params = [p["zp"].params for p in plans]
 
     def fn(x, params):
         out = x

@@ -1,8 +1,12 @@
 """EQ op builders: target curve, style EQ, final balance, rumble, HF trim.
 
-Each ``build_*`` returns ``(params, fn)`` where ``params`` is a flat list of
-host numpy arrays (filter responses / IRs — the op's "weights") and
-``fn(x, params)`` is the jittable apply on ``f32[..., N]`` audio.
+Each ``build_*`` returns ``(params, fn)`` where ``params`` is a (possibly
+nested) list of host numpy arrays (filter responses / IRs — the op's
+"weights") and ``fn(x, params)`` is the jittable apply on ``f32[..., N]``.
+
+Pure-LTI ops run through the hybrid strategy (ops.zphase): one combined
+power-response pass over the track plus exact two-pass edges — scipy-parity
+output at a fraction of the FFT cost.
 
 Reference semantics: backend/app/pipeline.py:170-273 (target curve, incl.
 linear-phase and M/S modes), :576-607 (final spectral balance), :1401-1434
@@ -18,7 +22,7 @@ from ..constants import FINAL_TRIM_DB, STYLE_CONFIGS
 from ..spec import GraphSpec
 from . import design
 from .fdfilter import fftconvolve_same_fd
-from .zphase import make_zp, make_zp_from_power, scipy_padlen
+from .zphase import hybridize_op, make_zp, make_zp_from_power, scipy_padlen
 
 
 def _db(x):
@@ -26,7 +30,7 @@ def _db(x):
 
 
 def _ms_wrap(spec: GraphSpec, fn):
-    """Wrap a per-channel op to run on Mid/Side instead of L/R (eq_ms mode,
+    """Run a per-channel op on Mid/Side instead of L/R (eq_ms mode,
     pipeline.py:248-255).  Stereo only; decode clips to ±1."""
 
     def ms_fn(x, params):
@@ -72,30 +76,39 @@ def build_target_curve(spec: GraphSpec, phase_mode: str = "minimum",
             y = fftconvolve_same_fd(x, params[0], nfft)
             return jnp.clip(y, -1.0, 1.0)
 
-    elif spec.exact:
-        zps = [make_zp(spec, [ba]) for ba in (hp, lp, pr, md)]
-        params = [z.resp for z in zps]
+        if eq_ms and spec.channels == 2:
+            fn = _ms_wrap(spec, fn)
+        return params, fn
 
-        def fn(x, params):
-            y = zps[0](x, params[0])
-            y = zps[1](y, params[1])
-            pres = zps[2](y, params[2])
-            mud = zps[3](y, params[3])
-            return y + (g_p - 1.0) * pres + (g_m - 1.0) * mud
+    def build(s: GraphSpec):
+        if s.exact:
+            zps = [make_zp(s, [ba]) for ba in (hp, lp, pr, md)]
+            params = [z.params for z in zps]
 
-    else:
-        padlen = scipy_padlen([hp])
-        settle = design.settle_len(hp, lp, pr, md)
-        nfft = design.next_fft_size(spec.n + 2 * padlen + 3 * settle + 16)
-        R = design.zero_phase_power([hp], nfft) * design.zero_phase_power([lp], nfft)
-        R = R * (1.0 + (g_p - 1.0) * design.zero_phase_power([pr], nfft)
-                 + (g_m - 1.0) * design.zero_phase_power([md], nfft))
-        zp = make_zp_from_power(spec, R, nfft, padlen, settle)
-        params = [zp.resp]
+            def fn(x, params):
+                y = zps[0](x, params[0])
+                y = zps[1](y, params[1])
+                pres = zps[2](y, params[2])
+                mud = zps[3](y, params[3])
+                return y + (g_p - 1.0) * pres + (g_m - 1.0) * mud
 
-        def fn(x, params):
-            return zp(x, params[0])
+        else:
+            padlen = scipy_padlen([hp])
+            settle = design.settle_len(hp, lp, pr, md)
+            nfft = design.next_fft_size(s.n + 2 * padlen + 3 * settle + 16)
+            R = design.zero_phase_power([hp], nfft) * design.zero_phase_power([lp], nfft)
+            R = R * (1.0 + (g_p - 1.0) * design.zero_phase_power([pr], nfft)
+                     + (g_m - 1.0) * design.zero_phase_power([md], nfft))
+            zp = make_zp_from_power(s, R, nfft, padlen, settle)
+            params = [zp.params]
 
+            def fn(x, params):
+                return zp(x, params[0])
+
+        return params, fn
+
+    settle = design.settle_len(hp, lp, pr, md)
+    params, fn = hybridize_op(spec, settle, scipy_padlen([hp]), build)
     if eq_ms and spec.channels == 2:
         fn = _ms_wrap(spec, fn)
     return params, fn
@@ -127,31 +140,35 @@ def build_style_eq(spec: GraphSpec, style: str = "standard"):
     if not bands:
         return [], lambda x, params: x
 
-    if spec.exact:
-        zps = [make_zp(spec, [ba]) for ba, _ in bands]
-        gains = [g for _, g in bands]
-        params = [z.resp for z in zps]
+    def build(s: GraphSpec):
+        if s.exact:
+            zps = [make_zp(s, [ba]) for ba, _ in bands]
+            gains = [g for _, g in bands]
+            params = [z.params for z in zps]
 
-        def fn(x, params):
-            out = x
-            for z, p, g in zip(zps, params, gains):
-                out = out + (g - 1.0) * z(out, p)
-            return out
+            def fn(x, params):
+                out = x
+                for z, p, g in zip(zps, params, gains):
+                    out = out + (g - 1.0) * z(out, p)
+                return out
 
-    else:
-        padlen = scipy_padlen([bands[0][0]])
-        settle = design.settle_len(*[ba for ba, _ in bands])
-        nfft = design.next_fft_size(spec.n + 2 * padlen + 3 * settle + 16)
-        R = np.ones(nfft // 2 + 1, np.float64)
-        for ba, g in bands:
-            R = R * (1.0 + (g - 1.0) * design.zero_phase_power([ba], nfft))
-        zp = make_zp_from_power(spec, R, nfft, padlen, settle)
-        params = [zp.resp]
+        else:
+            padlen = scipy_padlen([bands[0][0]])
+            settle = design.settle_len(*[ba for ba, _ in bands])
+            nfft = design.next_fft_size(s.n + 2 * padlen + 3 * settle + 16)
+            R = np.ones(nfft // 2 + 1, np.float64)
+            for ba, g in bands:
+                R = R * (1.0 + (g - 1.0) * design.zero_phase_power([ba], nfft))
+            zp = make_zp_from_power(s, R, nfft, padlen, settle)
+            params = [zp.params]
 
-        def fn(x, params):
-            return zp(x, params[0])
+            def fn(x, params):
+                return zp(x, params[0])
 
-    return params, fn
+        return params, fn
+
+    settle = design.settle_len(*[ba for ba, _ in bands])
+    return hybridize_op(spec, settle, scipy_padlen([bands[0][0]]), build)
 
 
 def _final_balance_bas(spec: GraphSpec):
@@ -171,38 +188,42 @@ def build_final_spectral_balance(spec: GraphSpec):
     bas, gains = _final_balance_bas(spec)
     trim = _db(FINAL_TRIM_DB)
 
-    if spec.exact:
-        zps = [make_zp(spec, [ba]) for ba in bas]
-        params = [z.resp for z in zps]
+    def build(s: GraphSpec):
+        if s.exact:
+            zps = [make_zp(s, [ba]) for ba in bas]
+            params = [z.params for z in zps]
 
-        def fn(x, params):
-            y = x
-            for z, p, g in zip(zps, params, gains):
-                y = y + (g - 1.0) * z(x, p) * 0.25
-            return y * trim
+            def fn(x, params):
+                y = x
+                for z, p, g in zip(zps, params, gains):
+                    y = y + (g - 1.0) * z(x, p) * 0.25
+                return y * trim
 
-    else:
-        padlen = scipy_padlen([bas[0]])
-        settle = design.settle_len(*bas)
-        nfft = design.next_fft_size(spec.n + 2 * padlen + 3 * settle + 16)
-        R = np.ones(nfft // 2 + 1, np.float64)
-        for ba, g in zip(bas, gains):
-            R = R + (g - 1.0) * design.zero_phase_power([ba], nfft) * 0.25
-        R = R * trim  # fast path applies R directly (no squaring)
-        zp = make_zp_from_power(spec, R, nfft, padlen, settle)
-        params = [zp.resp]
+        else:
+            padlen = scipy_padlen([bas[0]])
+            settle = design.settle_len(*bas)
+            nfft = design.next_fft_size(s.n + 2 * padlen + 3 * settle + 16)
+            R = np.ones(nfft // 2 + 1, np.float64)
+            for ba, g in zip(bas, gains):
+                R = R + (g - 1.0) * design.zero_phase_power([ba], nfft) * 0.25
+            R = R * trim  # fast path applies R directly (no squaring)
+            zp = make_zp_from_power(s, R, nfft, padlen, settle)
+            params = [zp.params]
 
-        def fn(x, params):
-            return zp(x, params[0])
+            def fn(x, params):
+                return zp(x, params[0])
 
-    return params, fn
+        return params, fn
+
+    settle = design.settle_len(*bas)
+    return hybridize_op(spec, settle, scipy_padlen([bas[0]]), build)
 
 
 def build_rumble_filter(spec: GraphSpec, cutoff_hz: float = 80.0):
     cutoff_hz = float(np.clip(cutoff_hz, 20.0, 200.0))
     ba = design.butter_ba_norm(2, min(cutoff_hz / spec.nyq, 0.99), "high")
     zp = make_zp(spec, [ba])
-    params = [zp.resp]
+    params = [zp.params]
 
     def fn(x, params):
         return zp(x, params[0])
@@ -216,7 +237,7 @@ def build_high_freq_trim(spec: GraphSpec, crossover_hz: float = 5000.0,
         return [], lambda x, params: x
     ba = design.butter_ba_norm(2, min(crossover_hz / spec.nyq, 0.98), "low")
     zp = make_zp(spec, [ba])
-    params = [zp.resp]
+    params = [zp.params]
 
     def fn(x, params):
         low = zp(x, params[0])

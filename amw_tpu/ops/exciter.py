@@ -34,7 +34,7 @@ def build_harmonic_exciter(
     sat_mode = mode if mode in ("warm", "tape", "tube", "transistor", "digital") else "warm"
     k = 2.5 if sat_mode == "warm" else 2.0
     exciter_mix = 0.25
-    params = [zp.resp]
+    params = [zp.params]
 
     def fn(x, params):
         work = resample_fft(x, work_n) if os_f > 1 else x

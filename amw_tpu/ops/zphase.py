@@ -1,16 +1,33 @@
-"""Zero-phase filter pass descriptor — the building block for EQ-style ops.
+"""Zero-phase filter passes — the building blocks for EQ-style ops.
 
-A ``ZP`` bundles the static metadata of one ``filtfilt``-equivalent pass (FFT
-size, scipy pad length, settle length, exact/fast mode) with the host-designed
-response array.  The response is a *parameter* (device input), never a traced
-constant, so graphs stay small and responses are shared across batches.
+Three execution strategies, selected by the GraphSpec:
+
+- two-pass exact (``exact=True, hybrid=False``): odd extension + steady-state
+  prefix emulation of scipy ``filtfilt`` — two full-length FFT passes per
+  filter call.  Bit-faithful but FFT-heavy.
+- fast (``exact=False``): one full-length pass multiplying by the combined
+  ``|H|²`` power response.  Identical to exact in the interior; differs from
+  scipy only within one settle length of the track edges.
+- hybrid (``exact=True, hybrid=True`` — the default): fast pass for the whole
+  track plus exact two-pass recomputation of the two edge windows, spliced.
+  The fast interior and exact interior agree to the IR-truncation level, so
+  the result is exact everywhere at roughly half (or, for multi-call ops,
+  1/2k-th) of the FFT cost.
+
+Every filter object exposes ``.params`` (a list of real float32 host arrays —
+complex responses travel as stacked real/imag planes because complex
+host↔device transfers are unimplemented on the TPU relay) and is called as
+``filt(x, params)`` with the device-resident version of that list.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from ..spec import GraphSpec
 from . import design
@@ -23,39 +40,31 @@ def scipy_padlen(ba_pairs) -> int:
 
 
 def pack_complex(H: np.ndarray) -> np.ndarray:
-    """complex response -> float32 [2, n] (real, imag).
-
-    Device params must be real: complex64 host<->device transfers are
-    unimplemented on the axon TPU relay (empirically: any complex device_put
-    wedges the session), so responses travel as stacked real/imag planes and
-    are recombined in-graph.
-    """
+    """complex response -> float32 [2, n] (real, imag) for device transfer."""
     return np.stack([H.real, H.imag]).astype(np.float32)
 
 
 def unpack_complex(p):
-    import jax
-
     return jax.lax.complex(p[0], p[1])
 
 
 @dataclass
 class ZP:
-    """One zero-phase pass.  ``resp``: complex64 H (exact) or float32 |H|²
-    (fast / combined).  Call with the device-resident response."""
+    """One zero-phase pass (two-pass exact or fast)."""
 
     nfft: int
     padlen: int
     settle: int
     exact: bool
-    resp: np.ndarray = field(repr=False)  # exact: f32 [2, n] packed complex
+    params: list = field(repr=False)  # [resp]: packed complex (exact) | f32 power
 
-    def __call__(self, x, resp_dev):
-        H = unpack_complex(resp_dev) if self.exact else resp_dev
+    def __call__(self, x, params):
+        resp = params[0]
+        H = unpack_complex(resp) if self.exact else resp
         if self.padlen >= x.shape[-1]:
             # scipy filtfilt raises for padlen >= n; the reference's
             # _safe_filtfilt then falls back to causal lfilter (exact mode).
-            # Fast mode has no causal response — bypass (sub-10-sample inputs).
+            # Fast mode has no causal response — bypass (sub-10-sample input).
             return lfilter_fd(x, H, self.nfft) if self.exact else x
         return filtfilt_fd(
             x, H, self.nfft,
@@ -63,22 +72,63 @@ class ZP:
         )
 
 
-def make_zp(spec: GraphSpec, ba_pairs, nfft: int | None = None) -> ZP:
-    """Zero-phase pass for a cascade of (b, a) pairs.
+@dataclass
+class HybridZP:
+    """Fast full pass + exact edge windows, spliced (see module docstring)."""
 
-    In exact mode a *single-pair* cascade reproduces one scipy filtfilt call;
-    multi-pair cascades are mathematically the product response (callers that
-    need call-for-call scipy parity build one ZP per pair).
+    n: int
+    L: int
+    w_in: int
+    fast: ZP
+    small: ZP
+
+    @property
+    def params(self):
+        return [self.fast.params, self.small.params]
+
+    def __call__(self, x, params):
+        pf, ps = params
+        y = self.fast(x, pf)
+        yl = self.small(x[..., : self.w_in], ps)[..., : self.L]
+        yr = self.small(x[..., -self.w_in:], ps)[..., -self.L:]
+        return jnp.concatenate(
+            [yl, y[..., self.L: self.n - self.L], yr], axis=-1)
+
+
+def _edge_windows(settle: int, padlen: int, n: int) -> tuple[int, int]:
+    L = settle + padlen + 256
+    w_in = min(n, L + settle + padlen + 256)
+    return L, w_in
+
+
+def make_zp(spec: GraphSpec, ba_pairs, nfft: int | None = None):
+    """Zero-phase pass for a cascade of (b, a) pairs, strategy per spec.
+
+    In exact modes a *single-pair* cascade reproduces one scipy filtfilt
+    call; multi-pair cascades compose the calls (two-pass applies them as a
+    product response, which is exact in the interior; per-call scipy edge
+    semantics are preserved by building one ZP per pair where it matters).
     """
     settle = design.settle_len(*ba_pairs)
     padlen = scipy_padlen(ba_pairs)
-    if nfft is None:
-        nfft = design.next_fft_size(spec.n + 2 * padlen + 3 * settle + 16)
-    if spec.exact:
-        resp = pack_complex(design.cascade_response(ba_pairs, nfft))
-    else:
-        resp = design.zero_phase_power(ba_pairs, nfft).astype(np.float32)
-    return ZP(nfft=nfft, padlen=padlen, settle=settle, exact=spec.exact, resp=resp)
+
+    def build(exact: bool, n: int, nfft_in=None):
+        nfft_l = nfft_in or design.next_fft_size(n + 2 * padlen + 3 * settle + 16)
+        if exact:
+            resp = pack_complex(design.cascade_response(ba_pairs, nfft_l))
+        else:
+            resp = design.zero_phase_power(ba_pairs, nfft_l).astype(np.float32)
+        return ZP(nfft=nfft_l, padlen=padlen, settle=settle, exact=exact,
+                  params=[resp])
+
+    if not spec.exact:
+        return build(False, spec.n, nfft)
+    L, w_in = _edge_windows(settle, padlen, spec.n)
+    if not spec.hybrid or 2 * w_in + 16 >= spec.n:
+        return build(True, spec.n, nfft)
+    return HybridZP(n=spec.n, L=L, w_in=w_in,
+                    fast=build(False, spec.n, nfft),
+                    small=build(True, w_in))
 
 
 def make_zp_from_power(spec: GraphSpec, power: np.ndarray, nfft: int,
@@ -86,4 +136,32 @@ def make_zp_from_power(spec: GraphSpec, power: np.ndarray, nfft: int,
     """Fast-mode pass from an arbitrary combined real power response (e.g.
     ``Π(1+(g-1)|Hb|²)`` for sequential parallel-band EQs)."""
     return ZP(nfft=nfft, padlen=padlen, settle=settle, exact=False,
-              resp=power.astype(np.float32))
+              params=[power.astype(np.float32)])
+
+
+def hybridize_op(spec: GraphSpec, settle: int, padlen: int, build):
+    """Op-level hybrid: ``build(spec)`` must honor spec.exact/hybrid and
+    return ``(params, fn)``.  Wraps the op's own fast variant (whole track)
+    with its own two-pass-exact variant (edge windows only).
+
+    Only valid for pure-LTI position-independent ops (no data-dependent
+    state, no fades)."""
+    L, w_in = _edge_windows(settle, padlen, spec.n)
+    if not spec.exact:
+        return build(spec)
+    if not spec.hybrid or 2 * w_in + 16 >= spec.n:
+        return build(dataclasses.replace(spec, hybrid=False))
+    p_small, f_small = build(
+        dataclasses.replace(spec, n=w_in, hybrid=False))
+    p_fast, f_fast = build(dataclasses.replace(spec, exact=False))
+    params = [p_fast, p_small]
+    n = spec.n
+
+    def fn(x, params):
+        pf, ps = params
+        y = f_fast(x, pf)
+        yl = f_small(x[..., :w_in], ps)[..., :L]
+        yr = f_small(x[..., -w_in:], ps)[..., -L:]
+        return jnp.concatenate([yl, y[..., L:n - L], yr], axis=-1)
+
+    return params, fn

@@ -22,6 +22,7 @@ class GraphSpec:
     n: int
     channels: int = 2
     exact: bool = True
+    hybrid: bool = True
 
     @property
     def nyq(self) -> float:

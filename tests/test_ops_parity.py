@@ -33,7 +33,8 @@ SR = 44100
 def run_op(build, x, *args, **kw):
     spec = GraphSpec(sr=SR, n=x.shape[-1], channels=x.shape[0])
     params, fn = build(spec, *args, **kw)
-    return np.asarray(fn(jnp.asarray(x), [jnp.asarray(p) for p in params]))
+    import jax
+    return np.asarray(fn(jnp.asarray(x), jax.device_put(params)))
 
 
 def max_err(a, b):

@@ -1,0 +1,28 @@
+# Magic Master TPU — service container.
+# For TPU VMs use a jax[tpu]-enabled base; this image covers CPU/dev serving.
+FROM python:3.12-slim
+
+RUN apt-get update && apt-get install -y --no-install-recommends \
+        ffmpeg g++ sqlite3 curl \
+    && rm -rf /var/lib/apt/lists/*
+
+WORKDIR /opt/amw-tpu
+COPY requirements.txt ./
+RUN pip install --no-cache-dir -r requirements.txt
+
+COPY amw_tpu ./amw_tpu
+COPY scripts ./scripts
+COPY deploy ./deploy
+COPY bench.py ./
+
+# Build the native PCM codec.
+RUN python -m amw_tpu.native.build || true
+
+ENV AMW_DB_PATH=/data/amw_tpu.sqlite3
+VOLUME /data
+EXPOSE 8000
+
+HEALTHCHECK --interval=30s --timeout=5s \
+    CMD curl -sf http://localhost:8000/api/health || exit 1
+
+CMD ["python", "-m", "amw_tpu.runtime.service"]

@@ -95,6 +95,16 @@ class MasteringEngine:
         report = progress or (lambda pct, msg: None)
         report(2, "Loading audio…")
         audio, sr = load_audio_from_bytes(data, filename or "wav")
+        if (pro or {}).get("apply_vocal_isolation"):
+            if not settings.vocal_isolation_enabled:
+                raise RuntimeError("Vocal isolation is disabled on this server")
+            report(3, "Vocal isolation…")
+            from ..models import vocal
+
+            params_v, fn_v = vocal._jitted(sr, audio.shape[-1], audio.shape[0])
+            audio = np.asarray(fn_v(np.ascontiguousarray(audio, np.float32),
+                                    params_v))
+            pro = {k: v for k, v in pro.items() if k != "apply_vocal_isolation"}
         n, C = audio.shape[-1], audio.shape[0]
         spec = self._spec_for(sr, n, C)
         key = json.dumps(

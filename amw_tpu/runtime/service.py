@@ -23,6 +23,7 @@ from ..utils.trace import TraceContext, trace_job_done, trace_job_error, trace_j
 from ..models.analyze import analyze, lufs_analyze_tool
 from ..models.chain import default_chain_config
 from ..utils.audio_io import ffmpeg_available, load_audio_from_bytes
+from ..utils.metadata import embed_branding
 from . import admin_routes, ai_routes, auth_routes, db, deps, jobs, misc_routes, payments, settings_store, users
 from .config import settings
 from .engine import MasteringEngine, ValidationError, get_engine
@@ -152,9 +153,10 @@ async def _run_job_v1(app, job_id: str, kwargs: dict):
             )
             out_name = ((job["original_filename"] or "master").rsplit(".", 1)[0]
                         + f"_mastered.{job['out_format']}")
+            branded = embed_branding(res["bytes"], job["out_format"])
             jobs.update_job(
                 job_id, status="done", progress=100, message="Done",
-                result_bytes=res["bytes"], filename=out_name,
+                result_bytes=branded, filename=out_name,
                 before_lufs=res["before_lufs"], after_lufs=res["after_lufs"],
                 done_at=time.time(),
             )
@@ -196,9 +198,10 @@ async def _run_job_v2(app, job_id: str, kwargs: dict):
             out_ext = "m4a" if fmt == "aac" else fmt
             out_name = ((job["original_filename"] or "master").rsplit(".", 1)[0]
                         + f"_mastered.{out_ext}")
+            branded = embed_branding(res["bytes"], fmt)
             jobs.update_job(
                 job_id, status="done", progress=100, message="Done",
-                result_bytes=res["bytes"], filename=out_name,
+                result_bytes=branded, filename=out_name,
                 before_lufs=res["before_lufs"], after_lufs=res["after_lufs"],
                 done_at=time.time(),
             )
@@ -519,6 +522,22 @@ async def h_preview(request):
         "Accept-Ranges": "bytes", "Cache-Control": "no-cache"})
 
 
+async def h_share(request):
+    job = jobs.get_job(request.match_info["job_id"])
+    if job is None:
+        raise _err(404, "Job not found")
+    if job.get("status") != "done" or not job.get("result_bytes"):
+        raise _err(400, "Result not ready yet")
+    from .share_card import render_share_png
+
+    png = render_share_png(job)
+    if not png:
+        raise _err(503, "Share card unavailable")
+    return web.Response(body=png, content_type="image/png", headers={
+        "Cache-Control": "no-store",
+        "Content-Disposition": 'inline; filename="magic-master-share.png"'})
+
+
 async def h_analyze(request):
     fields, data, filename = await _read_upload(request)
     _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))
@@ -530,6 +549,25 @@ async def h_analyze(request):
         "1", "true", "yes", "on")
     out = await asyncio.to_thread(analyze, audio, sr, extended)
     return web.json_response(out)
+
+
+async def h_isolate_vocal(request):
+    if not settings.vocal_isolation_enabled:
+        raise _err(503, "Vocal isolation is disabled on this server")
+    fields, data, filename = await _read_upload(request)
+    _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))
+    from ..models.vocal import isolate_vocal_bytes
+
+    try:
+        vocal_bytes = await asyncio.to_thread(
+            isolate_vocal_bytes, data, filename or "audio.wav")
+    except Exception as e:  # noqa: BLE001
+        raise _err(400, f"Vocal isolation failed: {e}")
+    base = (filename or "audio").rsplit(".", 1)[0]
+    return web.Response(
+        body=vocal_bytes, content_type="audio/wav",
+        headers={"Content-Disposition":
+                 f'attachment; filename="{base}_vocals.wav"'})
 
 
 async def h_lufs_tool(request):
@@ -592,7 +630,9 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
     app.router.add_get("/api/master/progress/{job_id}", h_progress_sse)
     app.router.add_get("/api/master/result/{job_id}", h_result)
     app.router.add_get("/api/master/preview/{job_id}", h_preview)
+    app.router.add_get("/api/master/share/{job_id}", h_share)
     app.router.add_post("/api/v2/analyze", h_analyze)
+    app.router.add_post("/api/v2/isolate-vocal", h_isolate_vocal)
     app.router.add_post("/api/tools/lufs-analyze", h_lufs_tool)
     app.router.add_post("/api/measure", h_measure)
     return app

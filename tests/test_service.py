@@ -220,3 +220,25 @@ def test_lufs_tool_endpoint(app_factory):
         assert body["integrated_lufs"] < 0
 
     _client_test(app_factory, fn)
+
+
+def test_vocal_isolation_endpoint(app_factory):
+    from amw_tpu.runtime.config import settings
+
+    async def fn(client):
+        form = _form({"file": _wav_bytes()})
+        r = await client.post("/api/v2/isolate-vocal", data=form)
+        assert r.status == 503  # disabled by default
+        settings.vocal_isolation_enabled = True
+        try:
+            form = _form({"file": _wav_bytes()})
+            r = await client.post("/api/v2/isolate-vocal", data=form)
+            assert r.status == 200, await r.text()
+            blob = await r.read()
+            back, sr = wav.read_wav(blob)
+            assert sr == SR and back.shape[0] == 2
+            assert np.all(np.isfinite(back))
+        finally:
+            settings.vocal_isolation_enabled = False
+
+    _client_test(app_factory, fn)

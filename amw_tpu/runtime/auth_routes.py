@@ -299,6 +299,14 @@ async def h_presets_delete(request):
     return web.json_response({"message": "deleted"})
 
 
+async def h_telegram_link_code(request):
+    user = _require_user(request)
+    from .bot import create_link_code
+
+    code = create_link_code(int(user["sub"]))
+    return web.json_response({"code": code, "expires_in_sec": 3600})
+
+
 def register_routes(app: web.Application) -> None:
     r = app.router
     r.add_post("/api/auth/register", h_register)
@@ -319,4 +327,5 @@ def register_routes(app: web.Application) -> None:
     r.add_get("/api/auth/presets", h_presets_list)
     r.add_post("/api/auth/presets", h_presets_create)
     r.add_get("/api/auth/presets/{preset_id}", h_presets_get)
+    r.add_post("/api/auth/telegram-link-code", h_telegram_link_code)
     r.add_delete("/api/auth/presets/{preset_id}", h_presets_delete)

@@ -220,6 +220,18 @@ async def _run_job_v2(app, job_id: str, kwargs: dict):
 # ───────────────────────────── handlers ──────────────────────────────────
 
 
+async def h_bot_webhook(request):
+    bot = request.app.get("bot")
+    if bot is None:
+        raise _err(404, "Bot is not configured")
+    try:
+        update = await request.json()
+    except Exception:  # noqa: BLE001
+        raise _err(400, "Invalid JSON")
+    _spawn_job(request.app, bot.handle_update(update))
+    return web.json_response({"ok": True})
+
+
 async def h_health(request):
     ok_db = True
     try:
@@ -617,6 +629,27 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
     payments.register_routes(app)
     misc_routes.register_routes(app)
     admin_routes.ensure_initial_admin()
+    app.router.add_post("/bot/webhook", h_bot_webhook)
+    from . import bot as bot_mod
+
+    app["bot"] = bot_mod.Bot() if bot_mod.bot_token() else None
+
+    async def _start_background(app):
+        from .anomaly import anomaly_loop
+
+        app["anomaly_task"] = asyncio.create_task(anomaly_loop())
+
+    async def _stop_background(app):
+        task = app.get("anomaly_task")
+        if task:
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                pass
+
+    app.on_startup.append(_start_background)
+    app.on_cleanup.append(_stop_background)
     app.router.add_get("/api/health", h_health)
     app.router.add_get("/api/metrics", h_metrics)
     app.router.add_get("/api/version", h_version)

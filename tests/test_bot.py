@@ -1,0 +1,178 @@
+"""Telegram bot flows with a fake transport (no network)."""
+
+import asyncio
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from amw_tpu.runtime import db
+from amw_tpu.utils import wav
+
+SR = 8000
+
+
+@pytest.fixture()
+def env(tmp_path):
+    dbf = tempfile.NamedTemporaryFile(suffix=".sqlite3", delete=False)
+    db.set_db_path(dbf.name)
+    from amw_tpu.runtime import users
+
+    users.ensure_schema()
+    yield
+    os.unlink(dbf.name)
+
+
+class FakeTransport:
+    def __init__(self, file_bytes=b""):
+        self.sent: list = []
+        self.docs: list = []
+        self.file_bytes = file_bytes
+
+    def api(self, method, payload):
+        self.sent.append((method, payload))
+        return {"ok": True, "result": {}}
+
+    def download(self, file_id):
+        return self.file_bytes
+
+    def send_document(self, chat_id, filename, blob, caption=""):
+        self.docs.append((chat_id, filename, blob, caption))
+
+
+def _wav_blob():
+    t = np.arange(SR * 2) / SR
+    x = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    q = (np.stack([x, x]) * 32767).astype(np.int16)
+    return wav.write_wav_int16(q, SR)
+
+
+def _bot(ft):
+    from amw_tpu.runtime.bot import Bot
+
+    return Bot(api_call=ft.api, download=ft.download,
+               send_document=ft.send_document)
+
+
+def _run(coro):
+    asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+def test_help_and_presets(env):
+    ft = FakeTransport()
+    bot = _bot(ft)
+
+    async def fn():
+        await bot.handle_update({"message": {"chat": {"id": 1}, "text": "/help"}})
+        await bot.handle_update({"message": {"chat": {"id": 1}, "text": "/presets"}})
+
+    _run(fn())
+    texts = [p["text"] for m, p in ft.sent if m == "sendMessage"]
+    assert any("/master" in t for t in texts)
+    assert any("spotify" in t for t in texts)
+
+
+def test_master_flow_end_to_end(env):
+    ft = FakeTransport(file_bytes=_wav_blob())
+    bot = _bot(ft)
+
+    async def fn():
+        await bot.handle_update({"message": {"chat": {"id": 7}, "text": "/master"}})
+        await bot.handle_update({"message": {
+            "chat": {"id": 7},
+            "document": {"file_id": "f1", "file_name": "track.wav"}}})
+        # preset keyboard was offered
+        kb_msgs = [p for m, p in ft.sent if p.get("reply_markup")]
+        assert kb_msgs, ft.sent
+        await bot.handle_update({"callback_query": {
+            "message": {"chat": {"id": 7}}, "data": "preset:spotify"}})
+
+    _run(fn())
+    assert len(ft.docs) == 1, ft.sent
+    chat_id, fname, blob, caption = ft.docs[0]
+    assert fname == "track_mastered.wav"
+    back, sr = wav.read_wav(blob)
+    assert sr == SR and np.all(np.isfinite(back))
+    # recorded with telegram source
+    with db.connect() as c:
+        row = c.execute("SELECT * FROM mastering_records WHERE"
+                        " source='telegram'").fetchone()
+    assert row is not None
+
+
+def test_analyze_flow(env):
+    ft = FakeTransport(file_bytes=_wav_blob())
+    bot = _bot(ft)
+
+    async def fn():
+        await bot.handle_update({"message": {"chat": {"id": 9}, "text": "/analyze"}})
+        await bot.handle_update({"message": {
+            "chat": {"id": 9},
+            "document": {"file_id": "f2", "file_name": "track.wav"}}})
+
+    _run(fn())
+    texts = [p["text"] for m, p in ft.sent if m == "sendMessage"]
+    assert any("LUFS" in t for t in texts), texts
+
+
+def test_link_flow(env):
+    from amw_tpu.runtime import users
+    from amw_tpu.runtime.auth import hash_password
+    from amw_tpu.runtime.bot import create_link_code
+
+    u = users.create_user("linkme@example.com", hash_password("pw123456"))
+    code = create_link_code(int(u["id"]))
+    ft = FakeTransport()
+    bot = _bot(ft)
+
+    _run(bot.handle_update({"message": {"chat": {"id": 42},
+                                        "text": f"/link {code}"}}))
+    u2 = users.get_user_by_id(int(u["id"]))
+    assert u2["telegram_id"] == 42
+    # code is single use
+    _run(bot.handle_update({"message": {"chat": {"id": 43},
+                                        "text": f"/link {code}"}}))
+    assert users.get_user_by_id(int(u["id"]))["telegram_id"] == 42
+
+
+def test_admin_report_rbac(env):
+    from amw_tpu.runtime import users
+    from amw_tpu.runtime.auth import hash_password
+
+    ft = FakeTransport()
+    bot = _bot(ft)
+    _run(bot.handle_update({"message": {"chat": {"id": 50}, "text": "/report"}}))
+    assert any("Admin only" in p.get("text", "") for _, p in ft.sent)
+
+    u = users.create_user("boss@example.com", hash_password("pw123456"))
+    users.update_user(int(u["id"]), is_admin=1, telegram_id=51)
+    ft2 = FakeTransport()
+    bot2 = _bot(ft2)
+    _run(bot2.handle_update({"message": {"chat": {"id": 51}, "text": "/report"}}))
+    assert any("Report" in p.get("text", "") for _, p in ft2.sent)
+
+
+def test_engagement_tick(env):
+    import time
+
+    from amw_tpu.runtime.bot import run_engagement_tick
+
+    ft = FakeTransport()
+    bot = _bot(ft)
+    with db.connect() as c:
+        c.execute("INSERT INTO telegram_engagement (telegram_id, stage,"
+                  " created_at) VALUES (?,?,?)",
+                  (99, 0, time.time() - 2 * 86400))
+    sent = run_engagement_tick(bot)
+    assert sent == 1
+    assert any("analyze" in p.get("text", "").lower() for _, p in ft.sent)
+    # second tick within 20h: nothing
+    assert run_engagement_tick(bot) == 0
+
+
+def test_anomaly_checks(env):
+    from amw_tpu.runtime.anomaly import check_anomalies
+
+    alerts = check_anomalies()
+    assert isinstance(alerts, list)  # thresholds generous; usually empty

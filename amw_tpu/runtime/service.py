@@ -650,6 +650,23 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
 
     app.on_startup.append(_start_background)
     app.on_cleanup.append(_stop_background)
+
+    # Static frontend (reference: main.py:752 StaticFiles mount).
+    import pathlib
+
+    front = pathlib.Path(__file__).resolve().parent.parent.parent / "frontend"
+    if front.is_dir():
+        async def h_index(request):
+            return web.FileResponse(front / "index.html")
+
+        app.router.add_get("/", h_index)
+        app.router.add_get("/app", h_index)
+        app.router.add_static("/static", front)
+
+        async def h_appjs(request):
+            return web.FileResponse(front / "app.js")
+
+        app.router.add_get("/app.js", h_appjs)
     app.router.add_get("/api/health", h_health)
     app.router.add_get("/api/metrics", h_metrics)
     app.router.add_get("/api/version", h_version)

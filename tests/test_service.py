@@ -242,3 +242,16 @@ def test_vocal_isolation_endpoint(app_factory):
             settings.vocal_isolation_enabled = False
 
     _client_test(app_factory, fn)
+
+
+def test_frontend_served(app_factory):
+    async def fn(client):
+        r = await client.get("/")
+        assert r.status == 200
+        text = await r.text()
+        assert "Magic" in text and "app.js" in text
+        r = await client.get("/app.js")
+        assert r.status == 200
+        assert "v2/master" in await r.text()
+
+    _client_test(app_factory, fn)

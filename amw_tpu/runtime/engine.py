@@ -230,6 +230,72 @@ class MasteringEngine:
         return jax.device_put(all_params), jax.jit(fn), names
 
 
+    # -- synchronous tools -------------------------------------------------
+
+    def reference_match_bytes(self, data_src: bytes, fname_src: str,
+                              data_ref: bytes, fname_ref: str, *,
+                              strength: float = 0.8,
+                              out_format: str = "wav",
+                              bitrate: int | None = None) -> dict:
+        """Reference mastering tool (mastering.py:1305-1366): match the
+        source's spectral balance to the reference track."""
+        from ..models.v2_job import build_v2_job_graph  # noqa: F401 (engine dep)
+        from ..ops.spectral import build_reference_match
+        from ..refimpl import pipeline as refimpl
+
+        audio, sr = load_audio_from_bytes(data_src, fname_src)
+        ref_audio, ref_sr = load_audio_from_bytes(data_ref, fname_ref)
+        if ref_sr != sr:
+            ref_mono = np.mean(ref_audio, axis=0)
+            ref_audio = refimpl.resample_fft(
+                ref_mono[None], ref_sr, sr)
+        ref_env = refimpl.spectral_envelope(ref_audio, sr)
+        n, C = audio.shape[-1], audio.shape[0]
+        spec = self._spec_for(sr, n, C)
+        # The reference envelope is a runtime parameter (params[0]), so the
+        # jitted graph is cached per (spec, strength) and reused across
+        # different reference tracks.
+        key = f"refmatch:{round(float(strength), 3)}"
+        cached = self._get_graph(
+            "tool", spec, key,
+            lambda: (None,
+                     jax.jit(build_reference_match(spec, np.ones_like(ref_env),
+                                                   strength=float(strength))[1]),
+                     None))
+        _, fn, _ = cached
+        params = jax.device_put(
+            build_reference_match(spec, ref_env, strength=float(strength))[0])
+        xb = self._pad(np.ascontiguousarray(audio, np.float32), spec.n)
+        out = np.asarray(fn(xb, params))[..., :n]
+        out_bytes = export_audio(out, sr, out_format.lower(), bitrate=bitrate)
+        return {"bytes": out_bytes, "sr": sr}
+
+    def upscale_bytes(self, data: bytes, filename: str, *,
+                      target_sr: int) -> dict:
+        """FFT resample to a higher rate + 16-bit WAV (mastering.py:1369-1406)."""
+        from ..ops.fdfilter import resample_fft
+
+        audio, sr = load_audio_from_bytes(data, filename)
+        if target_sr <= sr:
+            raise ValueError(
+                f"Upscale: target_sr ({target_sr}) must exceed the current "
+                f"sample rate ({sr})")
+        n = audio.shape[-1]
+        n_out = int(round(n * target_sr / sr))
+        key = ("upscale", sr, n, target_sr)
+        with self._lock:
+            fn = self._cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda x: resample_fft(x, n_out))
+            with self._lock:
+                self._cache.setdefault(key, fn)
+            fn = self._cache[key]
+        out = np.asarray(fn(np.ascontiguousarray(audio, np.float32)))
+        out_bytes = export_audio(out.astype(np.float32), target_sr, "wav",
+                                 dither_type="tpdf")
+        return {"bytes": out_bytes, "sr": target_sr}
+
+
 # Module-level default engine (created lazily by the service).
 _default_engine: MasteringEngine | None = None
 

@@ -563,6 +563,116 @@ async def h_analyze(request):
     return web.json_response(out)
 
 
+async def h_reference_match(request):
+    reader = await request.multipart()
+    fields: dict = {}
+    files: dict = {}
+    async for part in reader:
+        if part.name in ("file", "reference"):
+            files[part.name] = (part.filename or "audio.wav",
+                                await part.read(decode=False))
+        else:
+            fields[part.name] = (await part.read(decode=False)).decode()
+    if "file" not in files or "reference" not in files:
+        raise _err(400, "Both 'file' and 'reference' uploads are required")
+    user = deps.get_current_user_optional(request)
+    tier = (user.get("tier") if user else "free") or "free"
+    for key in ("file", "reference"):
+        fname, data = files[key]
+        _validate_upload(data, fname,
+                         settings_store.get_max_upload_mb(fname, tier))
+    strength = float(np.clip(float(fields.get("strength", 0.8) or 0.8), 0.0, 1.0))
+    out_format = (fields.get("out_format") or "wav").strip().lower()
+    if out_format not in ("wav", "flac", "mp3", "opus", "aac"):
+        raise _err(400, "Export format: wav, mp3, flac, opus or aac.")
+    bitrate = None
+    if fields.get("bitrate"):
+        try:
+            bitrate = int(fields["bitrate"])
+        except ValueError:
+            bitrate = None
+    engine: MasteringEngine = request.app["engine"]
+    try:
+        res = await asyncio.to_thread(
+            engine.reference_match_bytes,
+            files["file"][1], files["file"][0],
+            files["reference"][1], files["reference"][0],
+            strength=strength, out_format=out_format, bitrate=bitrate)
+    except Exception as e:  # noqa: BLE001
+        raise _err(400, f"Processing error: {e}")
+    out_ext = "m4a" if out_format == "aac" else out_format
+    base = files["file"][0].rsplit(".", 1)[0]
+    media = "audio/mp4" if out_format == "aac" else f"audio/{out_format}"
+    return web.Response(body=res["bytes"], content_type=media, headers={
+        "Content-Disposition":
+        f'attachment; filename="{base}_ref_matched.{out_ext}"'})
+
+
+_UPSCALE_ALLOWED_SR = (48000, 96000, 192000)
+
+
+async def h_upscale(request):
+    fields, data, filename = await _read_upload(request)
+    try:
+        target_sr = int(fields.get("target_sr", 96000))
+    except ValueError:
+        target_sr = 96000
+    if target_sr not in _UPSCALE_ALLOWED_SR:
+        raise _err(400, f"target_sr must be one of {_UPSCALE_ALLOWED_SR}.")
+    _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))
+    engine: MasteringEngine = request.app["engine"]
+    try:
+        res = await asyncio.to_thread(engine.upscale_bytes, data, filename,
+                                      target_sr=target_sr)
+    except ValueError as e:
+        raise _err(400, str(e))
+    base = (filename or "audio").rsplit(".", 1)[0]
+    return web.Response(body=res["bytes"], content_type="audio/wav", headers={
+        "Content-Disposition":
+        f'attachment; filename="{base}_upscale_{target_sr // 1000}k.wav"'})
+
+
+async def h_master_auto(request):
+    """Auto mastering: analyze -> AI preset recommendation -> v2 job
+    (mastering.py:1040-1172)."""
+    from . import ai
+
+    jobs.prune_jobs()
+    fields, data, filename = await _read_upload(request)
+    out_format = (fields.get("out_format") or "wav").strip().lower()
+    if out_format not in ("wav", "flac", "mp3", "opus", "aac"):
+        raise _err(400, "Export format: wav, mp3, flac, opus or aac.")
+    user, is_priority = _admit(request, filename, data)
+    ident = (f"user:{user['sub']}" if user
+             else f"ip:{deps.client_ip(request)}")
+    tier = (user.get("tier") if user else "free") or "free"
+    lim = ai.check_ai_limit(ident, tier)
+    if not lim["ok"]:
+        raise _err(429, f"AI daily limit reached: {lim['limit']}/day.")
+    try:
+        audio, sr = load_audio_from_bytes(data, filename)
+    except Exception as e:  # noqa: BLE001
+        raise _err(400, f"Could not read audio: {e}")
+    analysis = await asyncio.to_thread(analyze, audio, sr, True)
+    rec = await asyncio.to_thread(ai.recommend_preset, analysis)
+    ai.record_ai_usage(ident)
+    style = rec.get("style") if rec.get("style") in STYLE_CONFIGS else "standard"
+    target_lufs = max(-24.0, min(-6.0, float(rec.get("target_lufs", -14.0))))
+    job_id = str(uuid.uuid4())
+    jobs.new_job(job_id, target_lufs=target_lufs, style=style, data=data,
+                 filename=filename, out_format=out_format,
+                 notify_user_id=int(user["sub"]) if user else None)
+    kwargs = dict(target_lufs=target_lufs, out_format=out_format, style=style,
+                  chain_config=rec.get("chain_config"), dither_type=None,
+                  auto_blank_sec=None, bitrate=None, pro={},
+                  is_priority=is_priority)
+    _spawn_job(request.app, _run_job_v2(request.app, job_id, kwargs))
+    return web.json_response({"job_id": job_id, "status": "running",
+                              "version": "v2", "style": style,
+                              "target_lufs": target_lufs,
+                              "reason": rec.get("reason")})
+
+
 async def h_isolate_vocal(request):
     if not settings.vocal_isolation_enabled:
         raise _err(503, "Vocal isolation is disabled on this server")
@@ -683,6 +793,9 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
     app.router.add_get("/api/master/share/{job_id}", h_share)
     app.router.add_post("/api/v2/analyze", h_analyze)
     app.router.add_post("/api/v2/isolate-vocal", h_isolate_vocal)
+    app.router.add_post("/api/v2/reference-match", h_reference_match)
+    app.router.add_post("/api/v2/upscale", h_upscale)
+    app.router.add_post("/api/v2/master/auto", h_master_auto)
     app.router.add_post("/api/tools/lufs-analyze", h_lufs_tool)
     app.router.add_post("/api/measure", h_measure)
     return app

@@ -255,3 +255,57 @@ def test_frontend_served(app_factory):
         assert "v2/master" in await r.text()
 
     _client_test(app_factory, fn)
+
+
+def test_reference_match_endpoint(app_factory):
+    import aiohttp
+
+    async def fn(client):
+        form = aiohttp.FormData()
+        form.add_field("file", _wav_bytes(freq=440), filename="src.wav",
+                       content_type="audio/wav")
+        form.add_field("reference", _wav_bytes(freq=220), filename="ref.wav",
+                       content_type="audio/wav")
+        form.add_field("strength", "0.8")
+        r = await client.post("/api/v2/reference-match", data=form)
+        assert r.status == 200, await r.text()
+        blob = await r.read()
+        back, sr = wav.read_wav(blob)
+        assert sr == SR and np.all(np.isfinite(back))
+
+    _client_test(app_factory, fn)
+
+
+def test_upscale_endpoint(app_factory):
+    async def fn(client):
+        form = _form({"file": _wav_bytes(), "target_sr": "48000"})
+        r = await client.post("/api/v2/upscale", data=form)
+        assert r.status == 200, await r.text()
+        back, sr = wav.read_wav(await r.read())
+        assert sr == 48000
+        assert abs(back.shape[-1] - 2 * 48000) < 4
+        # downscale rejected
+        form = _form({"file": _wav_bytes(sr=96000, dur=0.5),
+                      "target_sr": "48000"})
+        r = await client.post("/api/v2/upscale", data=form)
+        assert r.status == 400
+
+    _client_test(app_factory, fn)
+
+
+def test_master_auto_endpoint(app_factory):
+    async def fn(client):
+        form = _form({"file": _wav_bytes()})
+        r = await client.post("/api/v2/master/auto", data=form)
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert body["style"] in ("standard", "edm", "podcast")
+        job_id = body["job_id"]
+        for _ in range(240):
+            st = await (await client.get(f"/api/master/status/{job_id}")).json()
+            if st["status"] in ("done", "error"):
+                break
+            await asyncio.sleep(0.5)
+        assert st["status"] == "done", st
+
+    _client_test(app_factory, fn)

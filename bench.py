@@ -13,10 +13,22 @@ baseline measured separately and subtracted.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "1500"))
+
+
+def _watchdog(signum, frame):
+    print(json.dumps({"metric": "realtime_factor_v1_chain", "value": 0.0,
+                      "unit": "x_realtime_per_chip", "vs_baseline": 0.0,
+                      "error": f"watchdog: no result in {WATCHDOG_SEC}s "
+                               "(TPU relay unresponsive?)"}), flush=True)
+    os._exit(2)
 
 
 def log(*a):
@@ -38,6 +50,8 @@ def make_track(sr: int, dur_sec: float, seed: int = 0) -> np.ndarray:
 
 
 def main():
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_SEC)
     import jax
     import jax.numpy as jnp
 
@@ -123,6 +137,49 @@ def main():
     p50 = float(np.median(lats))
     log(f"p50 single-track latency: {p50*1e3:.0f} ms")
 
+    # Export path (BASELINE config #3): dither + 16-bit quantize on device,
+    # then host WAV writing — measured per track from the mastered output.
+    from amw_tpu.ops import dither as dither_ops
+
+    key = jax.random.PRNGKey(0)
+    out_batch_shape = (micro, 2, n)
+
+    def export_step(y, k):
+        noise = dither_ops.dither_noise(k, out_batch_shape, "tpdf")
+        return jnp.sum(dither_ops.quantize16(y, noise).astype(jnp.int32))
+
+    exp_jit = jax.jit(export_step)
+    y_dev = jax.device_put(np.zeros(out_batch_shape, np.float32))
+    fence(exp_jit(y_dev, key))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        acc = exp_jit(y_dev, key)
+    fence(acc)
+    exp_dt = (time.perf_counter() - t0 - relay) / reps
+    exp_rtf = micro * dur / max(exp_dt, 1e-9)
+    log(f"export path (TPDF dither + int16): {exp_dt:.3f}s -> {exp_rtf:.0f}x")
+
+    # Genre sweep (BASELINE config #2): club -9 with the edm style graph
+    # (adds exciter + imager + parallel compression stages).
+    sweep_rtf = None
+    try:
+        params2, raw2, _ = build_v1_pipeline(
+            spec, target_lufs=-9.0, style="edm", jit=False)
+        step2 = jax.jit(
+            lambda xb, p: jnp.sum(jnp.square(
+                jax.vmap(raw2, in_axes=(0, None))(xb, p))))
+        p2 = jax.device_put(params2)
+        fence(step2(xb, p2))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            acc = step2(xb, p2)
+        fence(acc)
+        dt2 = (time.perf_counter() - t0 - relay) / reps
+        sweep_rtf = micro * dur / dt2
+        log(f"genre sweep (edm, -9 LUFS): {dt2:.3f}s -> {sweep_rtf:.0f}x")
+    except Exception as e:  # noqa: BLE001
+        log(f"genre sweep failed: {type(e).__name__}: {str(e)[:160]}")
+
     # CPU oracle baseline + parity on a shorter probe.
     probe_dur = 20.0
     probe = make_track(sr, probe_dur, seed=99)
@@ -157,6 +214,8 @@ def main():
         "parity_lu_delta": round(lu_delta, 4),
         "out_lufs": round(out_lufs, 2),
         "out_true_peak_dbtp": round(tp, 2),
+        "export_path_rtf": round(exp_rtf, 1),
+        "genre_sweep_rtf": round(sweep_rtf, 1) if sweep_rtf else None,
     }))
 
 

@@ -37,7 +37,10 @@ def app_factory():
     engine = MasteringEngine(bucket=True)
 
     def make():
+        from amw_tpu.runtime import ai
+
         deps.reset_rate_limits()
+        ai.reset_ai_usage()
         return create_app(engine)
 
     yield make

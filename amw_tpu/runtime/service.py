@@ -725,11 +725,35 @@ async def h_measure(request):
     })
 
 
+@web.middleware
+async def _gate_middleware(request, handler):
+    """Global per-IP rate limit (main.py:151-187) and maintenance mode
+    (main.py:202-217)."""
+    path = request.path
+    if path.startswith("/api"):
+        ip = deps.client_ip(request)
+        if not deps.check_global_rate_limit(ip):
+            raise _err(429, "Too many requests. Try again in a minute.")
+        if settings_store.get_setting_bool("maintenance_mode", False):
+            if not (path.startswith("/api/health")
+                    or path.startswith("/api/admin")
+                    or path.startswith("/api/auth/login")):
+                raise _err(503, "Maintenance in progress. Please retry later.")
+    return await handler(request)
+
+
+async def h_locale(request):
+    accept = request.headers.get("Accept-Language", "")
+    loc = "ru" if accept.lower().startswith("ru") else "en"
+    return web.json_response({"locale": loc, "supported": ["en", "ru"]})
+
+
 def create_app(engine: MasteringEngine | None = None) -> web.Application:
     db.create_tables()
     users.ensure_schema()
     jobs.restore_from_db()
-    app = web.Application(client_max_size=900 * 1024 * 1024)
+    app = web.Application(client_max_size=900 * 1024 * 1024,
+                          middlewares=[_gate_middleware])
     app["engine"] = engine or get_engine()
     app["job_tasks"] = set()
     app.on_cleanup.append(_cancel_jobs_on_cleanup)
@@ -780,6 +804,7 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
     app.router.add_get("/api/health", h_health)
     app.router.add_get("/api/metrics", h_metrics)
     app.router.add_get("/api/version", h_version)
+    app.router.add_get("/api/locale", h_locale)
     app.router.add_get("/api/presets", h_presets)
     app.router.add_get("/api/styles", h_styles)
     app.router.add_get("/api/v2/chain/default", h_chain_default)

@@ -312,3 +312,23 @@ def test_master_auto_endpoint(app_factory):
         assert st["status"] == "done", st
 
     _client_test(app_factory, fn)
+
+
+def test_locale_maintenance_and_rate_limit(app_factory):
+    from amw_tpu.runtime import settings_store
+
+    async def fn(client):
+        r = await client.get("/api/locale",
+                             headers={"Accept-Language": "ru-RU"})
+        assert (await r.json())["locale"] == "ru"
+        # maintenance mode gates the API but not health
+        settings_store.set_setting("maintenance_mode", "true")
+        try:
+            r = await client.get("/api/presets")
+            assert r.status == 503
+            r = await client.get("/api/health")
+            assert r.status == 200
+        finally:
+            settings_store.set_setting("maintenance_mode", "false")
+
+    _client_test(app_factory, fn)

@@ -82,6 +82,23 @@ class MasteringEngine:
             return x
         return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
+    @staticmethod
+    def _pre_dc(x: np.ndarray, chain_config: dict | None) -> np.ndarray:
+        """Remove the true per-channel mean on the host before zero-padding.
+
+        The in-graph dc_offset op averages over the padded bucket length,
+        which would dilute the correction by n_valid/n_bucket; removing the
+        exact mean first makes the graph's dc stage a no-op (idempotent), so
+        bucket padding cannot perturb DC semantics.  Only applied when the
+        chain actually starts with an enabled dc_offset module."""
+        modules = (chain_config or {}).get("modules") if chain_config else None
+        if modules is not None:
+            has_dc = any(m.get("id") == "dc_offset" and m.get("enabled", True)
+                         for m in modules[:2])
+            if not has_dc:
+                return x
+        return x - x.mean(axis=-1, keepdims=True)
+
     # -- job runners -------------------------------------------------------
 
     def master_v2_bytes(
@@ -116,7 +133,9 @@ class MasteringEngine:
             "v2", spec, key,
             lambda: self._built_v2(spec, chain_config, pro, target_lufs, style),
         )
-        xb = self._pad(np.ascontiguousarray(audio, np.float32), spec.n)
+        audio = self._pre_dc(np.ascontiguousarray(audio, np.float32),
+                             chain_config)
+        xb = self._pad(audio, spec.n)
         res = fn(xb, params)
         out = np.asarray(res["out"])[..., :n]
         before = float(np.asarray(res["before_lufs"]))
@@ -177,7 +196,8 @@ class MasteringEngine:
                                    transient_attack, transient_sustain,
                                    reference_env, reference_strength),
         )
-        xb = self._pad(np.ascontiguousarray(audio, np.float32), spec.n)
+        audio = self._pre_dc(np.ascontiguousarray(audio, np.float32), None)
+        xb = self._pad(audio, spec.n)
         res = fn(xb, params)
         out = np.asarray(res["out"])[..., :n]
         before = float(np.asarray(res["before_lufs"]))

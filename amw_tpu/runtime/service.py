@@ -801,6 +801,19 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
             return web.FileResponse(front / "app.js")
 
         app.router.add_get("/app.js", h_appjs)
+
+        async def h_admin_page(request):
+            return web.FileResponse(front / "admin.html")
+
+        async def h_sw(request):
+            return web.FileResponse(front / "sw.js")
+
+        async def h_manifest(request):
+            return web.FileResponse(front / "manifest.json")
+
+        app.router.add_get("/admin", h_admin_page)
+        app.router.add_get("/sw.js", h_sw)
+        app.router.add_get("/manifest.json", h_manifest)
     app.router.add_get("/api/health", h_health)
     app.router.add_get("/api/metrics", h_metrics)
     app.router.add_get("/api/version", h_version)

@@ -7,6 +7,57 @@
 const $ = (id) => document.getElementById(id);
 const api = (p) => p; // same-origin
 
+/* ---------- i18n (ru/en) ---------- */
+const I18N = {
+  ru: {
+    "Master a track": "Мастеринг трека",
+    "Drop a WAV/MP3/FLAC here or click to choose":
+      "Перетащите WAV/MP3/FLAC сюда или кликните для выбора",
+    "Master": "Мастеринг", "Analyze": "Анализ",
+    "Download": "Скачать", "Analysis": "Анализ",
+    "Free LUFS tool": "Бесплатный LUFS-анализ",
+    "Check loudness": "Проверить громкость",
+    "Account": "Аккаунт", "History": "История",
+    "Sign in": "Войти", "Sign out": "Выйти", "Register": "Регистрация",
+    "Share card": "Карточка",
+  },
+};
+let lang = localStorage.getItem("mm_lang") ||
+  ((navigator.language || "en").startsWith("ru") ? "ru" : "en");
+function T(s) { return (I18N[lang] && I18N[lang][s]) || s; }
+function applyI18n() {
+  const ids = {
+    "btn-master": "Master", "btn-analyze": "Analyze",
+    "btn-download": "Download", "btn-tool": "Check loudness",
+    "share-link": "Share card",
+  };
+  for (const [id, key] of Object.entries(ids)) {
+    const el = $(id);
+    if (el) el.textContent = T(key);
+  }
+  const drop0 = $("drop");
+  if (drop0 && !drop0.textContent.includes("MB"))
+    drop0.childNodes[0].textContent = T("Drop a WAV/MP3/FLAC here or click to choose");
+  document.querySelectorAll("h2").forEach((h) => { h.textContent = T(h.textContent); });
+}
+window.addEventListener("DOMContentLoaded", () => {
+  applyI18n();
+  const sw = $("lang-switch");
+  if (sw) {
+    sw.textContent = lang === "ru" ? "EN" : "RU";
+    sw.onclick = () => {
+      lang = lang === "ru" ? "en" : "ru";
+      localStorage.setItem("mm_lang", lang);
+      location.reload();
+    };
+  }
+});
+
+/* ---------- PWA ---------- */
+if ("serviceWorker" in navigator) {
+  navigator.serviceWorker.register("/sw.js").catch(() => {});
+}
+
 let currentFile = null;
 let currentJob = null;
 let token = localStorage.getItem("mm_token") || null;

@@ -332,3 +332,15 @@ def test_locale_maintenance_and_rate_limit(app_factory):
             settings_store.set_setting("maintenance_mode", "false")
 
     _client_test(app_factory, fn)
+
+
+def test_admin_page_and_pwa_assets(app_factory):
+    async def fn(client):
+        r = await client.get("/admin")
+        assert r.status == 200 and "admin" in (await r.text()).lower()
+        r = await client.get("/manifest.json")
+        assert (await r.json())["short_name"] == "MagicMaster"
+        r = await client.get("/sw.js")
+        assert "CACHE" in await r.text()
+
+    _client_test(app_factory, fn)

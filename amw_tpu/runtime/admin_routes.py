@@ -439,6 +439,57 @@ async def h_prompt_create(request):
     return web.json_response({"name": name, "version": prev + 1, "id": cur.lastrowid})
 
 
+async def h_prompt_history(request):
+    _require_admin(request)
+    slug = request.match_info["slug"]
+    with db.connect() as c:
+        rows = c.execute(
+            "SELECT * FROM prompt_templates WHERE name=? ORDER BY version DESC",
+            (slug,)).fetchall()
+    return web.json_response({"items": [dict(r) for r in rows]})
+
+
+async def h_prompt_version(request):
+    _require_admin(request)
+    slug = request.match_info["slug"]
+    vid = int(request.match_info["version_id"])
+    with db.connect() as c:
+        r = c.execute("SELECT * FROM prompt_templates WHERE name=? AND"
+                      " version=?", (slug, vid)).fetchone()
+    if r is None:
+        raise _err(404, "Version not found")
+    return web.json_response(dict(r))
+
+
+async def h_prompt_activate(request):
+    admin = _require_admin(request)
+    slug = request.match_info["slug"]
+    body = await _body(request)
+    vid = int(body.get("version", 0))
+    with db.connect() as c:
+        r = c.execute("SELECT * FROM prompt_templates WHERE name=? AND"
+                      " version=?", (slug, vid)).fetchone()
+        if r is None:
+            raise _err(404, "Version not found")
+        c.execute("UPDATE prompt_templates SET active=0 WHERE name=?", (slug,))
+        c.execute("UPDATE prompt_templates SET active=1 WHERE id=?",
+                  (r["id"],))
+    settings_store.set_setting(f"ai_prompt_{slug}", r["template"])
+    audit(admin, "prompt_activate", slug, f"v{vid}")
+    return web.json_response({"name": slug, "version": vid})
+
+
+async def h_prompt_reset(request):
+    admin = _require_admin(request)
+    slug = request.match_info["slug"]
+    with db.connect() as c:
+        c.execute("UPDATE prompt_templates SET active=0 WHERE name=?", (slug,))
+        c.execute("DELETE FROM system_settings WHERE key=?",
+                  (f"ai_prompt_{slug}",))
+    audit(admin, "prompt_reset", slug)
+    return web.json_response({"name": slug, "message": "reset to default"})
+
+
 # --- reports / exports / backup -------------------------------------------
 
 _REPORTS = {
@@ -581,6 +632,10 @@ def register_routes(app: web.Application) -> None:
     r.add_post(f"{p}/llm/test", h_llm_test)
     r.add_get(f"{p}/prompts", h_prompts)
     r.add_post(f"{p}/prompts", h_prompt_create)
+    r.add_get(f"{p}/prompts/{{slug}}/history", h_prompt_history)
+    r.add_get(f"{p}/prompts/{{slug}}/version/{{version_id}}", h_prompt_version)
+    r.add_post(f"{p}/prompts/{{slug}}/activate", h_prompt_activate)
+    r.add_post(f"{p}/prompts/{{slug}}/reset", h_prompt_reset)
     r.add_get(f"{p}/reports/list", h_reports_list)
     r.add_get(f"{p}/reports/export_raw.csv", h_transactions_csv)
     r.add_get(f"{p}/reports/{{report_id}}", h_report_get)

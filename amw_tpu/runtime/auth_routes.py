@@ -92,6 +92,23 @@ async def h_register(request):
             users.add_tokens(u["id"],
                              max(1, settings.referral_reward_invitee_tokens))
 
+    if settings.require_email_verify:
+        users.update_user(u["id"], is_verified=0)
+        _cleanup(_verify_tokens)
+        vtoken = secrets.token_urlsafe(32)
+        _verify_tokens[vtoken] = {"email": email,
+                                  "exp": time.time() + _VERIFY_TTL}
+        base = str(request.url.origin())
+        asyncio.get_event_loop().run_in_executor(
+            None, mailer.send_email_verification, email,
+            f"{base}/verify-email?token={vtoken}")
+        resp = {"message": "Account created. Check your email and confirm "
+                           "your address to sign in.",
+                "email": email, "requires_verification": True}
+        if settings.debug:
+            resp["debug_token"] = vtoken
+        return web.json_response(resp)
+    users.update_user(u["id"], is_verified=1)
     asyncio.get_event_loop().run_in_executor(
         None, mailer.send_welcome_email, email, email)
     return web.json_response(_token_response(users.get_user_by_id(u["id"])))
@@ -107,6 +124,8 @@ async def h_login(request):
         raise _err(401, "Invalid email or password")
     if u.get("is_blocked"):
         raise _err(403, "Account blocked. Contact support.")
+    if settings.require_email_verify and not u.get("is_verified"):
+        raise _err(403, "Email not confirmed. Check your inbox.")
     users.update_user(u["id"], last_login_at=time.time())
     return web.json_response(_token_response(u))
 
@@ -299,6 +318,43 @@ async def h_presets_delete(request):
     return web.json_response({"message": "deleted"})
 
 
+async def h_verify_email(request):
+    token = request.query.get("token", "")
+    _cleanup(_verify_tokens)
+    entry = _verify_tokens.get(token)
+    if not entry:
+        raise _err(400, "Link is invalid or expired.")
+    u = users.get_user_by_email(entry["email"])
+    if not u:
+        raise _err(404, "User not found")
+    users.update_user(int(u["id"]), is_verified=1)
+    _verify_tokens.pop(token, None)
+    asyncio.get_event_loop().run_in_executor(
+        None, mailer.send_welcome_email, u["email"], u["email"])
+    return web.json_response({"message": "Email confirmed! You can sign in.",
+                              "email": u["email"]})
+
+
+async def h_resend_verification(request):
+    if not deps.check_auth_rate_limit(deps.client_ip(request)):
+        raise _err(429, "Too many attempts. Wait 1 minute.")
+    body = await _body(request)
+    u = users.get_user_by_email(body.get("email") or "")
+    resp = {"message": "If the account awaits verification, a mail was sent."}
+    if u and not u.get("is_verified"):
+        _cleanup(_verify_tokens)
+        vtoken = secrets.token_urlsafe(32)
+        _verify_tokens[vtoken] = {"email": u["email"],
+                                  "exp": time.time() + _VERIFY_TTL}
+        base = str(request.url.origin())
+        asyncio.get_event_loop().run_in_executor(
+            None, mailer.send_email_verification, u["email"],
+            f"{base}/verify-email?token={vtoken}")
+        if settings.debug:
+            resp["debug_token"] = vtoken
+    return web.json_response(resp)
+
+
 async def h_telegram_link_code(request):
     user = _require_user(request)
     from .bot import create_link_code
@@ -328,4 +384,6 @@ def register_routes(app: web.Application) -> None:
     r.add_post("/api/auth/presets", h_presets_create)
     r.add_get("/api/auth/presets/{preset_id}", h_presets_get)
     r.add_post("/api/auth/telegram-link-code", h_telegram_link_code)
+    r.add_get("/api/auth/verify-email", h_verify_email)
+    r.add_post("/api/auth/resend-verification", h_resend_verification)
     r.add_delete("/api/auth/presets/{preset_id}", h_presets_delete)

@@ -61,6 +61,7 @@ class Settings:
     feature_ai_enabled: bool = True
     feature_batch_enabled: bool = True
     registration_enabled: bool = True
+    require_email_verify: bool = False
     maintenance_mode: bool = False
     vocal_isolation_enabled: bool = False
 

@@ -213,3 +213,30 @@ def test_referral_and_misc(app_factory):
         assert "vocal" in (await r.json())["denoise_presets"]
 
     _run(app_factory, fn)
+
+
+def test_prompt_versioning(app_factory):
+    async def fn(client):
+        hdr = await _admin_hdr(client)
+        r = await client.post("/api/admin/prompts",
+                              json={"name": "recommend", "template": "v1 text"},
+                              headers=hdr)
+        assert r.status == 200
+        r = await client.post("/api/admin/prompts",
+                              json={"name": "recommend", "template": "v2 text"},
+                              headers=hdr)
+        assert (await r.json())["version"] == 2
+        r = await client.get("/api/admin/prompts/recommend/history",
+                             headers=hdr)
+        items = (await r.json())["items"]
+        assert len(items) == 2 and items[0]["active"] == 1
+        r = await client.post("/api/admin/prompts/recommend/activate",
+                              json={"version": 1}, headers=hdr)
+        assert r.status == 200
+        from amw_tpu.runtime import settings_store
+        assert settings_store.get_setting_str("ai_prompt_recommend") == "v1 text"
+        r = await client.post("/api/admin/prompts/recommend/reset",
+                              headers=hdr)
+        assert r.status == 200
+
+    _run(app_factory, fn)

@@ -208,3 +208,33 @@ def test_free_weekly_limit(app_factory):
             settings.debug = True
 
     _run(app_factory, fn)
+
+
+def test_email_verification_flow(app_factory):
+    from amw_tpu.runtime.config import settings
+
+    async def fn(client):
+        settings.require_email_verify = True
+        try:
+            r = await client.post("/api/auth/register", json={
+                "email": "verify@example.com", "password": "secret123"})
+            body = await r.json()
+            assert body.get("requires_verification") is True
+            token = body.get("debug_token")
+            # login blocked until verified
+            r = await client.post("/api/auth/login", json={
+                "email": "verify@example.com", "password": "secret123"})
+            assert r.status == 403
+            r = await client.get(f"/api/auth/verify-email?token={token}")
+            assert r.status == 200
+            r = await client.post("/api/auth/login", json={
+                "email": "verify@example.com", "password": "secret123"})
+            assert r.status == 200
+            # resend for an already-verified account: generic message
+            r = await client.post("/api/auth/resend-verification",
+                                  json={"email": "verify@example.com"})
+            assert "message" in await r.json()
+        finally:
+            settings.require_email_verify = False
+
+    _run(app_factory, fn)

@@ -96,7 +96,7 @@ def main():
     micro = None
     step = None
     xb = None
-    for trial in (4, 2, 1):
+    for trial in (8, 4, 2, 1):
         try:
             tracks = np.stack([make_track(sr, dur, seed=i) for i in range(trial)])
             xb = jax.device_put(tracks)

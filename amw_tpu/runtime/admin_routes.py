@@ -366,6 +366,8 @@ _EDITABLE_SETTINGS = (
     "maintenance_mode", "lufs_tool_rate_per_hour", "ai_api_key",
     "ai_api_base", "ai_model", "llm_guard_forbidden", "llm_guard_regex",
     "ai_prompt_recommend", "engine_exact_mode",
+    "vocal_isolation_enabled", "require_email_verify",
+    "yookassa_shop_id", "yookassa_webhook_ip_whitelist",
 )
 
 

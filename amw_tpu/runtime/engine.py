@@ -113,7 +113,10 @@ class MasteringEngine:
         report(2, "Loading audio…")
         audio, sr = load_audio_from_bytes(data, filename or "wav")
         if (pro or {}).get("apply_vocal_isolation"):
-            if not settings.vocal_isolation_enabled:
+            from . import settings_store
+
+            if not settings_store.get_setting_bool("vocal_isolation_enabled",
+                                                   False):
                 raise RuntimeError("Vocal isolation is disabled on this server")
             report(3, "Vocal isolation…")
             from ..models import vocal

@@ -379,7 +379,8 @@ async def h_master_v2(request):
                 pass
     if fields.get("denoise_preset"):
         pro["denoise_preset"] = fields["denoise_preset"]
-    if pro.get("apply_vocal_isolation") and not settings.vocal_isolation_enabled:
+    if pro.get("apply_vocal_isolation") and not settings_store.get_setting_bool(
+            "vocal_isolation_enabled", False):
         raise _err(503, "Vocal isolation is disabled on this server")
 
     job_id = str(uuid.uuid4())
@@ -674,7 +675,7 @@ async def h_master_auto(request):
 
 
 async def h_isolate_vocal(request):
-    if not settings.vocal_isolation_enabled:
+    if not settings_store.get_setting_bool("vocal_isolation_enabled", False):
         raise _err(503, "Vocal isolation is disabled on this server")
     fields, data, filename = await _read_upload(request)
     _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))

@@ -226,13 +226,13 @@ def test_lufs_tool_endpoint(app_factory):
 
 
 def test_vocal_isolation_endpoint(app_factory):
-    from amw_tpu.runtime.config import settings
+    from amw_tpu.runtime import settings_store
 
     async def fn(client):
         form = _form({"file": _wav_bytes()})
         r = await client.post("/api/v2/isolate-vocal", data=form)
         assert r.status == 503  # disabled by default
-        settings.vocal_isolation_enabled = True
+        settings_store.set_setting("vocal_isolation_enabled", "true")
         try:
             form = _form({"file": _wav_bytes()})
             r = await client.post("/api/v2/isolate-vocal", data=form)
@@ -242,7 +242,7 @@ def test_vocal_isolation_endpoint(app_factory):
             assert sr == SR and back.shape[0] == 2
             assert np.all(np.isfinite(back))
         finally:
-            settings.vocal_isolation_enabled = False
+            settings_store.set_setting("vocal_isolation_enabled", "false")
 
     _client_test(app_factory, fn)
 

@@ -38,6 +38,23 @@ class ValidationError(ValueError):
     pass
 
 
+import contextlib
+import os
+
+
+@contextlib.contextmanager
+def _maybe_profile(tag: str):
+    """JAX profiler capture when AMW_PROFILE_DIR is set (the TPU analog of
+    the reference's mastering-trace observability, SURVEY §5.1) — produces
+    xprof traces viewable in TensorBoard/Perfetto."""
+    prof_dir = os.environ.get("AMW_PROFILE_DIR")
+    if not prof_dir:
+        yield
+        return
+    with jax.profiler.trace(os.path.join(prof_dir, tag)):
+        yield
+
+
 class MasteringEngine:
     """Thread-safe cache of compiled mastering graphs."""
 
@@ -139,7 +156,8 @@ class MasteringEngine:
         audio = self._pre_dc(np.ascontiguousarray(audio, np.float32),
                              chain_config)
         xb = self._pad(audio, spec.n)
-        res = fn(xb, params)
+        with _maybe_profile("master_v2"):
+            res = fn(xb, params)
         out = np.asarray(res["out"])[..., :n]
         before = float(np.asarray(res["before_lufs"]))
         after = float(np.asarray(res["after_lufs"]))
@@ -201,7 +219,8 @@ class MasteringEngine:
         )
         audio = self._pre_dc(np.ascontiguousarray(audio, np.float32), None)
         xb = self._pad(audio, spec.n)
-        res = fn(xb, params)
+        with _maybe_profile("master_v1"):
+            res = fn(xb, params)
         out = np.asarray(res["out"])[..., :n]
         before = float(np.asarray(res["before_lufs"]))
         after = float(np.asarray(res["after_lufs"]))

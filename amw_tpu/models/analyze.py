@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import design, meters
-from ..spec import GraphSpec
 
 STREAMING_PLATFORMS = {
     "Spotify": -14.0,

@@ -6,8 +6,6 @@ Reference: backend/app/pipeline.py:1267-1326 (``apply_harmonic_exciter``) and
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..spec import GraphSpec
 from . import design
 from .basic import exciter_saturate

@@ -23,9 +23,6 @@ the track ends matches the single-device graph to float tolerance.
 
 from __future__ import annotations
 
-import functools
-from dataclasses import replace
-
 import numpy as np
 import jax
 import jax.numpy as jnp

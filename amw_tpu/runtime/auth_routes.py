@@ -17,7 +17,7 @@ import time
 from aiohttp import web
 
 from . import deps, mailer, users
-from .auth import (api_key_hash, create_token, hash_password, new_api_key,
+from .auth import (create_token, hash_password, new_api_key,
                    verify_password)
 from .config import settings
 

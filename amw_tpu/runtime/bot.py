@@ -28,7 +28,6 @@ import urllib.request
 from ..constants import PRESET_LUFS
 from ..models.analyze import analyze
 from . import db, jobs, users
-from .config import settings
 from .engine import get_engine
 
 logger = logging.getLogger("amw_tpu.bot")

@@ -5,7 +5,7 @@ drop-in compatibility, ``AMW_`` accepted as an alias prefix)."""
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 
 
 def _env(name: str, default):

@@ -18,7 +18,6 @@ import jax
 from ..models.pipeline_v1 import build_v1_pipeline
 from ..models.v2_job import build_v2_job_graph
 from ..ops import basic, design, meters
-from ..parallel.batch import pad_to_bucket
 from ..spec import GraphSpec
 from ..utils.audio_io import export_audio, load_audio_from_bytes
 from .config import settings

@@ -26,7 +26,7 @@ from ..utils.audio_io import ffmpeg_available, load_audio_from_bytes
 from ..utils.metadata import embed_branding
 from . import admin_routes, ai_routes, auth_routes, db, deps, jobs, misc_routes, payments, settings_store, users
 from .config import settings
-from .engine import MasteringEngine, ValidationError, get_engine
+from .engine import MasteringEngine, get_engine
 
 START_TIME = time.time()
 

@@ -10,7 +10,6 @@ loops).
 
 from __future__ import annotations
 
-import io
 import struct
 
 import numpy as np

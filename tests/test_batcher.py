@@ -1,0 +1,90 @@
+"""Micro-batching scheduler: same-graph jobs coalesce into one execution."""
+
+import json
+import threading
+import time
+
+import numpy as np
+
+from amw_tpu.models.chain import default_chain_config
+from amw_tpu.refimpl.chain import chain_process
+from amw_tpu.runtime.batcher import BatchedChainRunner, Batcher
+from amw_tpu.spec import GraphSpec
+
+SR = 8000
+
+
+def test_batcher_coalesces_and_distributes():
+    calls = []
+
+    def run_batch(key, xb):
+        calls.append((key, xb.shape[0]))
+        return [x * 2 for x in xb]
+
+    b = Batcher(run_batch, window_ms=80.0, max_batch=4)
+    b.start()
+    try:
+        futs = [b.submit("k", np.full((3,), i, np.float32)) for i in range(3)]
+        outs = [f.result(timeout=5) for f in futs]
+        for i, o in enumerate(outs):
+            assert np.allclose(o, 2 * i)
+        # all three coalesced into one batch call
+        assert calls == [("k", 3)]
+        # max_batch reached fires immediately (4 quick submissions)
+        t0 = time.monotonic()
+        futs = [b.submit("k2", np.zeros(3, np.float32)) for _ in range(4)]
+        [f.result(timeout=5) for f in futs]
+        assert time.monotonic() - t0 < 1.0
+        assert ("k2", 4) in calls
+    finally:
+        b.stop()
+
+
+def test_batcher_propagates_errors():
+    def run_batch(key, xb):
+        raise RuntimeError("boom")
+
+    b = Batcher(run_batch, window_ms=10.0)
+    b.start()
+    try:
+        fut = b.submit("k", np.zeros(2, np.float32))
+        try:
+            fut.result(timeout=5)
+            raise AssertionError("expected failure")
+        except RuntimeError as e:
+            assert "boom" in str(e)
+    finally:
+        b.stop()
+
+
+def test_batched_chain_runner_matches_oracle():
+    g = np.random.default_rng(5)
+    n = 2 * SR
+    t = np.arange(n) / SR
+    base = 0.3 * np.sin(2 * np.pi * 150 * t)
+    tracks = []
+    for i in range(3):
+        x = (base + 0.02 * g.standard_normal(n)).astype(np.float32)
+        tracks.append(np.clip(np.stack([x, 0.8 * x]), -1, 1))
+    spec = GraphSpec(sr=SR, n=n, channels=2)
+    config = default_chain_config(-14.0, "standard")
+    cfg_json = json.dumps(config, sort_keys=True, default=str)
+
+    runner = BatchedChainRunner(window_ms=60.0, max_batch=4)
+    try:
+        results = [None] * 3
+
+        def work(i):
+            results[i] = runner.master(spec, cfg_json, tracks[i])
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        for i in range(3):
+            want = chain_process(tracks[i], SR, config)
+            err = np.max(np.abs(results[i].astype(np.float64) - want))
+            assert err < 1e-3, (i, err)
+    finally:
+        runner.close()

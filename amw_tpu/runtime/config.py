@@ -75,6 +75,9 @@ class Settings:
 
     # Engine.
     engine_exact_mode: bool = True
+    engine_micro_batch: bool = False
+    engine_batch_window_ms: float = 50.0
+    engine_max_micro_batch: int = 8
     db_path: str = "amw_tpu.sqlite3"
 
     # Referral rewards (config.py:82-84).

@@ -57,11 +57,24 @@ def _maybe_profile(tag: str):
 class MasteringEngine:
     """Thread-safe cache of compiled mastering graphs."""
 
-    def __init__(self, exact: bool | None = None, bucket: bool = True):
+    def __init__(self, exact: bool | None = None, bucket: bool = True,
+                 micro_batch: bool | None = None):
         self.exact = settings.engine_exact_mode if exact is None else exact
         self.bucket = bucket
+        self.micro_batch = (settings.engine_micro_batch
+                            if micro_batch is None else micro_batch)
         self._cache: dict = {}
+        self._batch_graphs: dict = {}
         self._lock = threading.Lock()
+        self._batcher = None
+        if self.micro_batch:
+            from .batcher import Batcher
+
+            self._batcher = Batcher(
+                self._run_v2_batch,
+                window_ms=settings.engine_batch_window_ms,
+                max_batch=settings.engine_max_micro_batch)
+            self._batcher.start()
 
     # -- graph cache -------------------------------------------------------
 
@@ -156,7 +169,11 @@ class MasteringEngine:
                              chain_config)
         xb = self._pad(audio, spec.n)
         with _maybe_profile("master_v2"):
-            res = fn(xb, params)
+            if self._batcher is not None:
+                res = self._batcher.submit(("v2", spec, key), xb).result(
+                    timeout=600.0)
+            else:
+                res = fn(xb, params)
         out = np.asarray(res["out"])[..., :n]
         before = float(np.asarray(res["before_lufs"]))
         after = float(np.asarray(res["after_lufs"]))
@@ -183,10 +200,32 @@ class MasteringEngine:
         }
 
     def _built_v2(self, spec, chain_config, pro, target_lufs, style):
-        params, fn, _ = build_v2_job_graph(
-            spec, chain_config, pro, target_lufs, style, jit=True
+        params, raw_fn, names = build_v2_job_graph(
+            spec, chain_config, pro, target_lufs, style, jit=False
         )
-        return jax.device_put(params), fn, _
+        return jax.device_put(params), jax.jit(raw_fn), (names, raw_fn)
+
+    # -- micro-batching (see runtime/batcher.py) ---------------------------
+
+    def _run_v2_batch(self, bkey, xb):
+        kind, spec, key = bkey
+        params, _fn, (names, raw_fn) = self._cache[(kind, spec, key)]
+        b = xb.shape[0]
+        b_pow2 = 1 << (b - 1).bit_length()
+        gkey = (bkey, b_pow2)
+        with self._lock:
+            bfn = self._batch_graphs.get(gkey)
+        if bfn is None:
+            bfn = jax.jit(lambda x, p: jax.vmap(raw_fn, in_axes=(0, None))(x, p))
+            with self._lock:
+                self._batch_graphs.setdefault(gkey, bfn)
+            bfn = self._batch_graphs[gkey]
+        if b_pow2 != b:
+            xb = np.concatenate(
+                [xb, np.repeat(xb[:1], b_pow2 - b, axis=0)], axis=0)
+        res = bfn(xb, params)
+        res = {k: np.asarray(v) for k, v in res.items()}
+        return [{k: v[i] for k, v in res.items()} for i in range(b)]
 
     def master_v1_bytes(
         self, data: bytes, filename: str, *,

@@ -88,3 +88,49 @@ def test_batched_chain_runner_matches_oracle():
             assert err < 1e-3, (i, err)
     finally:
         runner.close()
+
+
+def test_engine_micro_batch_mode():
+    import tempfile
+
+    from amw_tpu.runtime import db
+    from amw_tpu.runtime.engine import MasteringEngine
+    from amw_tpu.utils import wav
+
+    tmp = tempfile.NamedTemporaryFile(suffix=".sqlite3")
+    db.set_db_path(tmp.name)
+    g = np.random.default_rng(9)
+    n = 2 * SR
+    t = np.arange(n) / SR
+
+    def blob(i):
+        x = (0.3 * np.sin(2 * np.pi * (200 + 40 * i) * t)
+             + 0.02 * g.standard_normal(n)).astype(np.float32)
+        q = (np.clip(np.stack([x, x]), -1, 1) * 32767).astype(np.int16)
+        return wav.write_wav_int16(q, SR)
+
+    plain = MasteringEngine(bucket=True, micro_batch=False)
+    batched = MasteringEngine(bucket=True, micro_batch=True)
+    try:
+        blobs = [blob(i) for i in range(3)]
+        want = [plain.master_v2_bytes(b, "t.wav", target_lufs=-14.0)
+                for b in blobs]
+
+        got = [None] * 3
+
+        def work(i):
+            got[i] = batched.master_v2_bytes(blobs[i], "t.wav",
+                                             target_lufs=-14.0)
+
+        threads = [threading.Thread(target=work, args=(i,)) for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=180)
+        for i in range(3):
+            a, _ = wav.read_wav(got[i]["bytes"])
+            b, _ = wav.read_wav(want[i]["bytes"])
+            assert np.max(np.abs(a - b)) < 2.5 / 32768, i  # dither RNG differs
+            assert abs(got[i]["after_lufs"] - want[i]["after_lufs"]) < 0.05
+    finally:
+        batched._batcher.stop()

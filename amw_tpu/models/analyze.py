@@ -28,38 +28,56 @@ STREAMING_PLATFORMS = {
 }
 
 
+ANALYSIS_BUCKETS_SEC = (5, 15, 30, 60, 90, 120, 150, 180, 240, 300, 420, 600)
+
+
+def _bucket_for(sr: int, n: int) -> int:
+    for s in ANALYSIS_BUCKETS_SEC:
+        bn = int(round(s * sr))
+        if bn >= n:
+            return bn
+    return n
+
+
 @functools.lru_cache(maxsize=32)
 def _analysis_graph(sr: int, n: int, channels: int, extended: bool,
                     true_peak: bool):
+    """Jitted analysis graph on a BUCKETED length: ``n`` is the padded
+    static size; every meter is valid-length masked, so one compiled graph
+    serves any upload up to the bucket."""
     settle = meters.k_weight_settle(sr)
     nfft = design.next_fft_size(n + settle)
     Hk = meters.k_weight_response(sr, nfft)
     can_gate = n >= int(0.4 * sr) + 1
     plan = meters.plan_blocks(sr, n) if can_gate else None
 
-    def fn(x, Hk_dev):
+    def fn(x, Hk_dev, n_valid):
         out = {}
         out["peak"] = jnp.max(jnp.abs(x)) if n > 0 else jnp.float32(0.0)
         if can_gate:
-            out["lufs"] = meters.integrated_lufs(x, Hk_dev, nfft, plan)
+            out["lufs"] = meters.integrated_lufs(x, Hk_dev, nfft, plan,
+                                                 n_valid=n_valid)
         if channels == 2:
-            out["correlation"] = meters.stereo_correlation(x)
+            out["correlation"] = meters.stereo_correlation(x, n_valid=n_valid)
         if true_peak:
             out["true_peak_db"] = meters.true_peak_dbfs(x)
-            tl3 = meters.timeline_lufs(x, Hk_dev, nfft, sr, block_sec=3.0,
-                                       max_points=200)
-            out["lra"] = meters.loudness_range_lu(tl3)
+            tl3, tl3_valid = meters.timeline_lufs_masked(
+                x, Hk_dev, nfft, sr, n_valid, block_sec=3.0, max_points=200)
+            out["lra"] = meters.loudness_range_lu(
+                jnp.where(tl3_valid, tl3, -1e9))
         if extended:
             if n >= 4096:
-                out["spectrum"] = meters.spectrum_bars(x, sr)
+                out["spectrum"] = meters.spectrum_bars_masked(x, sr, n_valid)
                 if channels == 2:
                     mid = (x[0] + x[1]) * 0.5
                     side = (x[0] - x[1]) * 0.5
-                    out["spectrum_mid"] = meters.spectrum_bars(mid[None], sr)
-                    out["spectrum_side"] = meters.spectrum_bars(side[None], sr)
-            out["timeline"] = meters.timeline_lufs(x, Hk_dev, nfft, sr)
+                    out["spectrum_mid"] = meters.spectrum_bars_masked(
+                        mid[None], sr, n_valid)
+                    out["spectrum_side"] = meters.spectrum_bars_masked(
+                        side[None], sr, n_valid)
+            out["timeline"], out["timeline_valid"] =                 meters.timeline_lufs_masked(x, Hk_dev, nfft, sr, n_valid)
             if channels == 2:
-                out["vectorscope"] = meters.vectorscope_points(x)
+                out["vectorscope"], out["vectorscope_valid"] =                     meters.vectorscope_points_masked(x, n_valid)
         return out
 
     return jax.jit(fn), jax.device_put(Hk)
@@ -73,8 +91,10 @@ def analyze(x: np.ndarray, sr: int, extended: bool = False) -> dict:
     """The /api/v2/analyze response dict for a [C, N] track."""
     x = np.atleast_2d(np.asarray(x, np.float32))
     C, n = x.shape
-    fn, Hk = _analysis_graph(sr, n, C, extended, False)
-    r = {k: np.asarray(v) for k, v in fn(x, Hk).items()}
+    n_pad = _bucket_for(sr, n)
+    xp = np.pad(x, ((0, 0), (0, n_pad - n)))
+    fn, Hk = _analysis_graph(sr, n_pad, C, extended, False)
+    r = {k: np.asarray(v) for k, v in fn(xp, Hk, np.int32(n)).items()}
 
     lufs = float(r["lufs"]) if "lufs" in r else float("nan")
     if lufs < -1e8:
@@ -113,7 +133,10 @@ def analyze(x: np.ndarray, sr: int, extended: bool = False) -> dict:
             out["spectrum_bars_mid"] = [_round(v) for v in r["spectrum_mid"]]
             out["spectrum_bars_side"] = [_round(v) for v in r["spectrum_side"]]
         if "timeline" in r:
-            tl = [(_round(v) if v > -1e8 else None) for v in r["timeline"]]
+            tv = r.get("timeline_valid")
+            count = int(tv.sum()) if tv is not None else len(r["timeline"])
+            tl = [(_round(v) if v > -1e8 else None)
+                  for v in r["timeline"][:count]]
             out["lufs_timeline"] = tl
             duration = n / sr
             if duration <= 0.4 or n < int(sr * 0.4):
@@ -123,8 +146,11 @@ def analyze(x: np.ndarray, sr: int, extended: bool = False) -> dict:
                 step_sec = (duration - 0.4) / max(n_points - 1, 1)
             out["timeline_step_sec"] = round(float(step_sec), 4)
         if "vectorscope" in r:
+            vv = r.get("vectorscope_valid")
+            cnt = int(vv.sum()) if vv is not None else len(r["vectorscope"])
             out["vectorscope_points"] = [
-                [round(float(a), 5), round(float(b), 5)] for a, b in r["vectorscope"]
+                [round(float(a), 5), round(float(b), 5)]
+                for a, b in r["vectorscope"][:cnt]
             ]
     return out
 
@@ -133,8 +159,10 @@ def lufs_analyze_tool(x: np.ndarray, sr: int, fmt: str = "wav") -> dict:
     """The /api/tools/lufs-analyze response (tools.py:83-152)."""
     x = np.atleast_2d(np.asarray(x, np.float32))
     C, n = x.shape
-    fn, Hk = _analysis_graph(sr, n, C, True, True)
-    r = {k: np.asarray(v) for k, v in fn(x, Hk).items()}
+    n_pad = _bucket_for(sr, n)
+    xp = np.pad(x, ((0, 0), (0, n_pad - n)))
+    fn, Hk = _analysis_graph(sr, n_pad, C, True, True)
+    r = {k: np.asarray(v) for k, v in fn(xp, Hk, np.int32(n)).items()}
 
     integrated = float(r["lufs"]) if "lufs" in r else float("nan")
     if math.isnan(integrated) or integrated < -1e8:
@@ -142,7 +170,8 @@ def lufs_analyze_tool(x: np.ndarray, sr: int, fmt: str = "wav") -> dict:
     tp = float(r["true_peak_db"]) if n else -120.0
     lra = float(r["lra"])
     tl = np.asarray(r["timeline"])
-    valid = tl[tl > -1e8]
+    tv = np.asarray(r.get("timeline_valid", np.ones(len(tl), bool)))
+    valid = tl[tv & (tl > -1e8)]
     st_max = float(valid.max()) if valid.size else None
 
     recs = []

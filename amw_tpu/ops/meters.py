@@ -118,15 +118,20 @@ def block_energies(y: jax.Array, plan: BlockPlan) -> jax.Array:
     return gathered.sum(axis=-1) / plan.div
 
 
-def gated_loudness(z: jax.Array, rel_gate_lu: float = 10.0) -> jax.Array:
+def gated_loudness(z: jax.Array, rel_gate_lu: float = 10.0,
+                   block_mask: jax.Array | None = None) -> jax.Array:
     """Two-stage gated integrated loudness from block energies ``z`` [C, J].
-    Returns a scalar (LUFS); -inf-like (-1e9) when everything is gated."""
+    ``block_mask``: optional [J] bool marking blocks that exist for the valid
+    track length (bucket padding support).  Returns a scalar (LUFS);
+    -inf-like (-1e9) when everything is gated."""
     C, J = z.shape
     g = jnp.asarray(_CHANNEL_GAINS[:C] if C <= 5 else (1.0,) * C, z.dtype)
     zsum = jnp.einsum("c,cj->j", g, z)
     l_j = -0.691 + 10.0 * jnp.log10(jnp.maximum(zsum, 1e-30))
 
     m1 = l_j > _ABS_GATE_LUFS
+    if block_mask is not None:
+        m1 = m1 & block_mask
     cnt1 = jnp.maximum(m1.sum(), 1)
     z_avg1 = (z * m1[None, :]).sum(axis=1) / cnt1
     gamma_r = -0.691 + 10.0 * jnp.log10(
@@ -142,12 +147,20 @@ def gated_loudness(z: jax.Array, rel_gate_lu: float = 10.0) -> jax.Array:
     return jnp.where(m2.any(), lufs, -1e9)
 
 
-def integrated_lufs(x: jax.Array, Hk: jax.Array, nfft: int, plan: BlockPlan) -> jax.Array:
+def integrated_lufs(x: jax.Array, Hk: jax.Array, nfft: int, plan: BlockPlan,
+                    n_valid: jax.Array | None = None) -> jax.Array:
     """Integrated loudness of ``x`` [C, N].  ``Hk``: packed K-weighting
-    response (float32 [2, nbins])."""
+    response (float32 [2, nbins]).  With ``n_valid`` (traced sample count),
+    ``x`` may be zero-padded to the static N: blocks beyond the valid
+    length's pyloudnorm block count are masked out (padding is silent, so
+    retained truncated-tail blocks match the exact-length meter)."""
     H = jax.lax.complex(Hk[0], Hk[1])
     y = lfilter_fd(x, H, nfft)
-    return gated_loudness(block_energies(y, plan))
+    mask = None
+    if n_valid is not None:
+        n_blocks_v = jnp.round((n_valid / plan.sr - 0.4) / 0.1) + 1
+        mask = jnp.arange(plan.n_blocks) < n_blocks_v
+    return gated_loudness(block_energies(y, plan), block_mask=mask)
 
 
 def normalize_lufs_gain(lufs: jax.Array, target_lufs, max_gain_db: float = 20.0) -> jax.Array:
@@ -221,6 +234,64 @@ def timeline_lufs(
     return jnp.where(l_seg > _ABS_GATE_LUFS, l_seg, -1e9)
 
 
+def timeline_lufs_masked(
+    x: jax.Array, Hk: jax.Array, nfft: int, sr: int, n_valid: jax.Array,
+    block_sec: float = 0.4, max_points: int = 300,
+):
+    """Valid-length-masked timeline for bucket-padded input.
+
+    Returns ``(l_seg [max_points], valid [max_points])``: per-segment
+    loudness (-1e9 where gated) and whether the segment exists for the valid
+    track length.  Segment stepping reproduces compute_lufs_timeline's
+    arithmetic with the duration as a traced value.
+    """
+    n_pad = x.shape[-1]
+    y = lfilter_fd(x, jax.lax.complex(Hk[0], Hk[1]), nfft)
+    block_samples = int(sr * block_sec)
+    duration = n_valid / sr
+    n_points = jnp.clip(
+        jnp.floor((duration - block_sec) / (block_sec * 0.25)).astype(jnp.int32) + 1,
+        1, max_points)
+    step_sec = (duration - block_sec) / jnp.maximum(n_points - 1, 1)
+    step_samples = jnp.maximum((sr * step_sec).astype(jnp.int32), 1)
+    k = jnp.arange(max_points)
+    starts = k * step_samples
+    valid = starts + block_samples <= n_valid
+    idx = jnp.minimum(starts[:, None] + jnp.arange(block_samples)[None, :],
+                      n_pad - 1)
+    seg = jnp.square(y)[:, idx]  # [C, P, B]
+    z = seg.sum(axis=-1) / float(block_samples)
+    C = z.shape[0]
+    g = jnp.asarray(_CHANNEL_GAINS[:C] if C <= 5 else (1.0,) * C, z.dtype)
+    l_seg = -0.691 + 10.0 * jnp.log10(
+        jnp.maximum(jnp.einsum("c,cp->p", g, z), 1e-30))
+    l_seg = jnp.where((l_seg > _ABS_GATE_LUFS) & valid, l_seg, -1e9)
+    return l_seg, valid
+
+
+def spectrum_bars_masked(x: jax.Array, sr: int, n_valid: jax.Array,
+                         n_fft: int = 4096, **kw) -> jax.Array:
+    """Spectrum bars with the analysis frame centered at the *valid*
+    midpoint of a bucket-padded track."""
+    mono = x.mean(axis=0) if x.ndim > 1 else x
+    n_pad = mono.shape[-1]
+    start = jnp.clip(n_valid // 2 - n_fft // 2, 0, max(n_pad - n_fft, 0))
+    frame = jax.lax.dynamic_slice_in_dim(mono, start, n_fft, axis=-1)
+    return _bars_from_frame(frame, sr, n_fft, **kw)
+
+
+def vectorscope_points_masked(x: jax.Array, n_valid: jax.Array,
+                              max_points: int = 1000):
+    """(points [P, 2], valid [P]) decimated over the valid region only."""
+    n_pad = x.shape[-1]
+    step = jnp.maximum(n_valid // max_points, 1)
+    idx = jnp.arange(max_points) * step
+    valid = idx < n_valid
+    idx = jnp.minimum(idx, n_pad - 1)
+    pts = jnp.stack([x[0][idx], x[1][idx]], axis=-1)
+    return jnp.clip(pts, -1.0, 1.0), valid
+
+
 def loudness_range_lu(timeline: jax.Array) -> jax.Array:
     """LRA estimate: p95 - p10 of valid 3 s short-term values
     (routers/tools.py:56-65)."""
@@ -286,11 +357,13 @@ def true_peak_dbfs(x: jax.Array) -> jax.Array:
 # Stereo correlation / vectorscope / spectrum bars
 
 
-def stereo_correlation(x: jax.Array) -> jax.Array:
-    """Pearson correlation of L/R (pipeline.py:766-791).  ``x``: [2, N]."""
+def stereo_correlation(x: jax.Array, n_valid=None) -> jax.Array:
+    """Pearson correlation of L/R (pipeline.py:766-791).  ``x``: [2, N].
+    Zero padding beyond ``n_valid`` leaves every sum unchanged, so masking
+    reduces to using the valid count in the formula."""
     left = x[0].astype(jnp.float32)
     right = x[1].astype(jnp.float32)
-    n = left.shape[0]
+    n = left.shape[0] if n_valid is None else n_valid
     sum_l = left.sum()
     sum_r = right.sum()
     sum_lr = (left * right).sum()
@@ -315,7 +388,12 @@ def spectrum_bars(
     n = mono.shape[-1]
     start = max(0, n // 2 - n_fft // 2)
     frame = jax.lax.dynamic_slice_in_dim(mono, start, n_fft, axis=-1)
-    window = jnp.asarray(np.hanning(n_fft), mono.dtype)
+    return _bars_from_frame(frame, sr, n_fft, n_bars, min_hz, max_hz)
+
+
+def _bars_from_frame(frame, sr: int, n_fft: int, n_bars: int = 64,
+                     min_hz: float = 20.0, max_hz: float = 20000.0):
+    window = jnp.asarray(np.hanning(n_fft), frame.dtype)
     spec = jnp.fft.rfft(frame * window)
     mag = jnp.abs(spec) * (2.0 / n_fft)
     nyq = sr / 2.0

@@ -104,6 +104,55 @@ async function jpost(url, body) {
   } catch (e) { /* offline page preview */ }
 })();
 
+/* ---------- chain editor ---------- */
+let chainConfig = null;
+
+async function loadChain() {
+  try {
+    chainConfig = await jget("/api/v2/chain/default");
+    renderChain();
+  } catch (e) { /* offline preview */ }
+}
+
+function renderChain() {
+  const box = $("chain-editor");
+  if (!box || !chainConfig) return;
+  box.innerHTML = "";
+  chainConfig.modules.forEach((m, i) => {
+    const row = document.createElement("label");
+    row.innerHTML =
+      `<input type="checkbox" data-i="${i}" ${m.enabled ? "checked" : ""}>` +
+      ` ${m.id}` +
+      ` <input type="number" data-amt="${i}" value="${m.amount ?? 1}"` +
+      ` min="0" max="1" step="0.1" style="width:58px" title="amount">`;
+    box.appendChild(row);
+  });
+  box.querySelectorAll("input[type=checkbox]").forEach((el) => {
+    el.onchange = () => {
+      chainConfig.modules[+el.dataset.i].enabled = el.checked;
+    };
+  });
+  box.querySelectorAll("input[data-amt]").forEach((el) => {
+    el.onchange = () => {
+      chainConfig.modules[+el.dataset.amt].amount =
+        Math.max(0, Math.min(1, parseFloat(el.value) || 1));
+    };
+  });
+}
+
+$("chain-reset") && ($("chain-reset").onclick = loadChain);
+loadChain();
+
+function chainConfigForSubmit() {
+  if (!chainConfig) return null;
+  const cfg = JSON.parse(JSON.stringify(chainConfig));
+  // keep target/style in sync with the selectors
+  for (const m of cfg.modules) {
+    if (m.id === "style_eq") m.style = $("style").value || "standard";
+  }
+  return cfg;
+}
+
 /* ---------- file selection ---------- */
 const drop = $("drop");
 drop.addEventListener("click", () => $("file").click());
@@ -141,6 +190,8 @@ $("btn-master").addEventListener("click", async () => {
   if (Math.abs(ta - 1) > 0.02) fd.append("transient_attack", ta);
   const pm = parseFloat($("p-pm").value);
   if (pm > 0) fd.append("parallel_mix", pm);
+  const cfg = chainConfigForSubmit();
+  if (cfg) fd.append("config", JSON.stringify(cfg));
 
   $("btn-master").disabled = true;
   try {

@@ -108,47 +108,16 @@ def fftconvolve_same_fd(x: jax.Array, h: jax.Array, nfft: int) -> jax.Array:
     ``scipy.signal.fftconvolve(x, h, mode='same')``.  ``h`` is a 1-D FIR
     (device array); requires ``nfft >= n + len(h) - 1``.
 
-    Short odd kernels (boxcar gain smoothing, Savitzky-Golay) dispatch to a
-    direct VPU convolution — a full-track FFT pair for a 66-tap kernel costs
-    ~30x more than the multiply-adds."""
+    Measured on TPU v5e: XLA's single large FFT outperforms both a direct
+    VPU convolution (1-channel conv lowering is poor) and batched
+    overlap-save windows (~1.7x slower from the 2x halo traffic), so short
+    kernels deliberately share this path.
+    """
     n = x.shape[-1]
     L = h.shape[-1]
-    if L <= 1024 and L % 2 == 1 and n >= 1 << 18:
-        # odd kernels only: the overlap-save 'valid' alignment below assumes
-        # a centered (L-1)/2 group delay
-        return _conv_same_overlap_save(x, h)
     y = _irfft(_rfft(x, nfft) * _rfft(h, nfft), nfft)
     start = (L - 1) // 2
     return y[..., start:start + n]
-
-
-def _conv_same_overlap_save(x: jax.Array, h: jax.Array,
-                            block: int = 1 << 16) -> jax.Array:
-    """'same' convolution of a long signal with a short kernel via
-    overlap-save: batched small FFTs instead of one giant transform (the
-    giant-transform path costs a full-track FFT pair regardless of kernel
-    size; batched 64k FFTs run far closer to the TPU's bandwidth roofline).
-    """
-    import numpy as np
-
-    n = x.shape[-1]
-    L = h.shape[-1]
-    hw = (L - 1) // 2
-    K = -(-n // block)
-    # ext covers [kB - hw, kB + B + (L-1-hw)) for every chunk k.
-    ext = jnp.pad(x, [(0, 0)] * (x.ndim - 1)
-                  + [(hw, (K + 1) * block - n - hw)])
-    chunks = ext.reshape(x.shape[:-1] + (K + 1, block))
-    windows = jnp.concatenate(
-        [chunks[..., :-1, :], chunks[..., 1:, : L - 1]], axis=-1
-    )  # [..., K, block + L - 1]
-    from . import design
-
-    nfft2 = design.next_fft_size(block + 2 * L)
-    y = _irfft(_rfft(windows, nfft2) * _rfft(h, nfft2), nfft2)
-    y = y[..., L - 1: L - 1 + block]  # 'valid' region == y_same[kB : kB+B]
-    y = y.reshape(x.shape[:-1] + (K * block,))
-    return y[..., :n]
 
 
 def resample_fft(x: jax.Array, n_out: int) -> jax.Array:

@@ -105,17 +105,3 @@ def test_odd_ext_matches_scipy(noise_stereo):
     got = np.asarray(fdfilter.odd_ext(jnp.asarray(x), 9))
     want = odd_ext(x, 9, axis=-1)
     np.testing.assert_allclose(got, want, atol=1e-7)
-
-
-def test_conv_same_overlap_save_matches_scipy():
-    from amw_tpu.ops.fdfilter import _conv_same_overlap_save
-
-    g = np.random.default_rng(4)
-    x = g.standard_normal((2, 300_000)).astype(np.float32)
-    for L in (3, 67, 101):
-        h = g.standard_normal(L).astype(np.float32)
-        got = np.asarray(_conv_same_overlap_save(
-            jnp.asarray(x), jnp.asarray(h)))
-        want = np.stack([sg.fftconvolve(c, h, mode="same")
-                         for c in x.astype(np.float64)])
-        assert np.max(np.abs(got - want)) < 1e-3, L

@@ -30,6 +30,8 @@ All functions operate on the trailing axis and broadcast over leading axes.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +42,38 @@ def _rfft(x, nfft):
 
 def _irfft(X, nfft):
     return jnp.fft.irfft(X, n=nfft, axis=-1)
+
+
+def _use_mxu_fft(nfft: int) -> bool:
+    """Route large power-of-two transforms through the matmul FFT
+    (ops.fft_mxu) when enabled — see AMW_FFT_MXU."""
+    if os.environ.get("AMW_FFT_MXU", "0") != "1":
+        return False
+    return nfft >= (1 << 16) and (nfft & (nfft - 1)) == 0
+
+
+def _apply_response(x, H, nfft: int, conj: bool = False):
+    """irfft(rfft(x, nfft) * H)[:nfft] with selectable FFT backend.
+
+    ``H`` may be complex (causal/exact responses) or real (zero-phase power
+    responses)."""
+    if _use_mxu_fft(nfft):
+        from .fft_mxu import irfft_mxu, rfft_mxu
+
+        xr, xi = rfft_mxu(x, nfft)
+        if jnp.iscomplexobj(H):
+            Hr, Hi = jnp.real(H), jnp.imag(H)
+            if conj:
+                Hi = -Hi
+            yr = xr * Hr - xi * Hi
+            yi = xr * Hi + xi * Hr
+        else:
+            yr = xr * H
+            yi = xi * H
+        return irfft_mxu(yr, yi, nfft)
+    if conj:
+        H = jnp.conj(H)
+    return _irfft(_rfft(x, nfft) * H, nfft)
 
 
 def odd_ext(x: jax.Array, p: int) -> jax.Array:
@@ -55,7 +89,7 @@ def lfilter_fd(x: jax.Array, H: jax.Array, nfft: int) -> jax.Array:
     """Causal LTI filter, zero initial state.  ``H``: complex response on the
     rFFT grid of ``nfft``.  Requires ``nfft >= x.shape[-1] + settle``."""
     n = x.shape[-1]
-    y = _irfft(_rfft(x, nfft) * H, nfft)
+    y = _apply_response(x, H, nfft)
     return y[..., :n]
 
 
@@ -85,21 +119,21 @@ def filtfilt_fd(
     ncore = n + 2 * p
 
     if not exact:
-        y = _irfft(_rfft(core, nfft) * H, nfft)
+        y = _apply_response(core, H, nfft)
         return y[..., p:p + n]
 
     M = settle
     x0 = core[..., :1]
     prefix = jnp.broadcast_to(x0, x.shape[:-1] + (M,))
     ext1 = jnp.concatenate([prefix, core], axis=-1)
-    yf = _irfft(_rfft(ext1, nfft) * H, nfft)[..., M:M + ncore]
+    yf = _apply_response(ext1, H, nfft)[..., M:M + ncore]
 
     y_end = yf[..., -1:]
     suffix = jnp.broadcast_to(y_end, x.shape[:-1] + (M,))
     ext2 = jnp.concatenate([yf, suffix], axis=-1)
     # Anti-causal pass: multiply by conj(H) == reverse, filter, reverse with
     # the right-end steady state provided by the constant suffix.
-    z = _irfft(_rfft(ext2, nfft) * jnp.conj(H), nfft)
+    z = _apply_response(ext2, H, nfft, conj=True)
     return z[..., p:p + n]
 
 

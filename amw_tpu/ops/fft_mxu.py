@@ -18,6 +18,14 @@ packing for real signals.
 Accuracy: each stage contributes ~sqrt(radix)·eps relative error; for 2^23
 points the measured error vs numpy is ~1e-6 relative — comparable to XLA's
 own FFT and far inside the chain's -90 dBFS budget.
+
+Measured on TPU v5e (2026-08-16, [16, 2^23] rfft→multiply→irfft pair):
+XLA native 109 ms vs this backend 368 ms (real or complex response alike).
+The radix-128 matmuls themselves are cheap (~9 GFLOP/stage) but each
+recursion level round-trips the array through HBM for the swapaxes
+relayout, and that bandwidth dominates.  The backend therefore stays OFF
+by default (``AMW_FFT_MXU=1`` to enable) and is kept as the starting point
+for a Pallas fused-transpose variant.
 """
 
 from __future__ import annotations

@@ -15,7 +15,7 @@ from ..constants import DYNAMIC_EQ_MASTERING_BANDS
 from ..spec import GraphSpec
 from . import design
 from .basic import maximizer
-from .fdfilter import fftconvolve_same_fd
+from .fdfilter import box_smooth_same
 from .scan import ar_coefs, envelope_follower
 from .zphase import make_zp
 
@@ -45,9 +45,7 @@ def build_deesser(
     k = max(3, int(spec.sr * 0.0015))
     if k % 2 == 0:
         k += 1
-    ker = (np.ones(k) / k).astype(np.float32)
-    nfft_s = design.next_fft_size(spec.n + k)
-    params = [zp.params, ker]
+    params = [zp.params]
 
     def fn(x, params):
         sidechain = zp(x, params[0])
@@ -55,7 +53,9 @@ def build_deesser(
         reduction = jnp.where(env > thresh, thresh + (env - thresh) / ratio, env)
         gain = jnp.where(env > 1e-10, reduction / (env + 1e-12), 1.0)
         gain = jnp.clip(gain, 0.35, 1.0)
-        gain = fftconvolve_same_fd(gain, params[1], nfft_s)
+        # ~1.5 ms box smoothing: shift-add moving average instead of a full
+        # track-length FFT pair (saves ~109 ms/batch on v5e, see fdfilter).
+        gain = box_smooth_same(gain, k)
         gain = jnp.clip(gain, 0.35, 1.0)
         return x - sidechain + sidechain * gain
 

@@ -154,6 +154,27 @@ def fftconvolve_same_fd(x: jax.Array, h: jax.Array, nfft: int) -> jax.Array:
     return y[..., start:start + n]
 
 
+def box_smooth_same(x: jax.Array, k: int) -> jax.Array:
+    """Centered moving average of odd width ``k`` with zero-padded edges —
+    bit-equivalent (up to f32 summation order) to
+    ``fftconvolve_same_fd(x, ones(k)/k, nfft)``.
+
+    The deesser's gain-smoothing kernel is a ~66-tap box; routing it through
+    the giant track-length FFT costs a full forward+inverse pass (~109 ms for
+    [16, 2^23] on v5e).  An unrolled shift-add lets XLA fuse the k reads into
+    one VMEM-tiled elementwise kernel — bandwidth-bound at ~2 array passes.
+    """
+    if k <= 1:
+        return x
+    n = x.shape[-1]
+    half = k // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, k - 1 - half)])
+    acc = xp[..., :n]
+    for s in range(1, k):
+        acc = acc + xp[..., s:s + n]
+    return acc * (1.0 / k)
+
+
 def resample_fft(x: jax.Array, n_out: int) -> jax.Array:
     """FFT-domain resampling with ``scipy.signal.resample`` semantics for real
     input (reference: pipeline.py:920-936 and the exciter oversampling path).

@@ -105,3 +105,24 @@ def test_odd_ext_matches_scipy(noise_stereo):
     got = np.asarray(fdfilter.odd_ext(jnp.asarray(x), 9))
     want = odd_ext(x, 9, axis=-1)
     np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_box_smooth_same_matches_fftconvolve():
+    from amw_tpu.ops import design
+    from amw_tpu.ops.fdfilter import box_smooth_same, fftconvolve_same_fd
+
+    g = np.random.default_rng(7)
+    for n, k in [(1000, 67), (4096, 3), (12345, 131)]:
+        x = g.standard_normal((2, n)).astype(np.float32)
+        ker = jnp.asarray((np.ones(k) / k).astype(np.float32))
+        nfft = design.next_fft_size(n + k)
+        want = np.asarray(fftconvolve_same_fd(jnp.asarray(x), ker, nfft))
+        got = np.asarray(box_smooth_same(jnp.asarray(x), k))
+        assert np.max(np.abs(got - want)) < 2e-6
+
+
+def test_box_smooth_width_one_identity():
+    from amw_tpu.ops.fdfilter import box_smooth_same
+
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((3, 50)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(box_smooth_same(x, 1)), np.asarray(x))

@@ -30,6 +30,8 @@ from ..constants import STYLE_CONFIGS
 from ..ops import basic, meters
 from ..ops.bands import build_dynamics
 from ..ops.dynamics import build_maximizer_transient_aware
+from ..ops import eq
+from ..ops import fused as ops_fused
 from ..ops.eq import (
     build_final_spectral_balance,
     build_style_eq,
@@ -229,13 +231,63 @@ def build_chain_ops(spec: GraphSpec, config: dict, *,
     (ids, params_list, fns, bypassed) — used by compile_chain and by the v2
     job graph (which wraps the chain with PRE/POST pro stages)."""
     fns, params_all, ids, bypassed = [], [], [], []
-    for item in config.get("modules", []):
-        item = dict(item)
+    modules = [dict(m) for m in config.get("modules", [])]
+    skip_ids: set = set()
+
+    def _is(idx2, mid2):
+        return (0 <= idx2 < len(modules)
+                and modules[idx2].get("id") == mid2
+                and bool(modules[idx2].get("enabled", True))
+                and float(modules[idx2].get("amount", 1.0)) >= 1.0)
+
+    for idx, item in enumerate(modules):
         mid = item.pop("id", None)
         if not mid or mid not in MODULE_BUILDERS:
             continue
         if not bool(item.get("enabled", True)):
             continue
+        if idx in skip_ids:
+            continue
+        full = float(item.get("amount", 1.0)) >= 1.0
+        # Peephole fusions over adjacent linear(-up-to-a-scalar) modules —
+        # each saves a forward FFT or a whole pair per track (ops.fused):
+        #   normalize_lufs → final_spectral_balance [→ style_eq]
+        #   final_spectral_balance → style_eq
+        if (mid == "normalize_lufs" and full
+                and _is(idx + 1, "final_spectral_balance")):
+            with_style = _is(idx + 2, "style_eq")
+            st = (style if style is not None
+                  else modules[idx + 2].get("style", "standard")) \
+                if with_style else None
+            tgt = (target_lufs if target_lufs is not None
+                   else float(item.get("target_lufs", -14.0)))
+            try:
+                fused = ops_fused.build_normalize_then_final(spec, tgt, st)
+            except Exception:
+                fused = None
+            if fused is not None:
+                p_nf, f_nf, nf_id = fused
+                skip_ids.add(idx + 1)
+                if with_style and nf_id.endswith("style_eq"):
+                    skip_ids.add(idx + 2)
+                fns.append(f_nf)
+                params_all.append(list(p_nf))
+                ids.append(nf_id)
+                continue
+        if (mid == "final_spectral_balance" and full
+                and _is(idx + 1, "style_eq")):
+            st = style if style is not None else modules[idx + 1].get(
+                "style", "standard")
+            try:
+                fused = eq.build_final_balance_then_style(spec, st)
+            except Exception:
+                fused = None
+            if fused is not None:
+                skip_ids.add(idx + 1)
+                fns.append(fused[1])
+                params_all.append(list(fused[0]))
+                ids.append("final_spectral_balance+style_eq")
+                continue
         if target_lufs is not None and mid == "normalize_lufs":
             item["target_lufs"] = target_lufs
         if style is not None and mid == "style_eq":

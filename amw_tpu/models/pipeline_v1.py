@@ -17,7 +17,9 @@ from ..ops import basic, meters
 from ..ops.bands import build_dynamics
 from ..ops.dynamics import build_deesser as _build_deesser_impl
 from ..ops.dynamics import build_transient_designer
-from ..ops.eq import build_style_eq, build_target_curve, build_final_spectral_balance
+from ..ops.eq import (build_final_spectral_balance, build_style_eq,
+                      build_target_curve)
+from ..ops.fused import build_normalize_then_final, build_target_then_deesser
 from ..ops.exciter import build_harmonic_exciter
 from ..ops.spectral import build_reference_match, build_spectral_denoise
 from ..ops.stereo import build_stereo_imager
@@ -51,18 +53,38 @@ def build_v1_pipeline(
     add("peak_guard_in", ([], lambda x, p: basic.remove_intersample_peaks(x, 0.5)))
     if denoise_strength > 0.01:
         add("spectral_denoise", build_spectral_denoise(spec, denoise_strength))
-    add("target_eq", build_target_curve(spec))
-    add("deesser", _build_deesser_impl(spec))
+    fused_td = build_target_then_deesser(spec)
+    if fused_td is not None:
+        add("target_eq+deesser", fused_td)
+    else:
+        add("target_eq", build_target_curve(spec))
+        add("deesser", _build_deesser_impl(spec))
     add("dynamics", build_dynamics(spec, compressor=compressor))
     if parallel_mix > 0.01:
         add("parallel_compress",
             ([], lambda x, p: basic.parallel_compression(x, mix=parallel_mix)))
-    add("normalize_lufs", meters.build_normalize_lufs(spec, target_lufs))
-    add("final_spectral_balance", build_final_spectral_balance(spec))
-    if reference_env is not None:
-        add("reference_match",
-            build_reference_match(spec, reference_env, strength=reference_strength))
-    add("style_eq", build_style_eq(spec, style))
+    # normalize → final balance (→ style EQ) share one forward FFT; with a
+    # reference-match stage in between, fuse only the first two.
+    fused_nf = build_normalize_then_final(
+        spec, target_lufs, style if reference_env is None else None)
+    if fused_nf is not None:
+        p_nf, f_nf, nf_id = fused_nf
+        add(nf_id, (p_nf, f_nf))
+        if reference_env is not None:
+            add("reference_match",
+                build_reference_match(spec, reference_env,
+                                      strength=reference_strength))
+            add("style_eq", build_style_eq(spec, style))
+        elif "style_eq" not in nf_id:
+            add("style_eq", build_style_eq(spec, style))
+    else:
+        add("normalize_lufs", meters.build_normalize_lufs(spec, target_lufs))
+        add("final_spectral_balance", build_final_spectral_balance(spec))
+        if reference_env is not None:
+            add("reference_match",
+                build_reference_match(spec, reference_env,
+                                      strength=reference_strength))
+        add("style_eq", build_style_eq(spec, style))
     if abs(transient_attack - 1.0) > 0.02 or abs(transient_sustain - 1.0) > 0.02:
         add("transient_designer",
             build_transient_designer(spec, transient_attack, transient_sustain))

@@ -200,3 +200,112 @@ def test_reverb_ms(mix):
     got = run_op(build_reverb, mix, "room", 0.6, 0.15, 0.2, 0.1)
     want = refimpl.reverb(mix, SR, "room", 0.6, 0.15, 0.2, 0.1)
     assert max_err(got, want) < 1e-4
+
+
+def test_fused_final_balance_style_matches_sequential():
+    from amw_tpu.ops.eq import (build_final_balance_then_style,
+                                build_final_spectral_balance, build_style_eq)
+    from amw_tpu.spec import GraphSpec
+
+    sr, n = 22050, 60000
+    spec = GraphSpec(sr=sr, n=n, channels=2)
+    g = np.random.default_rng(11)
+    x = (0.2 * g.standard_normal((2, n))).astype(np.float32)
+
+    fused = build_final_balance_then_style(spec, "edm")
+    assert fused is not None
+    pf, ff = fused
+    got = np.asarray(ff(jnp.asarray(x), pf))
+
+    p1, f1 = build_final_spectral_balance(spec)
+    p2, f2 = build_style_eq(spec, "edm")
+    want = np.asarray(f2(f1(jnp.asarray(x), p1), p2))
+    err = np.max(np.abs(got - want))
+    assert err < 10 ** (-90 / 20), f"fused vs sequential err {err}"
+
+
+def test_chain_peephole_fuses_default_config():
+    from amw_tpu.models.chain import build_chain_ops, default_chain_config
+    from amw_tpu.spec import GraphSpec
+
+    spec = GraphSpec(sr=22050, n=30000, channels=2)
+    # with normalize_lufs disabled, the pair fusion triggers
+    cfg = default_chain_config(style="edm")
+    for m in cfg["modules"]:
+        if m["id"] == "normalize_lufs":
+            m["enabled"] = False
+    ids, params, fns, bypassed = build_chain_ops(spec, cfg, style="edm")
+    assert "final_spectral_balance+style_eq" in ids
+    assert "style_eq" not in ids and "final_spectral_balance" not in ids
+    # styles with no EQ bands keep the unfused final balance
+    cfg2 = default_chain_config(style="standard")
+    for m in cfg2["modules"]:
+        if m["id"] == "normalize_lufs":
+            m["enabled"] = False
+    ids2, *_ = build_chain_ops(spec, cfg2, style="standard")
+    assert "final_spectral_balance" in ids2
+
+
+def test_fused_target_deesser_matches_sequential():
+    from amw_tpu.ops.dynamics import build_deesser
+    from amw_tpu.ops.eq import build_target_curve
+    from amw_tpu.ops.fused import build_target_then_deesser
+    from amw_tpu.spec import GraphSpec
+
+    sr, n = 44100, 120000
+    spec = GraphSpec(sr=sr, n=n, channels=2)
+    g = np.random.default_rng(12)
+    x = (0.2 * g.standard_normal((2, n))).astype(np.float32)
+
+    fused = build_target_then_deesser(spec)
+    assert fused is not None
+    pf, ff = fused
+    got = np.asarray(ff(jnp.asarray(x), pf))
+
+    p1, f1 = build_target_curve(spec)
+    p2, f2 = build_deesser(spec)
+    want = np.asarray(f2(f1(jnp.asarray(x), p1), p2))
+    err = np.max(np.abs(got - want))
+    assert err < 10 ** (-90 / 20), f"fused target+deesser err {err}"
+
+
+@pytest.mark.parametrize("style", ["standard", "edm"])
+def test_fused_normalize_final_matches_sequential(style):
+    from amw_tpu.ops.eq import build_final_spectral_balance, build_style_eq
+    from amw_tpu.ops.fused import build_normalize_then_final
+    from amw_tpu.ops.meters import build_normalize_lufs
+    from amw_tpu.spec import GraphSpec
+
+    sr, n = 22050, 80000
+    spec = GraphSpec(sr=sr, n=n, channels=2)
+    g = np.random.default_rng(13)
+    x = (0.1 * g.standard_normal((2, n))).astype(np.float32)
+
+    fused = build_normalize_then_final(spec, -14.0, style)
+    assert fused is not None
+    pf, ff, fid = fused
+    got = np.asarray(ff(jnp.asarray(x), pf))
+
+    p0, f0 = build_normalize_lufs(spec, -14.0)
+    p1, f1 = build_final_spectral_balance(spec)
+    y = f1(f0(jnp.asarray(x), p0), p1)
+    if "style_eq" in fid:
+        p2, f2 = build_style_eq(spec, style)
+        y = f2(y, p2)
+    want = np.asarray(y)
+    err = np.max(np.abs(got - want))
+    assert err < 10 ** (-90 / 20), f"fused normalize+final err {err}"
+
+
+def test_chain_peephole_triple_fusion():
+    from amw_tpu.models.chain import build_chain_ops, default_chain_config
+    from amw_tpu.spec import GraphSpec
+
+    spec = GraphSpec(sr=22050, n=60000, channels=2)
+    ids, *_ = build_chain_ops(
+        spec, default_chain_config(style="edm"), style="edm")
+    assert "normalize_lufs+final_spectral_balance+style_eq" in ids
+    ids2, *_ = build_chain_ops(
+        spec, default_chain_config(style="standard"), style="standard")
+    assert "normalize_lufs+final_spectral_balance" in ids2
+    assert "style_eq" in ids2  # identity stage kept for no-band styles

@@ -253,6 +253,29 @@ def build_chain_ops(spec: GraphSpec, config: dict, *,
         # each saves a forward FFT or a whole pair per track (ops.fused):
         #   normalize_lufs → final_spectral_balance [→ style_eq]
         #   final_spectral_balance → style_eq
+        if (mid == "target_curve" and full
+                and str(item.get("phase_mode", "minimum")) == "minimum"
+                and not bool(item.get("eq_ms", False))
+                and _is(idx + 1, "dynamics")):
+            dyn = modules[idx + 1]
+            try:
+                fused = ops_fused.build_target_then_dynamics(
+                    spec,
+                    knee_db=float(dyn.get("knee_db", 6.0)),
+                    crossovers_hz=dyn.get("crossovers_hz"),
+                    band_ratios=dyn.get("band_ratios"),
+                    max_upward_boost_db=float(
+                        dyn.get("max_upward_boost_db", 12.0)),
+                    compressor=str(dyn.get("compressor", "soft_knee")),
+                )
+            except Exception:
+                fused = None
+            if fused is not None:
+                skip_ids.add(idx + 1)
+                fns.append(fused[1])
+                params_all.append(list(fused[0]))
+                ids.append("target_curve+dynamics")
+                continue
         if (mid == "normalize_lufs" and full
                 and _is(idx + 1, "final_spectral_balance")):
             with_style = _is(idx + 2, "style_eq")

@@ -46,13 +46,18 @@ def normalize_crossovers(crossovers_hz):
     return cross
 
 
-def band_split_plan(spec: GraphSpec, crossovers_hz=None):
+def band_split_plan(spec: GraphSpec, crossovers_hz=None, pre=None):
     """Prepare the 4-band split.  Returns (params, split_fn) where
     ``split_fn(x, params) -> [band1..band4]`` (each same shape as x).
 
     Hybrid mode shares ONE forward FFT across the four band responses (1
     rfft + 4 irfft for the whole track) and splices exact two-pass edge
-    windows per band."""
+    windows per band.
+
+    ``pre`` (ops.zphase.PreLTI, optional): a pure-LTI op fused in *front*
+    of the split — its power response multiplies into every band response
+    (the shared forward FFT then also covers that op, saving a full FFT
+    pair), and its exact two-pass form prefixes the edge windows."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -73,15 +78,28 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None):
     all_bas = [ba for chain in stages for ba in chain]
     padlen = scipy_padlen([all_bas[0]])
     settle = design.settle_len(*all_bas)
+    if pre is not None:
+        padlen = max(padlen, pre.padlen)
+        settle = settle + pre.settle
 
     def build_twopass(s):
         zps = [[make_zp(dataclasses.replace(s, hybrid=False), [ba])
                 for ba in chain] for chain in stages]
-        params = [[z.params for z in chain] for chain in zps]
+        band_params = [[z.params for z in chain] for chain in zps]
+        if pre is not None:
+            p_pre, f_pre = pre.small_build(dataclasses.replace(s, hybrid=False))
+            params = [list(p_pre), band_params]
+        else:
+            params = band_params
 
         def split_fn(x, params):
+            if pre is not None:
+                pp, bp = params
+                x = f_pre(x, pp)
+            else:
+                bp = params
             out = []
-            for chain, ps in zip(zps, params):
+            for chain, ps in zip(zps, bp):
                 y = x
                 for z, p in zip(chain, ps):
                     y = z(y, p)
@@ -97,9 +115,10 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None):
         if 2 * w_in + 16 < spec.n:
             n = spec.n
             nfft = design.next_fft_size(n + 2 * padlen + 3 * settle + 16)
+            R_pre = pre.power(nfft) if pre is not None else 1.0
             R = np.stack([
                 np.prod([design.zero_phase_power([ba], nfft)
-                         for ba in chain], axis=0)
+                         for ba in chain], axis=0) * R_pre
                 for chain in stages
             ]).astype(np.float32)  # [4, nbins]
             small_spec = dataclasses.replace(spec, n=w_in, hybrid=False)
@@ -129,9 +148,10 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None):
         return build_twopass(spec)
 
     nfft = design.next_fft_size(spec.n + 2 * padlen + 3 * settle + 16)
+    R_pre = pre.power(nfft) if pre is not None else 1.0
     zps = []
     for chain in stages:
-        R = np.ones(nfft // 2 + 1, np.float64)
+        R = np.ones(nfft // 2 + 1, np.float64) * R_pre
         for ba in chain:
             R = R * design.zero_phase_power([ba], nfft)
         zps.append(make_zp_from_power(spec, R, nfft, padlen, settle))
@@ -154,8 +174,9 @@ def build_multiband_dynamics(
     band_ratios=None,
     max_upward_boost_db: float = 12.0,
     compressor: str = "soft_knee",
+    pre=None,
 ):
-    params, split_fn = band_split_plan(spec, crossovers_hz)
+    params, split_fn = band_split_plan(spec, crossovers_hz, pre=pre)
     ratios_override = (
         tuple(float(band_ratios[i]) for i in range(4))
         if band_ratios is not None and len(band_ratios) == 4
@@ -210,10 +231,15 @@ def build_dynamics(
     band_ratios=None,
     max_upward_boost_db: float = 12.0,
     compressor: str = "soft_knee",
+    pre=None,
 ):
-    """Full dynamics stage: 4-band dynamics → maximizer → brickwall limiter."""
+    """Full dynamics stage: 4-band dynamics → maximizer → brickwall limiter.
+
+    ``pre``: optional PreLTI fused in front of the band split (shares the
+    forward FFT — see band_split_plan)."""
     params, mb_fn = build_multiband_dynamics(
-        spec, knee_db, crossovers_hz, band_ratios, max_upward_boost_db, compressor
+        spec, knee_db, crossovers_hz, band_ratios, max_upward_boost_db,
+        compressor, pre=pre,
     )
 
     def fn(x, params):

@@ -43,7 +43,7 @@ from .fdfilter import box_smooth_same
 from .meters import (block_energies, gated_loudness, k_weight_settle,
                      normalize_lufs_gain, plan_blocks)
 from .scan import ar_coefs, envelope_follower
-from .zphase import _edge_windows, make_zp, pack_complex, scipy_padlen
+from .zphase import PreLTI, _edge_windows, make_zp, pack_complex, scipy_padlen
 from ..constants import FINAL_TRIM_DB
 
 
@@ -124,6 +124,37 @@ def build_target_then_deesser(
         return y3 - sc + sc * gain
 
     return params, fn
+
+
+def target_curve_pre(spec: GraphSpec):
+    """The minimum-phase, per-channel target curve packaged as a
+    :class:`~amw_tpu.ops.zphase.PreLTI` for fusion in front of a band split
+    (see ops.bands.band_split_plan)."""
+    hp, lp, pr, md = _target_curve_bas(spec)
+    g_p, g_m = _db(0.35), _db(-0.25)
+
+    def power(nfft: int) -> np.ndarray:
+        R = (design.zero_phase_power([hp], nfft)
+             * design.zero_phase_power([lp], nfft))
+        return R * (1.0 + (g_p - 1.0) * design.zero_phase_power([pr], nfft)
+                    + (g_m - 1.0) * design.zero_phase_power([md], nfft))
+
+    return PreLTI(
+        settle=design.settle_len(hp, lp, pr, md),
+        padlen=scipy_padlen([hp]),
+        power=power,
+        small_build=build_target_curve,
+    )
+
+
+def build_target_then_dynamics(spec: GraphSpec, **dyn_kwargs):
+    """Fused ``target_curve`` (minimum-phase, per-channel) + ``dynamics``:
+    the band split's shared forward FFT also carries the target-curve
+    response — one FFT pair saved per track.  Used by the v2 chain, where
+    the two modules are adjacent (chain.py:116-120)."""
+    from .bands import build_dynamics
+
+    return build_dynamics(spec, pre=target_curve_pre(spec), **dyn_kwargs)
 
 
 def build_normalize_then_final(

@@ -95,6 +95,21 @@ class HybridZP:
             [yl, y[..., self.L: self.n - self.L], yr], axis=-1)
 
 
+@dataclass
+class PreLTI:
+    """A pure-LTI op to fuse *in front of* a multi-response split so the
+    forward FFT is shared (see ops.bands.band_split_plan and ops.fused).
+
+    ``power(nfft)`` returns the op's zero-phase power response (float64,
+    rFFT grid); ``small_build(spec)`` returns the exact two-pass
+    ``(params, fn)`` at window size for edge splicing."""
+
+    settle: int
+    padlen: int
+    power: object       # Callable[[int], np.ndarray]
+    small_build: object  # Callable[[GraphSpec], tuple[list, Callable]]
+
+
 def _edge_windows(settle: int, padlen: int, n: int) -> tuple[int, int]:
     L = settle + padlen + 256
     w_in = min(n, L + settle + padlen + 256)

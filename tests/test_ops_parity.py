@@ -309,3 +309,35 @@ def test_chain_peephole_triple_fusion():
         spec, default_chain_config(style="standard"), style="standard")
     assert "normalize_lufs+final_spectral_balance" in ids2
     assert "style_eq" in ids2  # identity stage kept for no-band styles
+
+
+def test_fused_target_dynamics_matches_sequential():
+    from amw_tpu.ops.bands import build_dynamics
+    from amw_tpu.ops.eq import build_target_curve
+    from amw_tpu.ops.fused import build_target_then_dynamics
+    from amw_tpu.spec import GraphSpec
+
+    sr, n = 44100, 120000
+    spec = GraphSpec(sr=sr, n=n, channels=2)
+    g = np.random.default_rng(14)
+    x = (0.2 * g.standard_normal((2, n))).astype(np.float32)
+
+    pf, ff = build_target_then_dynamics(spec)
+    got = np.asarray(ff(jnp.asarray(x), pf))
+
+    p1, f1 = build_target_curve(spec)
+    p2, f2 = build_dynamics(spec)
+    want = np.asarray(f2(f1(jnp.asarray(x), p1), p2))
+    err = np.max(np.abs(got - want))
+    assert err < 10 ** (-90 / 20), f"fused target+dynamics err {err}"
+
+
+def test_chain_peephole_target_dynamics():
+    from amw_tpu.models.chain import build_chain_ops, default_chain_config
+    from amw_tpu.spec import GraphSpec
+
+    spec = GraphSpec(sr=22050, n=60000, channels=2)
+    ids, *_ = build_chain_ops(
+        spec, default_chain_config(style="standard"), style="standard")
+    assert "target_curve+dynamics" in ids
+    assert "dynamics" not in ids and "target_curve" not in ids

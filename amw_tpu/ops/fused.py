@@ -101,15 +101,17 @@ def build_target_then_deesser(
     if k % 2 == 0:
         k += 1
 
-    params = [Rt.astype(np.float32), Rtb.astype(np.float32),
+    params = [np.stack([Rt, Rtb]).astype(np.float32),
               list(p_t), list(band_zp.params)]
     n = spec.n
 
     def fn(x, params):
-        Rt_d, Rtb_d, pt, pb = params
+        R2, pt, pb = params
         X = jnp.fft.rfft(x, n=nfft, axis=-1)
-        y3_f = jnp.fft.irfft(X * Rt_d, n=nfft, axis=-1)[..., :n]
-        sc_f = jnp.fft.irfft(X * Rtb_d, n=nfft, axis=-1)[..., :n]
+        # one batched irfft over both responses (measured faster than two)
+        Rb = R2.reshape((2,) + (1,) * (X.ndim - 1) + (R2.shape[-1],))
+        ys = jnp.fft.irfft(X[None] * Rb, n=nfft, axis=-1)[..., :n]
+        y3_f, sc_f = ys[0], ys[1]
         # exact edges: target on raw windows, band on the exact target output
         y3l = f_t(x[..., :w], pt)
         y3r = f_t(x[..., -w:], pt)
@@ -221,11 +223,13 @@ def build_normalize_then_final(
     def fn(x, params):
         Hk_d, tgt, R_d, ps = params
         X = jnp.fft.rfft(x, n=nfft, axis=-1)
-        yk = jnp.fft.irfft(X * jax.lax.complex(Hk_d[0], Hk_d[1]),
-                           n=nfft, axis=-1)[..., :n]
+        # one batched irfft over K-weighting + EQ responses
+        Y = jnp.stack([X * jax.lax.complex(Hk_d[0], Hk_d[1]), X * R_d])
+        z = jnp.fft.irfft(Y, n=nfft, axis=-1)[..., :n]
+        yk = z[0]
         lufs = gated_loudness(block_energies(yk, plan))
         g = normalize_lufs_gain(lufs, tgt)
-        fast = jnp.fft.irfft(X * R_d, n=nfft, axis=-1)[..., :n] * g
+        fast = z[1] * g
         el = f_small(x[..., :w] * g, ps)
         er = f_small(x[..., -w:] * g, ps)
         return _splice(fast, el, er, n, L)

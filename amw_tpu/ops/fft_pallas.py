@@ -68,11 +68,39 @@ def _tables(nfft: int, inverse: bool):
     wa = np.exp(sign * 1j * np.pi * np.outer(np.arange(A), np.arange(A)) / A)
     wb = np.exp(sign * 1j * np.pi * np.outer(np.arange(B), np.arange(B)) / B)
     wc = np.exp(sign * 1j * np.pi * np.outer(np.arange(C), np.arange(C)) / C)
-    w1 = np.exp(sign * 1j * np.pi * np.outer(np.arange(A), np.arange(B) * C) / nfft)
-    w2 = np.exp(sign * 1j * np.pi * np.outer(np.arange(A), np.arange(C)) / nfft)
+    # Stage-1 twiddle exp(sign·2πi·a'(bC+c)/N), stored [B, A, C] so each
+    # grid step streams its (A, C) slab alongside the data block.  (A
+    # (128,1)-blocked [A,B] factor table is not a legal Mosaic block, and
+    # computing the angle in-kernel in f32 costs ~6e-5 relative twiddle
+    # error — above the -90 dBFS budget — so the f64-accurate table wins.)
+    b_idx = np.arange(B)[:, None, None]
+    a_idx = np.arange(A)[None, :, None]
+    c_idx = np.arange(C)[None, None, :]
+    t1 = np.exp(sign * 1j * np.pi * a_idx * (b_idx * C + c_idx) / nfft)
     t2 = np.exp(sign * 1j * np.pi * np.outer(np.arange(B), np.arange(C)) / (B * C))
     f32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
-    return tuple(map(f32, (wa, wb, wc, w1, w2, t2)))
+    return tuple(map(f32, (wa, wb, wc, t1, t2)))
+
+
+@functools.lru_cache(maxsize=None)
+def plan_params(nfft: int) -> list:
+    """Host-side table bundle to thread through op params: the stage-1
+    twiddle (64 MB at 2^23), T2 and W_C for both directions.  These MUST be
+    runtime parameters — inlining them as HLO literals overflows the
+    relay's remote-compile request (HTTP 413).  (W_A/W_B are 64 KB and stay
+    inline.)  Order: [t1r, t1i, t2r, t2i, wcr, wci] forward then inverse."""
+    out = []
+    for inverse in (False, True):
+        _, _, wc, t1, t2 = _tables(nfft, inverse)
+        out += [t1[0], t1[1], t2[0], t2[1], wc[0], wc[1]]
+    # device-resident and cached: every op at this nfft shares one copy,
+    # and device_put of an already-device array is a no-op downstream.
+    return [jax.device_put(a) for a in out]
+
+
+def _tabs(tables, inverse):
+    off = 6 if inverse else 0
+    return tables[off:off + 6]
 
 
 @functools.lru_cache(maxsize=None)
@@ -121,11 +149,12 @@ def _dot_r(xr, xi, Fr, Fi):
     return dot(xr, Fr) - dot(xi, Fi), dot(xr, Fi) + dot(xi, Fr)
 
 
-def _stage_a_kernel(xr_ref, xi_ref, fr_ref, fi_ref, w1r_ref, w1i_ref,
-                    w2r_ref, w2i_ref, or_ref, oi_ref, *, pre, scale):
+def _stage_a_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
+                    or_ref, oi_ref, *, pre, scale):
     xr = xr_ref[0]
     xi = xi_ref[0]
-    twr, twi = _cmul(w1r_ref[...], w1i_ref[...], w2r_ref[...], w2i_ref[...])
+    twr = t1r_ref[0]
+    twi = t1i_ref[0]
     if pre:
         xr, xi = _cmul(xr, xi, twr, twi)
     yr, yi = _dot_l(fr_ref[...], fi_ref[...], xr, xi)
@@ -184,37 +213,37 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda r, j: (0,) * nd)
 
 
-def _stage_a(xr, xi, nfft, inverse, interpret=False):
+def _stage_a(xr, xi, nfft, inverse, tables, interpret=False):
     """Contract the A axis.  x: [R, nfft] viewed as [R, A, B*C]."""
     C = nfft // (A * B)
-    wa, _, _, w1, w2, _ = _tables(nfft, inverse)
+    wa, _, _, _, _ = _tables(nfft, inverse)
+    t1r, t1i, _, _, _, _ = _tabs(tables, inverse)
     R = xr.shape[0]
     xr3 = xr.reshape(R, A, B * C)
     xi3 = xi.reshape(R, A, B * C)
     scale = (1.0 / nfft) if inverse else 1.0
     kern = functools.partial(_stage_a_kernel, pre=inverse, scale=scale)
     spec_x = pl.BlockSpec((1, A, C), lambda r, j: (r, 0, j))
-    spec_w1 = pl.BlockSpec((A, 1), lambda r, j: (0, j))
+    spec_t1 = pl.BlockSpec((1, A, C), lambda r, j: (j, 0, 0))
     out = pl.pallas_call(
         kern,
         grid=(R, B),
         in_specs=[spec_x, spec_x,
                   _const_spec((A, A)), _const_spec((A, A)),
-                  spec_w1, spec_w1,
-                  _const_spec((A, C)), _const_spec((A, C))],
+                  spec_t1, spec_t1],
         out_specs=[spec_x, spec_x],
         out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)] * 2,
         interpret=interpret,
     )(xr3, xi3, jnp.asarray(wa[0]), jnp.asarray(wa[1]),
-      jnp.asarray(w1[0]), jnp.asarray(w1[1]),
-      jnp.asarray(w2[0]), jnp.asarray(w2[1]))
+      t1r.reshape(B, A, C), t1i.reshape(B, A, C))
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
 
 
-def _stage_b(xr, xi, nfft, inverse, interpret=False):
+def _stage_b(xr, xi, nfft, inverse, tables, interpret=False):
     """Contract the B axis.  x viewed as [R, A, B, C]."""
     C = nfft // (A * B)
-    _, wb, _, _, _, t2 = _tables(nfft, inverse)
+    _, wb, _, _, _ = _tables(nfft, inverse)
+    _, _, t2r, t2i, _, _ = _tabs(tables, inverse)
     R = xr.shape[0]
     xr4 = xr.reshape(R, A, B, C)
     xi4 = xi.reshape(R, A, B, C)
@@ -229,21 +258,20 @@ def _stage_b(xr, xi, nfft, inverse, interpret=False):
         out_specs=[spec_x, spec_x],
         out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
         interpret=interpret,
-    )(xr4, xi4, jnp.asarray(wb[0]), jnp.asarray(wb[1]),
-      jnp.asarray(t2[0]), jnp.asarray(t2[1]))
+    )(xr4, xi4, jnp.asarray(wb[0]), jnp.asarray(wb[1]), t2r, t2i)
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
 
 
-def _stage_c(xr, xi, nfft, inverse, resp=None, interpret=False):
+def _stage_c(xr, xi, nfft, inverse, tables, resp=None, interpret=False):
     """Contract the C axis; optionally fuse the permuted response multiply
     (resp: [2, nfft] f32 planes; pre-matmul when inverse)."""
     C = nfft // (A * B)
-    _, _, wc, _, _, _ = _tables(nfft, inverse)
+    _, _, _, _, wcr, wci = _tabs(tables, inverse)
     R = xr.shape[0]
     xr4 = xr.reshape(R, A, B, C)
     xi4 = xi.reshape(R, A, B, C)
     spec_x = pl.BlockSpec((1, 1, B, C), lambda r, i: (r, i, 0, 0))
-    f_in = [jnp.asarray(wc[0]), jnp.asarray(wc[1])]
+    f_in = [wcr, wci]
     f_specs = [_const_spec((C, C)), _const_spec((C, C))]
     if resp is None:
         out = pl.pallas_call(
@@ -270,30 +298,72 @@ def _stage_c(xr, xi, nfft, inverse, resp=None, interpret=False):
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
 
 
+def _stage_c_multi_kernel(xr_ref, xi_ref, fr_ref, fi_ref, rr_ref, ri_ref,
+                          or_ref, oi_ref):
+    """Inverse stage-C over K responses sharing one forward spectrum:
+    the X block is re-read per response index, multiplied by that
+    response's permuted block, then contracted."""
+    xr, xi = _cmul(xr_ref[0, 0], xi_ref[0, 0], rr_ref[0, 0], ri_ref[0, 0])
+    yr, yi = _dot_r(xr, xi, fr_ref[...], fi_ref[...])
+    or_ref[0, 0, 0] = yr
+    oi_ref[0, 0, 0] = yi
+
+
+def _stage_c_multi(Xr, Xi, resps, nfft, tables, interpret=False):
+    """[R, nfft] spectrum × [K, 2, nfft] responses → ([K·R, nfft] ×2)."""
+    C = nfft // (A * B)
+    _, _, _, _, wcr, wci = _tabs(tables, True)
+    R = Xr.shape[0]
+    K = resps.shape[0]
+    xr4 = Xr.reshape(R, A, B, C)
+    xi4 = Xi.reshape(R, A, B, C)
+    rr = resps[:, 0].reshape(K, A, B, C)
+    ri = resps[:, 1].reshape(K, A, B, C)
+    spec_x = pl.BlockSpec((1, 1, B, C), lambda k, r, i: (r, i, 0, 0))
+    spec_r = pl.BlockSpec((1, 1, B, C), lambda k, r, i: (k, i, 0, 0))
+    spec_o = pl.BlockSpec((1, 1, 1, B, C), lambda k, r, i: (k, r, i, 0, 0))
+    cf = pl.BlockSpec((C, C), lambda k, r, i: (0, 0))
+    out = pl.pallas_call(
+        _stage_c_multi_kernel,
+        grid=(K, R, A),
+        in_specs=[spec_x, spec_x, cf, cf, spec_r, spec_r],
+        out_specs=[spec_o, spec_o],
+        out_shape=[jax.ShapeDtypeStruct((K, R, A, B, C), jnp.float32)] * 2,
+        interpret=interpret,
+    )(xr4, xi4, wcr, wci, rr, ri)
+    return out[0].reshape(K * R, nfft), out[1].reshape(K * R, nfft)
+
+
 # ---------------------------------------------------------------------------
 # public API
 
 
-def fft_permuted(xr, xi, nfft: int, interpret: bool = False):
+def fft_permuted(xr, xi, nfft: int, tables=None, interpret: bool = False):
     """Forward FFT of [R, nfft] (re, im) → permuted spectrum (re, im)."""
-    xr, xi = _stage_a(xr, xi, nfft, False, interpret)
-    xr, xi = _stage_b(xr, xi, nfft, False, interpret)
-    return _stage_c(xr, xi, nfft, False, interpret=interpret)
+    if tables is None:
+        tables = plan_params(nfft)
+    xr, xi = _stage_a(xr, xi, nfft, False, tables, interpret)
+    xr, xi = _stage_b(xr, xi, nfft, False, tables, interpret)
+    return _stage_c(xr, xi, nfft, False, tables, interpret=interpret)
 
 
-def ifft_permuted(Xr, Xi, nfft: int, interpret: bool = False):
+def ifft_permuted(Xr, Xi, nfft: int, tables=None, interpret: bool = False):
     """Inverse of :func:`fft_permuted` (adjoint stages, reversed)."""
-    Xr, Xi = _stage_c(Xr, Xi, nfft, True, interpret=interpret)
-    Xr, Xi = _stage_b(Xr, Xi, nfft, True, interpret)
-    return _stage_a(Xr, Xi, nfft, True, interpret)
+    if tables is None:
+        tables = plan_params(nfft)
+    Xr, Xi = _stage_c(Xr, Xi, nfft, True, tables, interpret=interpret)
+    Xr, Xi = _stage_b(Xr, Xi, nfft, True, tables, interpret)
+    return _stage_a(Xr, Xi, nfft, True, tables, interpret)
 
 
-def apply_response(x, resp_perm, nfft: int, n_out: int | None = None,
-                   interpret: bool = False):
+def apply_response(x, resp_perm, nfft: int, tables=None,
+                   n_out: int | None = None, interpret: bool = False):
     """``irfft(rfft(x, nfft) * H)[..., :n_out]`` for real ``x`` via the
     permuted-spectrum pipeline.  ``resp_perm``: [2, nfft] planes from
     :func:`permute_full_response`.  Leading dims of ``x`` flatten to rows.
     The response multiply is fused into the first inverse stage."""
+    if tables is None:
+        tables = plan_params(nfft)
     lead = x.shape[:-1]
     n = x.shape[-1]
     R = int(np.prod(lead)) if lead else 1
@@ -303,11 +373,63 @@ def apply_response(x, resp_perm, nfft: int, n_out: int | None = None,
     elif n > nfft:
         xr = xr[:, :nfft]
     zero = jnp.zeros_like(xr)
-    Xr, Xi = _stage_a(xr, zero, nfft, False, interpret)
-    Xr, Xi = _stage_b(Xr, Xi, nfft, False, interpret)
-    Xr, Xi = _stage_c(Xr, Xi, nfft, False, interpret=interpret)
-    Yr, Yi = _stage_c(Xr, Xi, nfft, True, resp=resp_perm, interpret=interpret)
-    Yr, Yi = _stage_b(Yr, Yi, nfft, True, interpret)
-    Yr, _ = _stage_a(Yr, Yi, nfft, True, interpret)
+    Xr, Xi = _stage_a(xr, zero, nfft, False, tables, interpret)
+    Xr, Xi = _stage_b(Xr, Xi, nfft, False, tables, interpret)
+    Xr, Xi = _stage_c(Xr, Xi, nfft, False, tables, interpret=interpret)
+    Yr, Yi = _stage_c(Xr, Xi, nfft, True, tables, resp=resp_perm,
+                      interpret=interpret)
+    Yr, Yi = _stage_b(Yr, Yi, nfft, True, tables, interpret)
+    Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret)
     m = nfft if n_out is None else n_out
     return Yr[:, :m].reshape(lead + (m,))
+
+
+def fwd_real(x, nfft: int, tables=None, interpret: bool = False):
+    """Real [..., n] → permuted spectrum (re, im) as [R, nfft] plus the
+    original leading shape (for :func:`inv_multi`)."""
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    R = int(np.prod(lead)) if lead else 1
+    xr = x.reshape(R, n)
+    if n < nfft:
+        xr = jnp.pad(xr, ((0, 0), (0, nfft - n)))
+    elif n > nfft:
+        xr = xr[:, :nfft]
+    if tables is None:
+        tables = plan_params(nfft)
+    zero = jnp.zeros_like(xr)
+    Xr, Xi = _stage_a(xr, zero, nfft, False, tables, interpret)
+    Xr, Xi = _stage_b(Xr, Xi, nfft, False, tables, interpret)
+    Xr, Xi = _stage_c(Xr, Xi, nfft, False, tables, interpret=interpret)
+    return Xr, Xi, lead
+
+
+def inv_multi(Xr, Xi, resps_perm, nfft: int, lead, n_out: int,
+              tables=None, interpret: bool = False):
+    """Inverse transform of one spectrum under K responses (the Pallas
+    analog of the batched-irfft trick): [R, nfft] × [K, 2, nfft] →
+    real [K, *lead, n_out].  The spectrum blocks are re-streamed per
+    response; nothing is materialized K-fold in HBM beforehand."""
+    if tables is None:
+        tables = plan_params(nfft)
+    K = resps_perm.shape[0]
+    Yr, Yi = _stage_c_multi(Xr, Xi, resps_perm, nfft, tables, interpret)
+    Yr, Yi = _stage_b(Yr, Yi, nfft, True, tables, interpret)
+    Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret)
+    return Yr[:, :n_out].reshape((K,) + tuple(lead) + (n_out,))
+
+
+def enabled(nfft: int) -> bool:
+    """Route this plan through the Pallas FFT?  Env override
+    ``AMW_FFT_PALLAS`` (1/0); default: on when running on a TPU backend."""
+    import os
+
+    if not plan_ok(nfft):
+        return False
+    flag = os.environ.get("AMW_FFT_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False

@@ -101,16 +101,29 @@ def build_target_then_deesser(
     if k % 2 == 0:
         k += 1
 
-    params = [np.stack([Rt, Rtb]).astype(np.float32),
-              list(p_t), list(band_zp.params)]
+    from . import fft_pallas as fp
+
+    use_pallas = fp.enabled(nfft)
+    if use_pallas:
+        resp2 = np.stack([fp.permute_full_response(Rt, nfft),
+                          fp.permute_full_response(Rtb, nfft)])
+        params = [resp2, list(p_t), list(band_zp.params),
+                  fp.plan_params(nfft)]
+    else:
+        params = [np.stack([Rt, Rtb]).astype(np.float32),
+                  list(p_t), list(band_zp.params)]
     n = spec.n
 
     def fn(x, params):
-        R2, pt, pb = params
-        X = jnp.fft.rfft(x, n=nfft, axis=-1)
-        # one batched irfft over both responses (measured faster than two)
-        Rb = R2.reshape((2,) + (1,) * (X.ndim - 1) + (R2.shape[-1],))
-        ys = jnp.fft.irfft(X[None] * Rb, n=nfft, axis=-1)[..., :n]
+        R2, pt, pb = params[:3]
+        if use_pallas:
+            Xr, Xi, lead = fp.fwd_real(x, nfft, tables=params[3])
+            ys = fp.inv_multi(Xr, Xi, R2, nfft, lead, n, tables=params[3])
+        else:
+            X = jnp.fft.rfft(x, n=nfft, axis=-1)
+            # one batched irfft over both responses (faster than two)
+            Rb = R2.reshape((2,) + (1,) * (X.ndim - 1) + (R2.shape[-1],))
+            ys = jnp.fft.irfft(X[None] * Rb, n=nfft, axis=-1)[..., :n]
         y3_f, sc_f = ys[0], ys[1]
         # exact edges: target on raw windows, band on the exact target output
         y3l = f_t(x[..., :w], pt)
@@ -194,7 +207,8 @@ def build_normalize_then_final(
     nfft = design.next_fft_size(
         spec.n + max(2 * padlen + 3 * settle_e + 16, settle_k))
     plan = plan_blocks(spec.sr, spec.n)
-    Hk = pack_complex(design.cascade_response(design.k_weighting_ba(spec.sr), nfft))
+    Hk_c = design.cascade_response(design.k_weighting_ba(spec.sr), nfft)
+    Hk = pack_complex(Hk_c)
 
     R = np.ones(nfft // 2 + 1, np.float64)
     for ba, g in zip(bas_fb, gains_fb):
@@ -217,15 +231,29 @@ def build_normalize_then_final(
         f_small, p_small = f_fb, list(p_fb)
         fused_ids = "normalize_lufs+final_spectral_balance"
 
-    params = [Hk, np.float32(target_lufs), R.astype(np.float32), p_small]
+    from . import fft_pallas as fp
+
+    use_pallas = fp.enabled(nfft)
+    if use_pallas:
+        resp2 = np.stack([fp.permute_full_response(Hk_c, nfft),
+                          fp.permute_full_response(R, nfft)])
+        params = [resp2, np.float32(target_lufs), p_small,
+                  fp.plan_params(nfft)]
+    else:
+        params = [Hk, np.float32(target_lufs), R.astype(np.float32), p_small]
     n = spec.n
 
     def fn(x, params):
-        Hk_d, tgt, R_d, ps = params
-        X = jnp.fft.rfft(x, n=nfft, axis=-1)
-        # one batched irfft over K-weighting + EQ responses
-        Y = jnp.stack([X * jax.lax.complex(Hk_d[0], Hk_d[1]), X * R_d])
-        z = jnp.fft.irfft(Y, n=nfft, axis=-1)[..., :n]
+        if use_pallas:
+            R2, tgt, ps, tabs = params
+            Xr, Xi, lead = fp.fwd_real(x, nfft, tables=tabs)
+            z = fp.inv_multi(Xr, Xi, R2, nfft, lead, n, tables=tabs)
+        else:
+            Hk_d, tgt, R_d, ps = params
+            X = jnp.fft.rfft(x, n=nfft, axis=-1)
+            # one batched irfft over K-weighting + EQ responses
+            Y = jnp.stack([X * jax.lax.complex(Hk_d[0], Hk_d[1]), X * R_d])
+            z = jnp.fft.irfft(Y, n=nfft, axis=-1)[..., :n]
         yk = z[0]
         lufs = gated_loudness(block_energies(yk, plan))
         g = normalize_lufs_gain(lufs, tgt)

@@ -50,22 +50,38 @@ def unpack_complex(p):
 
 @dataclass
 class ZP:
-    """One zero-phase pass (two-pass exact or fast)."""
+    """One zero-phase pass (two-pass exact or fast).
+
+    Fast passes at Pallas-eligible sizes (ops.fft_pallas.enabled) carry the
+    permuted full-spectrum response instead of the half power response and
+    run through the staged Pallas FFT (~1.6x faster than XLA's on v5e)."""
 
     nfft: int
     padlen: int
     settle: int
     exact: bool
     params: list = field(repr=False)  # [resp]: packed complex (exact) | f32 power
+    pallas: bool = False
 
     def __call__(self, x, params):
         resp = params[0]
-        H = unpack_complex(resp) if self.exact else resp
         if self.padlen >= x.shape[-1]:
             # scipy filtfilt raises for padlen >= n; the reference's
             # _safe_filtfilt then falls back to causal lfilter (exact mode).
             # Fast mode has no causal response — bypass (sub-10-sample input).
-            return lfilter_fd(x, H, self.nfft) if self.exact else x
+            if self.exact:
+                return lfilter_fd(x, unpack_complex(resp), self.nfft)
+            return x
+        if self.pallas:
+            from .fdfilter import odd_ext
+            from . import fft_pallas as fp
+
+            n = x.shape[-1]
+            p = min(self.padlen, max(n - 1, 0))
+            core = odd_ext(x, p)
+            y = fp.apply_response(core, resp, self.nfft, tables=params[1])
+            return y[..., p:p + n]
+        H = unpack_complex(resp) if self.exact else resp
         return filtfilt_fd(
             x, H, self.nfft,
             padlen=self.padlen, settle=self.settle, exact=self.exact,
@@ -128,13 +144,21 @@ def make_zp(spec: GraphSpec, ba_pairs, nfft: int | None = None):
     padlen = scipy_padlen(ba_pairs)
 
     def build(exact: bool, n: int, nfft_in=None):
+        from . import fft_pallas as fp
+
         nfft_l = nfft_in or design.next_fft_size(n + 2 * padlen + 3 * settle + 16)
         if exact:
             resp = pack_complex(design.cascade_response(ba_pairs, nfft_l))
-        else:
-            resp = design.zero_phase_power(ba_pairs, nfft_l).astype(np.float32)
-        return ZP(nfft=nfft_l, padlen=padlen, settle=settle, exact=exact,
-                  params=[resp])
+            return ZP(nfft=nfft_l, padlen=padlen, settle=settle, exact=True,
+                      params=[resp])
+        power = design.zero_phase_power(ba_pairs, nfft_l)
+        if fp.enabled(nfft_l):
+            return ZP(nfft=nfft_l, padlen=padlen, settle=settle, exact=False,
+                      params=[fp.permute_full_response(power, nfft_l),
+                              fp.plan_params(nfft_l)],
+                      pallas=True)
+        return ZP(nfft=nfft_l, padlen=padlen, settle=settle, exact=False,
+                  params=[power.astype(np.float32)])
 
     if not spec.exact:
         return build(False, spec.n, nfft)
@@ -150,6 +174,12 @@ def make_zp_from_power(spec: GraphSpec, power: np.ndarray, nfft: int,
                        padlen: int, settle: int) -> ZP:
     """Fast-mode pass from an arbitrary combined real power response (e.g.
     ``Π(1+(g-1)|Hb|²)`` for sequential parallel-band EQs)."""
+    from . import fft_pallas as fp
+
+    if fp.enabled(nfft):
+        return ZP(nfft=nfft, padlen=padlen, settle=settle, exact=False,
+                  params=[fp.permute_full_response(power, nfft),
+                          fp.plan_params(nfft)], pallas=True)
     return ZP(nfft=nfft, padlen=padlen, settle=settle, exact=False,
               params=[power.astype(np.float32)])
 

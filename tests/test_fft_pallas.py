@@ -1,0 +1,81 @@
+"""Staged permuted-spectrum Pallas FFT vs numpy (interpret mode on CPU).
+
+The kernels themselves run compiled only on TPU; interpret mode checks the
+stage algebra (decimation, twiddles, adjoint inverse, response permutation)
+at the smallest supported plan (2^21)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from amw_tpu.ops import fft_pallas as fp
+
+NFFT = 1 << 21
+
+
+@pytest.fixture(scope="module")
+def spectrum():
+    g = np.random.default_rng(0)
+    x = g.standard_normal((1, NFFT)).astype(np.float32)
+    xi = g.standard_normal((1, NFFT)).astype(np.float32)
+    Xr, Xi = fp.fft_permuted(jnp.asarray(x), jnp.asarray(xi), NFFT,
+                             interpret=True)
+    return x, xi, Xr, Xi
+
+
+def test_forward_matches_numpy_permuted(spectrum):
+    x, xi, Xr, Xi = spectrum
+    want = np.fft.fft(x + 1j * xi, axis=-1)[:, fp._perm(NFFT)]
+    scale = np.max(np.abs(want))
+    assert np.max(np.abs(np.asarray(Xr) - want.real)) / scale < 3e-6
+    assert np.max(np.abs(np.asarray(Xi) - want.imag)) / scale < 3e-6
+
+
+def test_inverse_roundtrip(spectrum):
+    x, xi, Xr, Xi = spectrum
+    br, bi = fp.ifft_permuted(Xr, Xi, NFFT, interpret=True)
+    assert np.max(np.abs(np.asarray(br) - x)) < 2e-5
+    assert np.max(np.abs(np.asarray(bi) - xi)) < 2e-5
+
+
+def test_apply_response_matches_xla_path():
+    from scipy import signal as sg
+
+    g = np.random.default_rng(1)
+    n = NFFT - 4096
+    x = g.standard_normal((2, n)).astype(np.float32)
+    b, a = sg.butter(2, 0.15)
+    w = np.fft.rfftfreq(NFFT) * 2 * np.pi
+    ze = np.exp(-1j * w)
+    H = np.polyval(b[::-1], ze) / np.polyval(a[::-1], ze)
+    resp = fp.permute_full_response(H, NFFT)
+    got = np.asarray(fp.apply_response(
+        jnp.asarray(x), jnp.asarray(resp), NFFT, n_out=n, interpret=True))
+    want = np.fft.irfft(np.fft.rfft(x, n=NFFT, axis=-1) * H,
+                        n=NFFT, axis=-1)[..., :n]
+    assert np.max(np.abs(got - want)) < 1e-5
+
+
+def test_inv_multi_matches_separate():
+    g = np.random.default_rng(2)
+    n = NFFT - 1024
+    x = g.standard_normal((1, n)).astype(np.float32)
+    R1 = (np.random.rand(NFFT // 2 + 1) + 0.25)
+    R2 = (np.random.rand(NFFT // 2 + 1) + 0.25)
+    resps = np.stack([fp.permute_full_response(R1, NFFT),
+                      fp.permute_full_response(R2, NFFT)])
+    Xr, Xi, lead = fp.fwd_real(jnp.asarray(x), NFFT, interpret=True)
+    ys = np.asarray(fp.inv_multi(Xr, Xi, jnp.asarray(resps), NFFT, lead, n,
+                                 interpret=True))
+    X = np.fft.rfft(x, n=NFFT, axis=-1)
+    for k, R in enumerate((R1, R2)):
+        want = np.fft.irfft(X * R, n=NFFT, axis=-1)[..., :n]
+        assert np.max(np.abs(ys[k] - want)) < 1e-5, k
+
+
+def test_plan_gate():
+    assert fp.plan_ok(1 << 21)
+    assert fp.plan_ok(1 << 23)
+    assert not fp.plan_ok(1 << 20)     # C would be 64
+    assert not fp.plan_ok(3 << 21)     # C not a power of two
+    assert not fp.plan_ok(1 << 25)     # C above 1024

@@ -47,6 +47,12 @@ from jax.experimental import pallas as pl
 A = 128
 B = 128
 
+# Mosaic supports DEFAULT (bf16, ~2x faster but 3e-2 error — unusable) and
+# HIGHEST (~f32) dot precisions; accuracy pins us to HIGHEST.  The MXU cost
+# is instead controlled by keeping every DFT factor at radix ≤ 128 (the
+# C-axis stage splits C = C2·128 in-kernel: VPU radix-C2 butterfly + one
+# 128-point matmul per chunk — 4x fewer MACs than a single C×C matmul at
+# C=512).
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -87,30 +93,54 @@ def plan_params(nfft: int) -> list:
     """Host-side table bundle to thread through op params: the stage-1
     twiddle (64 MB at 2^23), T2 and W_C for both directions.  These MUST be
     runtime parameters — inlining them as HLO literals overflows the
-    relay's remote-compile request (HTTP 413).  (W_A/W_B are 64 KB and stay
-    inline.)  Order: [t1r, t1i, t2r, t2i, wcr, wci] forward then inverse."""
+    relay's remote-compile request (HTTP 413).  (The DFT matrices and
+    stage-C tables are ≤ 64 KB and stay inline.)
+    Order: [t1r, t1i, t2r, t2i] forward then inverse."""
     out = []
     for inverse in (False, True):
-        _, _, wc, t1, t2 = _tables(nfft, inverse)
-        out += [t1[0], t1[1], t2[0], t2[1], wc[0], wc[1]]
+        _, _, _, t1, t2 = _tables(nfft, inverse)
+        out += [t1[0], t1[1], t2[0], t2[1]]
     # device-resident and cached: every op at this nfft shares one copy,
     # and device_put of an already-device array is a no-op downstream.
     return [jax.device_put(a) for a in out]
 
 
 def _tabs(tables, inverse):
-    off = 6 if inverse else 0
-    return tables[off:off + 6]
+    off = 4 if inverse else 0
+    return tables[off:off + 4]
+
+
+C1 = 128  # lane-sized sub-factor of the C axis (C = C2·C1, C2 = C // 128)
+
+
+@functools.lru_cache(maxsize=None)
+def _ctab(nfft: int, inverse: bool):
+    """Stage-C composite tables: W_{C1} (the 128-point DFT matmul), the
+    chunk twiddle ct[k2', c1] = W_C^{c1·k2'}, and the radix-C2 butterfly
+    matrix wm[c2, k2'] = W_{C2}^{c2·k2'} (scalar consts, unrolled on the
+    VPU).  All ≤ 64 KB — inlined as kernel constants."""
+    C = nfft // (A * B)
+    C2 = C // C1
+    sign = 2.0 if inverse else -2.0
+    w128 = np.exp(sign * 1j * np.pi * np.outer(np.arange(C1), np.arange(C1)) / C1)
+    ct = np.exp(sign * 1j * np.pi * np.outer(np.arange(C2), np.arange(C1)) / C)
+    wm = np.exp(sign * 1j * np.pi * np.outer(np.arange(C2), np.arange(C2)) / C2)
+    f32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
+    return f32(w128), f32(ct), wm  # wm stays complex128 (python scalars)
 
 
 @functools.lru_cache(maxsize=None)
 def _perm(nfft: int) -> np.ndarray:
-    """k at stored position (a', b', c'): k = a' + A·b' + A·B·c'."""
+    """k at stored position (a', b', p): k = a' + A·b' + A·B·k_c(p), where
+    the composite C stage leaves its own digits permuted too:
+    k_c(p) = p//C1 + C2·(p % C1) (chunk k2' written at lanes k2'·C1)."""
     C = nfft // (A * B)
+    C2 = C // C1
     a = np.arange(A)[:, None, None]
     b = np.arange(B)[None, :, None]
-    c = np.arange(C)[None, None, :]
-    return (a + A * b + A * B * c).ravel()
+    p = np.arange(C)[None, None, :]
+    kc = p // C1 + C2 * (p % C1)
+    return (a + A * b + A * B * kc).ravel()
 
 
 def permute_full_response(H_half: np.ndarray, nfft: int) -> np.ndarray:
@@ -167,6 +197,30 @@ def _stage_a_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
     oi_ref[0] = yi
 
 
+def _stage_a_real_in_kernel(xr_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
+                            or_ref, oi_ref):
+    """Forward stage A for a REAL signal (imag=0): two MXU dots, not four."""
+    xr = xr_ref[0]
+    dot = lambda m, v: jax.lax.dot_general(
+        m, v, (((1,), (0,)), ((), ())), precision=_HI,
+        preferred_element_type=jnp.float32)
+    yr = dot(fr_ref[...], xr)
+    yi = dot(fi_ref[...], xr)
+    yr, yi = _cmul(yr, yi, t1r_ref[0], t1i_ref[0])
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def _stage_a_real_out_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref,
+                             t1i_ref, or_ref, *, scale):
+    """Final inverse stage A keeping only the REAL output: two dots."""
+    xr, xi = _cmul(xr_ref[0], xi_ref[0], t1r_ref[0], t1i_ref[0])
+    dot = lambda m, v: jax.lax.dot_general(
+        m, v, (((1,), (0,)), ((), ())), precision=_HI,
+        preferred_element_type=jnp.float32)
+    or_ref[0] = (dot(fr_ref[...], xr) - dot(fi_ref[...], xi)) * scale
+
+
 def _stage_b_kernel(xr_ref, xi_ref, fr_ref, fi_ref, tr_ref, ti_ref,
                     or_ref, oi_ref, *, pre):
     xr = xr_ref[0, 0]
@@ -182,23 +236,80 @@ def _stage_b_kernel(xr_ref, xi_ref, fr_ref, fi_ref, tr_ref, ti_ref,
     oi_ref[0, 0] = yi
 
 
-def _stage_c_kernel(xr_ref, xi_ref, fr_ref, fi_ref, or_ref, oi_ref):
-    yr, yi = _dot_r(xr_ref[0, 0], xi_ref[0, 0], fr_ref[...], fi_ref[...])
+def _cstage_fwd(xr, xi, wr, wi, ctr, cti, nfft):
+    """Composite forward C transform of a [S, C] tile: radix-C2 butterfly
+    across the C2 lane chunks (VPU, scalar twiddles), chunk twiddle, then
+    one 128-point matmul per chunk.  Output chunk k2' at lanes k2'·C1.
+    ``wr/wi``: W_{C1} planes; ``ctr/cti``: [C2, C1] chunk twiddle planes
+    (kernel inputs — Pallas rejects captured array constants)."""
+    _, _, wm = _ctab(nfft, False)
+    C2 = wm.shape[0]
+    chunks_r = [xr[:, c2 * C1:(c2 + 1) * C1] for c2 in range(C2)]
+    chunks_i = [xi[:, c2 * C1:(c2 + 1) * C1] for c2 in range(C2)]
+    out_r, out_i = [], []
+    for k2 in range(C2):
+        yr = yi = None
+        for c2 in range(C2):
+            w = wm[c2, k2]
+            tr = chunks_r[c2] * np.float32(w.real) - chunks_i[c2] * np.float32(w.imag)
+            ti = chunks_r[c2] * np.float32(w.imag) + chunks_i[c2] * np.float32(w.real)
+            yr = tr if yr is None else yr + tr
+            yi = ti if yi is None else yi + ti
+        yr, yi = _cmul(yr, yi, ctr[k2:k2 + 1], cti[k2:k2 + 1])
+        zr, zi = _dot_r(yr, yi, wr, wi)
+        out_r.append(zr)
+        out_i.append(zi)
+    return jnp.concatenate(out_r, axis=-1), jnp.concatenate(out_i, axis=-1)
+
+
+def _cstage_inv(xr, xi, wr, wi, ctr, cti, nfft):
+    """Adjoint of :func:`_cstage_fwd`: per stored chunk k2' — conj matmul,
+    conj chunk twiddle — then conj radix-C2 recombination to input order."""
+    _, _, wm = _ctab(nfft, True)
+    C2 = wm.shape[0]
+    ws_r, ws_i = [], []
+    for k2 in range(C2):
+        vr, vi = _dot_r(xr[:, k2 * C1:(k2 + 1) * C1],
+                        xi[:, k2 * C1:(k2 + 1) * C1], wr, wi)
+        vr, vi = _cmul(vr, vi, ctr[k2:k2 + 1], cti[k2:k2 + 1])
+        ws_r.append(vr)
+        ws_i.append(vi)
+    out_r, out_i = [], []
+    for c2 in range(C2):
+        yr = yi = None
+        for k2 in range(C2):
+            w = wm[c2, k2]
+            tr = ws_r[k2] * np.float32(w.real) - ws_i[k2] * np.float32(w.imag)
+            ti = ws_r[k2] * np.float32(w.imag) + ws_i[k2] * np.float32(w.real)
+            yr = tr if yr is None else yr + tr
+            yi = ti if yi is None else yi + ti
+        out_r.append(yr)
+        out_i.append(yi)
+    return jnp.concatenate(out_r, axis=-1), jnp.concatenate(out_i, axis=-1)
+
+
+def _stage_c_kernel(xr_ref, xi_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
+                    or_ref, oi_ref, *, nfft, inverse):
+    f = _cstage_inv if inverse else _cstage_fwd
+    yr, yi = f(xr_ref[0, 0], xi_ref[0, 0], wr_ref[...], wi_ref[...],
+               ctr_ref[...], cti_ref[...], nfft)
     or_ref[0, 0] = yr
     oi_ref[0, 0] = yi
 
 
-def _stage_c_resp_kernel(xr_ref, xi_ref, fr_ref, fi_ref, rr_ref, ri_ref,
-                         or_ref, oi_ref, *, pre_mul):
-    """Stage-C contraction with a fused pointwise response multiply —
-    before the matmul on the inverse side (pre_mul=True), which is where
-    the forward spectrum meets the response."""
+def _stage_c_resp_kernel(xr_ref, xi_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
+                         rr_ref, ri_ref, or_ref, oi_ref, *, nfft, pre_mul):
+    """Stage-C with a fused pointwise response multiply — before the
+    transform on the inverse side (pre_mul=True), where the forward
+    spectrum meets the response."""
     xr = xr_ref[0, 0]
     xi = xi_ref[0, 0]
+    w = (wr_ref[...], wi_ref[...], ctr_ref[...], cti_ref[...])
     if pre_mul:
         xr, xi = _cmul(xr, xi, rr_ref[0], ri_ref[0])
-    yr, yi = _dot_r(xr, xi, fr_ref[...], fi_ref[...])
-    if not pre_mul:
+        yr, yi = _cstage_inv(xr, xi, *w, nfft)
+    else:
+        yr, yi = _cstage_fwd(xr, xi, *w, nfft)
         yr, yi = _cmul(yr, yi, rr_ref[0], ri_ref[0])
     or_ref[0, 0] = yr
     oi_ref[0, 0] = yi
@@ -213,29 +324,52 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda r, j: (0,) * nd)
 
 
-def _stage_a(xr, xi, nfft, inverse, tables, interpret=False):
-    """Contract the A axis.  x: [R, nfft] viewed as [R, A, B*C]."""
+def _stage_a(xr, xi, nfft, inverse, tables, interpret=False,
+             real_in=False, real_out=False):
+    """Contract the A axis.  x: [R, nfft] viewed as [R, A, B*C].
+    ``real_in``: forward with implicit zero imag (x real).  ``real_out``:
+    inverse returning only the real plane (imag discarded)."""
     C = nfft // (A * B)
     wa, _, _, _, _ = _tables(nfft, inverse)
-    t1r, t1i, _, _, _, _ = _tabs(tables, inverse)
+    t1r, t1i, _, _ = _tabs(tables, inverse)
     R = xr.shape[0]
     xr3 = xr.reshape(R, A, B * C)
-    xi3 = xi.reshape(R, A, B * C)
     scale = (1.0 / nfft) if inverse else 1.0
-    kern = functools.partial(_stage_a_kernel, pre=inverse, scale=scale)
     spec_x = pl.BlockSpec((1, A, C), lambda r, j: (r, 0, j))
     spec_t1 = pl.BlockSpec((1, A, C), lambda r, j: (j, 0, 0))
+    f_specs = [_const_spec((A, A)), _const_spec((A, A))]
+    wa_in = (jnp.asarray(wa[0]), jnp.asarray(wa[1]))
+    t1_in = (t1r.reshape(B, A, C), t1i.reshape(B, A, C))
+    if real_in and not inverse:
+        out = pl.pallas_call(
+            _stage_a_real_in_kernel,
+            grid=(R, B),
+            in_specs=[spec_x] + f_specs + [spec_t1, spec_t1],
+            out_specs=[spec_x, spec_x],
+            out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)] * 2,
+            interpret=interpret,
+        )(xr3, *wa_in, *t1_in)
+        return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
+    xi3 = xi.reshape(R, A, B * C)
+    if real_out and inverse:
+        out = pl.pallas_call(
+            functools.partial(_stage_a_real_out_kernel, scale=scale),
+            grid=(R, B),
+            in_specs=[spec_x, spec_x] + f_specs + [spec_t1, spec_t1],
+            out_specs=[spec_x],
+            out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)],
+            interpret=interpret,
+        )(xr3, xi3, *wa_in, *t1_in)
+        return out[0].reshape(R, nfft), None
+    kern = functools.partial(_stage_a_kernel, pre=inverse, scale=scale)
     out = pl.pallas_call(
         kern,
         grid=(R, B),
-        in_specs=[spec_x, spec_x,
-                  _const_spec((A, A)), _const_spec((A, A)),
-                  spec_t1, spec_t1],
+        in_specs=[spec_x, spec_x] + f_specs + [spec_t1, spec_t1],
         out_specs=[spec_x, spec_x],
         out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)] * 2,
         interpret=interpret,
-    )(xr3, xi3, jnp.asarray(wa[0]), jnp.asarray(wa[1]),
-      t1r.reshape(B, A, C), t1i.reshape(B, A, C))
+    )(xr3, xi3, *wa_in, *t1_in)
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
 
 
@@ -243,7 +377,7 @@ def _stage_b(xr, xi, nfft, inverse, tables, interpret=False):
     """Contract the B axis.  x viewed as [R, A, B, C]."""
     C = nfft // (A * B)
     _, wb, _, _, _ = _tables(nfft, inverse)
-    _, _, t2r, t2i, _, _ = _tabs(tables, inverse)
+    _, _, t2r, t2i = _tabs(tables, inverse)
     R = xr.shape[0]
     xr4 = xr.reshape(R, A, B, C)
     xi4 = xi.reshape(R, A, B, C)
@@ -263,48 +397,55 @@ def _stage_b(xr, xi, nfft, inverse, tables, interpret=False):
 
 
 def _stage_c(xr, xi, nfft, inverse, tables, resp=None, interpret=False):
-    """Contract the C axis; optionally fuse the permuted response multiply
-    (resp: [2, nfft] f32 planes; pre-matmul when inverse)."""
+    """Transform the C axis (composite C2·128); optionally fuse the
+    permuted response multiply (resp: [2, nfft] f32 planes; pre-transform
+    when inverse)."""
     C = nfft // (A * B)
-    _, _, _, _, wcr, wci = _tabs(tables, inverse)
     R = xr.shape[0]
     xr4 = xr.reshape(R, A, B, C)
     xi4 = xi.reshape(R, A, B, C)
     spec_x = pl.BlockSpec((1, 1, B, C), lambda r, i: (r, i, 0, 0))
-    f_in = [wcr, wci]
-    f_specs = [_const_spec((C, C)), _const_spec((C, C))]
+    (wcr, wci), (ctr, cti), _ = _ctab(nfft, inverse)
+    C2 = C // C1
+    w_in = [jnp.asarray(wcr), jnp.asarray(wci),
+            jnp.asarray(ctr), jnp.asarray(cti)]
+    w_specs = [_const_spec((C1, C1)), _const_spec((C1, C1)),
+               _const_spec((C2, C1)), _const_spec((C2, C1))]
     if resp is None:
+        kern = functools.partial(_stage_c_kernel, nfft=nfft, inverse=inverse)
         out = pl.pallas_call(
-            _stage_c_kernel,
+            kern,
             grid=(R, A),
-            in_specs=[spec_x, spec_x] + f_specs,
+            in_specs=[spec_x, spec_x] + w_specs,
             out_specs=[spec_x, spec_x],
             out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
             interpret=interpret,
-        )(xr4, xi4, *f_in)
+        )(xr4, xi4, *w_in)
     else:
         rr = resp[0].reshape(A, B, C)
         ri = resp[1].reshape(A, B, C)
         spec_r = pl.BlockSpec((1, B, C), lambda r, i: (i, 0, 0))
-        kern = functools.partial(_stage_c_resp_kernel, pre_mul=inverse)
+        kern = functools.partial(_stage_c_resp_kernel, nfft=nfft,
+                                 pre_mul=inverse)
         out = pl.pallas_call(
             kern,
             grid=(R, A),
-            in_specs=[spec_x, spec_x] + f_specs + [spec_r, spec_r],
+            in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
             out_specs=[spec_x, spec_x],
             out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
             interpret=interpret,
-        )(xr4, xi4, *f_in, rr, ri)
+        )(xr4, xi4, *w_in, rr, ri)
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
 
 
-def _stage_c_multi_kernel(xr_ref, xi_ref, fr_ref, fi_ref, rr_ref, ri_ref,
-                          or_ref, oi_ref):
+def _stage_c_multi_kernel(xr_ref, xi_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
+                          rr_ref, ri_ref, or_ref, oi_ref, *, nfft):
     """Inverse stage-C over K responses sharing one forward spectrum:
     the X block is re-read per response index, multiplied by that
-    response's permuted block, then contracted."""
+    response's permuted block, then transformed."""
     xr, xi = _cmul(xr_ref[0, 0], xi_ref[0, 0], rr_ref[0, 0], ri_ref[0, 0])
-    yr, yi = _dot_r(xr, xi, fr_ref[...], fi_ref[...])
+    yr, yi = _cstage_inv(xr, xi, wr_ref[...], wi_ref[...],
+                         ctr_ref[...], cti_ref[...], nfft)
     or_ref[0, 0, 0] = yr
     oi_ref[0, 0, 0] = yi
 
@@ -312,7 +453,6 @@ def _stage_c_multi_kernel(xr_ref, xi_ref, fr_ref, fi_ref, rr_ref, ri_ref,
 def _stage_c_multi(Xr, Xi, resps, nfft, tables, interpret=False):
     """[R, nfft] spectrum × [K, 2, nfft] responses → ([K·R, nfft] ×2)."""
     C = nfft // (A * B)
-    _, _, _, _, wcr, wci = _tabs(tables, True)
     R = Xr.shape[0]
     K = resps.shape[0]
     xr4 = Xr.reshape(R, A, B, C)
@@ -322,15 +462,20 @@ def _stage_c_multi(Xr, Xi, resps, nfft, tables, interpret=False):
     spec_x = pl.BlockSpec((1, 1, B, C), lambda k, r, i: (r, i, 0, 0))
     spec_r = pl.BlockSpec((1, 1, B, C), lambda k, r, i: (k, i, 0, 0))
     spec_o = pl.BlockSpec((1, 1, 1, B, C), lambda k, r, i: (k, r, i, 0, 0))
-    cf = pl.BlockSpec((C, C), lambda k, r, i: (0, 0))
+    (wcr, wci), (ctr, cti), _ = _ctab(nfft, True)
+    C2 = C // C1
+    nd3 = lambda shape: pl.BlockSpec(shape, lambda k, r, i: (0,) * len(shape))
+    w_in = [jnp.asarray(wcr), jnp.asarray(wci),
+            jnp.asarray(ctr), jnp.asarray(cti)]
+    w_specs = [nd3((C1, C1)), nd3((C1, C1)), nd3((C2, C1)), nd3((C2, C1))]
     out = pl.pallas_call(
-        _stage_c_multi_kernel,
+        functools.partial(_stage_c_multi_kernel, nfft=nfft),
         grid=(K, R, A),
-        in_specs=[spec_x, spec_x, cf, cf, spec_r, spec_r],
+        in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
         out_specs=[spec_o, spec_o],
         out_shape=[jax.ShapeDtypeStruct((K, R, A, B, C), jnp.float32)] * 2,
         interpret=interpret,
-    )(xr4, xi4, wcr, wci, rr, ri)
+    )(xr4, xi4, *w_in, rr, ri)
     return out[0].reshape(K * R, nfft), out[1].reshape(K * R, nfft)
 
 
@@ -372,14 +517,14 @@ def apply_response(x, resp_perm, nfft: int, tables=None,
         xr = jnp.pad(xr, ((0, 0), (0, nfft - n)))
     elif n > nfft:
         xr = xr[:, :nfft]
-    zero = jnp.zeros_like(xr)
-    Xr, Xi = _stage_a(xr, zero, nfft, False, tables, interpret)
+    Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret,
+                      real_in=True)
     Xr, Xi = _stage_b(Xr, Xi, nfft, False, tables, interpret)
     Xr, Xi = _stage_c(Xr, Xi, nfft, False, tables, interpret=interpret)
     Yr, Yi = _stage_c(Xr, Xi, nfft, True, tables, resp=resp_perm,
                       interpret=interpret)
     Yr, Yi = _stage_b(Yr, Yi, nfft, True, tables, interpret)
-    Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret)
+    Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret, real_out=True)
     m = nfft if n_out is None else n_out
     return Yr[:, :m].reshape(lead + (m,))
 
@@ -397,8 +542,8 @@ def fwd_real(x, nfft: int, tables=None, interpret: bool = False):
         xr = xr[:, :nfft]
     if tables is None:
         tables = plan_params(nfft)
-    zero = jnp.zeros_like(xr)
-    Xr, Xi = _stage_a(xr, zero, nfft, False, tables, interpret)
+    Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret,
+                      real_in=True)
     Xr, Xi = _stage_b(Xr, Xi, nfft, False, tables, interpret)
     Xr, Xi = _stage_c(Xr, Xi, nfft, False, tables, interpret=interpret)
     return Xr, Xi, lead
@@ -415,7 +560,7 @@ def inv_multi(Xr, Xi, resps_perm, nfft: int, lead, n_out: int,
     K = resps_perm.shape[0]
     Yr, Yi = _stage_c_multi(Xr, Xi, resps_perm, nfft, tables, interpret)
     Yr, Yi = _stage_b(Yr, Yi, nfft, True, tables, interpret)
-    Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret)
+    Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret, real_out=True)
     return Yr[:, :n_out].reshape((K,) + tuple(lead) + (n_out,))
 
 

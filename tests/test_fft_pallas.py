@@ -79,3 +79,18 @@ def test_plan_gate():
     assert not fp.plan_ok(1 << 20)     # C would be 64
     assert not fp.plan_ok(3 << 21)     # C not a power of two
     assert not fp.plan_ok(1 << 25)     # C above 1024
+
+
+def test_apply_response_composite_c_stage():
+    """2^22 plan (C=256 → C2=2): exercises the in-kernel radix split."""
+    nfft = 1 << 22
+    g = np.random.default_rng(3)
+    n = nfft - 2048
+    x = g.standard_normal((1, n)).astype(np.float32)
+    R = (np.random.rand(nfft // 2 + 1) + 0.25)
+    resp = fp.permute_full_response(R, nfft)
+    got = np.asarray(fp.apply_response(
+        jnp.asarray(x), jnp.asarray(resp), nfft, n_out=n, interpret=True))
+    want = np.fft.irfft(np.fft.rfft(x, n=nfft, axis=-1) * R,
+                        n=nfft, axis=-1)[..., :n]
+    assert np.max(np.abs(got - want)) < 2e-5

@@ -221,21 +221,6 @@ def _stage_a_real_out_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref,
     or_ref[0] = (dot(fr_ref[...], xr) - dot(fi_ref[...], xi)) * scale
 
 
-def _stage_b_kernel(xr_ref, xi_ref, fr_ref, fi_ref, tr_ref, ti_ref,
-                    or_ref, oi_ref, *, pre):
-    xr = xr_ref[0, 0]
-    xi = xi_ref[0, 0]
-    twr = tr_ref[...]
-    twi = ti_ref[...]
-    if pre:
-        xr, xi = _cmul(xr, xi, twr, twi)
-    yr, yi = _dot_l(fr_ref[...], fi_ref[...], xr, xi)
-    if not pre:
-        yr, yi = _cmul(yr, yi, twr, twi)
-    or_ref[0, 0] = yr
-    oi_ref[0, 0] = yi
-
-
 def _cstage_fwd(xr, xi, wr, wi, ctr, cti, nfft):
     """Composite forward C transform of a [S, C] tile: radix-C2 butterfly
     across the C2 lane chunks (VPU, scalar twiddles), chunk twiddle, then
@@ -288,31 +273,47 @@ def _cstage_inv(xr, xi, wr, wi, ctr, cti, nfft):
     return jnp.concatenate(out_r, axis=-1), jnp.concatenate(out_i, axis=-1)
 
 
-def _stage_c_kernel(xr_ref, xi_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
-                    or_ref, oi_ref, *, nfft, inverse):
-    f = _cstage_inv if inverse else _cstage_fwd
-    yr, yi = f(xr_ref[0, 0], xi_ref[0, 0], wr_ref[...], wi_ref[...],
-               ctr_ref[...], cti_ref[...], nfft)
+def _stage_bc_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref, t2i_ref,
+                     wr_ref, wi_ref, ctr_ref, cti_ref, or_ref, oi_ref,
+                     *, nfft):
+    """Fused forward stages B and C — the [B, C] tile for a fixed a holds
+    everything both contractions need, so they share one HBM pass."""
+    yr, yi = _dot_l(fbr_ref[...], fbi_ref[...], xr_ref[0, 0], xi_ref[0, 0])
+    yr, yi = _cmul(yr, yi, t2r_ref[...], t2i_ref[...])
+    yr, yi = _cstage_fwd(yr, yi, wr_ref[...], wi_ref[...],
+                         ctr_ref[...], cti_ref[...], nfft)
     or_ref[0, 0] = yr
     oi_ref[0, 0] = yi
 
 
-def _stage_c_resp_kernel(xr_ref, xi_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
-                         rr_ref, ri_ref, or_ref, oi_ref, *, nfft, pre_mul):
-    """Stage-C with a fused pointwise response multiply — before the
-    transform on the inverse side (pre_mul=True), where the forward
-    spectrum meets the response."""
+def _stage_cb_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref, t2i_ref,
+                     wr_ref, wi_ref, ctr_ref, cti_ref, rr_ref, ri_ref,
+                     or_ref, oi_ref, *, nfft, with_resp):
+    """Fused inverse stages C and B: (response multiply →) inv C →
+    conj T2 → inv B, one HBM pass."""
     xr = xr_ref[0, 0]
     xi = xi_ref[0, 0]
-    w = (wr_ref[...], wi_ref[...], ctr_ref[...], cti_ref[...])
-    if pre_mul:
+    if with_resp:
         xr, xi = _cmul(xr, xi, rr_ref[0], ri_ref[0])
-        yr, yi = _cstage_inv(xr, xi, *w, nfft)
-    else:
-        yr, yi = _cstage_fwd(xr, xi, *w, nfft)
-        yr, yi = _cmul(yr, yi, rr_ref[0], ri_ref[0])
+    yr, yi = _cstage_inv(xr, xi, wr_ref[...], wi_ref[...],
+                         ctr_ref[...], cti_ref[...], nfft)
+    yr, yi = _cmul(yr, yi, t2r_ref[...], t2i_ref[...])
+    yr, yi = _dot_l(fbr_ref[...], fbi_ref[...], yr, yi)
     or_ref[0, 0] = yr
     oi_ref[0, 0] = yi
+
+
+def _stage_cb_multi_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref,
+                           t2i_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
+                           rr_ref, ri_ref, or_ref, oi_ref, *, nfft):
+    """Fused inverse C+B over K responses sharing one forward spectrum."""
+    xr, xi = _cmul(xr_ref[0, 0], xi_ref[0, 0], rr_ref[0, 0], ri_ref[0, 0])
+    yr, yi = _cstage_inv(xr, xi, wr_ref[...], wi_ref[...],
+                         ctr_ref[...], cti_ref[...], nfft)
+    yr, yi = _cmul(yr, yi, t2r_ref[...], t2i_ref[...])
+    yr, yi = _dot_l(fbr_ref[...], fbi_ref[...], yr, yi)
+    or_ref[0, 0, 0] = yr
+    oi_ref[0, 0, 0] = yi
 
 
 # ---------------------------------------------------------------------------
@@ -373,85 +374,74 @@ def _stage_a(xr, xi, nfft, inverse, tables, interpret=False,
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
 
 
-def _stage_b(xr, xi, nfft, inverse, tables, interpret=False):
-    """Contract the B axis.  x viewed as [R, A, B, C]."""
+def _bc_tables(nfft, inverse, tables):
+    """Inputs + specs shared by the fused B/C drivers: W_B (inline-sized
+    const), T2 (runtime table), W_C1 and chunk twiddle (inline-sized)."""
     C = nfft // (A * B)
+    C2 = C // C1
     _, wb, _, _, _ = _tables(nfft, inverse)
     _, _, t2r, t2i = _tabs(tables, inverse)
+    (wcr, wci), (ctr, cti), _ = _ctab(nfft, inverse)
+    ins = [jnp.asarray(wb[0]), jnp.asarray(wb[1]), t2r, t2i,
+           jnp.asarray(wcr), jnp.asarray(wci),
+           jnp.asarray(ctr), jnp.asarray(cti)]
+    shapes = [(B, B), (B, B), (B, C), (B, C),
+              (C1, C1), (C1, C1), (C2, C1), (C2, C1)]
+    return ins, shapes
+
+
+def _stage_bc(xr, xi, nfft, tables, interpret=False):
+    """Fused forward stages B and C (one HBM pass).  x viewed [R,A,B,C]."""
+    C = nfft // (A * B)
     R = xr.shape[0]
     xr4 = xr.reshape(R, A, B, C)
     xi4 = xi.reshape(R, A, B, C)
-    kern = functools.partial(_stage_b_kernel, pre=inverse)
     spec_x = pl.BlockSpec((1, 1, B, C), lambda r, i: (r, i, 0, 0))
+    ins, shapes = _bc_tables(nfft, False, tables)
+    w_specs = [_const_spec(sh) for sh in shapes]
     out = pl.pallas_call(
-        kern,
+        functools.partial(_stage_bc_kernel, nfft=nfft),
         grid=(R, A),
-        in_specs=[spec_x, spec_x,
-                  _const_spec((B, B)), _const_spec((B, B)),
-                  _const_spec((B, C)), _const_spec((B, C))],
+        in_specs=[spec_x, spec_x] + w_specs,
         out_specs=[spec_x, spec_x],
         out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
         interpret=interpret,
-    )(xr4, xi4, jnp.asarray(wb[0]), jnp.asarray(wb[1]), t2r, t2i)
+    )(xr4, xi4, *ins)
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
 
 
-def _stage_c(xr, xi, nfft, inverse, tables, resp=None, interpret=False):
-    """Transform the C axis (composite C2·128); optionally fuse the
-    permuted response multiply (resp: [2, nfft] f32 planes; pre-transform
-    when inverse)."""
+def _stage_cb(Xr, Xi, nfft, tables, resp=None, interpret=False):
+    """Fused inverse stages C and B with optional response multiply."""
     C = nfft // (A * B)
-    R = xr.shape[0]
-    xr4 = xr.reshape(R, A, B, C)
-    xi4 = xi.reshape(R, A, B, C)
+    R = Xr.shape[0]
+    xr4 = Xr.reshape(R, A, B, C)
+    xi4 = Xi.reshape(R, A, B, C)
     spec_x = pl.BlockSpec((1, 1, B, C), lambda r, i: (r, i, 0, 0))
-    (wcr, wci), (ctr, cti), _ = _ctab(nfft, inverse)
-    C2 = C // C1
-    w_in = [jnp.asarray(wcr), jnp.asarray(wci),
-            jnp.asarray(ctr), jnp.asarray(cti)]
-    w_specs = [_const_spec((C1, C1)), _const_spec((C1, C1)),
-               _const_spec((C2, C1)), _const_spec((C2, C1))]
+    ins, shapes = _bc_tables(nfft, True, tables)
+    w_specs = [_const_spec(sh) for sh in shapes]
     if resp is None:
-        kern = functools.partial(_stage_c_kernel, nfft=nfft, inverse=inverse)
-        out = pl.pallas_call(
-            kern,
-            grid=(R, A),
-            in_specs=[spec_x, spec_x] + w_specs,
-            out_specs=[spec_x, spec_x],
-            out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
-            interpret=interpret,
-        )(xr4, xi4, *w_in)
+        # dummy single-bin response refs are still required by the kernel
+        rr = jnp.ones((A, B, C), jnp.float32)
+        ri = jnp.zeros((A, B, C), jnp.float32)
+        with_resp = False
     else:
         rr = resp[0].reshape(A, B, C)
         ri = resp[1].reshape(A, B, C)
-        spec_r = pl.BlockSpec((1, B, C), lambda r, i: (i, 0, 0))
-        kern = functools.partial(_stage_c_resp_kernel, nfft=nfft,
-                                 pre_mul=inverse)
-        out = pl.pallas_call(
-            kern,
-            grid=(R, A),
-            in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
-            out_specs=[spec_x, spec_x],
-            out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
-            interpret=interpret,
-        )(xr4, xi4, *w_in, rr, ri)
+        with_resp = True
+    spec_r = pl.BlockSpec((1, B, C), lambda r, i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_stage_cb_kernel, nfft=nfft, with_resp=with_resp),
+        grid=(R, A),
+        in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
+        out_specs=[spec_x, spec_x],
+        out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
+        interpret=interpret,
+    )(xr4, xi4, *ins, rr, ri)
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
 
 
-def _stage_c_multi_kernel(xr_ref, xi_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
-                          rr_ref, ri_ref, or_ref, oi_ref, *, nfft):
-    """Inverse stage-C over K responses sharing one forward spectrum:
-    the X block is re-read per response index, multiplied by that
-    response's permuted block, then transformed."""
-    xr, xi = _cmul(xr_ref[0, 0], xi_ref[0, 0], rr_ref[0, 0], ri_ref[0, 0])
-    yr, yi = _cstage_inv(xr, xi, wr_ref[...], wi_ref[...],
-                         ctr_ref[...], cti_ref[...], nfft)
-    or_ref[0, 0, 0] = yr
-    oi_ref[0, 0, 0] = yi
-
-
-def _stage_c_multi(Xr, Xi, resps, nfft, tables, interpret=False):
-    """[R, nfft] spectrum × [K, 2, nfft] responses → ([K·R, nfft] ×2)."""
+def _stage_cb_multi(Xr, Xi, resps, nfft, tables, interpret=False):
+    """[R, nfft] spectrum × [K, 2, nfft] responses → fused inverse C+B."""
     C = nfft // (A * B)
     R = Xr.shape[0]
     K = resps.shape[0]
@@ -462,20 +452,17 @@ def _stage_c_multi(Xr, Xi, resps, nfft, tables, interpret=False):
     spec_x = pl.BlockSpec((1, 1, B, C), lambda k, r, i: (r, i, 0, 0))
     spec_r = pl.BlockSpec((1, 1, B, C), lambda k, r, i: (k, i, 0, 0))
     spec_o = pl.BlockSpec((1, 1, 1, B, C), lambda k, r, i: (k, r, i, 0, 0))
-    (wcr, wci), (ctr, cti), _ = _ctab(nfft, True)
-    C2 = C // C1
-    nd3 = lambda shape: pl.BlockSpec(shape, lambda k, r, i: (0,) * len(shape))
-    w_in = [jnp.asarray(wcr), jnp.asarray(wci),
-            jnp.asarray(ctr), jnp.asarray(cti)]
-    w_specs = [nd3((C1, C1)), nd3((C1, C1)), nd3((C2, C1)), nd3((C2, C1))]
+    ins, shapes = _bc_tables(nfft, True, tables)
+    w_specs = [pl.BlockSpec(sh, (lambda nd: lambda k, r, i: (0,) * nd)(len(sh)))
+               for sh in shapes]
     out = pl.pallas_call(
-        functools.partial(_stage_c_multi_kernel, nfft=nfft),
+        functools.partial(_stage_cb_multi_kernel, nfft=nfft),
         grid=(K, R, A),
         in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
         out_specs=[spec_o, spec_o],
         out_shape=[jax.ShapeDtypeStruct((K, R, A, B, C), jnp.float32)] * 2,
         interpret=interpret,
-    )(xr4, xi4, *w_in, rr, ri)
+    )(xr4, xi4, *ins, rr, ri)
     return out[0].reshape(K * R, nfft), out[1].reshape(K * R, nfft)
 
 
@@ -488,16 +475,14 @@ def fft_permuted(xr, xi, nfft: int, tables=None, interpret: bool = False):
     if tables is None:
         tables = plan_params(nfft)
     xr, xi = _stage_a(xr, xi, nfft, False, tables, interpret)
-    xr, xi = _stage_b(xr, xi, nfft, False, tables, interpret)
-    return _stage_c(xr, xi, nfft, False, tables, interpret=interpret)
+    return _stage_bc(xr, xi, nfft, tables, interpret)
 
 
 def ifft_permuted(Xr, Xi, nfft: int, tables=None, interpret: bool = False):
     """Inverse of :func:`fft_permuted` (adjoint stages, reversed)."""
     if tables is None:
         tables = plan_params(nfft)
-    Xr, Xi = _stage_c(Xr, Xi, nfft, True, tables, interpret=interpret)
-    Xr, Xi = _stage_b(Xr, Xi, nfft, True, tables, interpret)
+    Xr, Xi = _stage_cb(Xr, Xi, nfft, tables, interpret=interpret)
     return _stage_a(Xr, Xi, nfft, True, tables, interpret)
 
 
@@ -519,11 +504,9 @@ def apply_response(x, resp_perm, nfft: int, tables=None,
         xr = xr[:, :nfft]
     Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret,
                       real_in=True)
-    Xr, Xi = _stage_b(Xr, Xi, nfft, False, tables, interpret)
-    Xr, Xi = _stage_c(Xr, Xi, nfft, False, tables, interpret=interpret)
-    Yr, Yi = _stage_c(Xr, Xi, nfft, True, tables, resp=resp_perm,
-                      interpret=interpret)
-    Yr, Yi = _stage_b(Yr, Yi, nfft, True, tables, interpret)
+    Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
+    Yr, Yi = _stage_cb(Xr, Xi, nfft, tables, resp=resp_perm,
+                       interpret=interpret)
     Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret, real_out=True)
     m = nfft if n_out is None else n_out
     return Yr[:, :m].reshape(lead + (m,))
@@ -544,8 +527,7 @@ def fwd_real(x, nfft: int, tables=None, interpret: bool = False):
         tables = plan_params(nfft)
     Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret,
                       real_in=True)
-    Xr, Xi = _stage_b(Xr, Xi, nfft, False, tables, interpret)
-    Xr, Xi = _stage_c(Xr, Xi, nfft, False, tables, interpret=interpret)
+    Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
     return Xr, Xi, lead
 
 
@@ -558,8 +540,7 @@ def inv_multi(Xr, Xi, resps_perm, nfft: int, lead, n_out: int,
     if tables is None:
         tables = plan_params(nfft)
     K = resps_perm.shape[0]
-    Yr, Yi = _stage_c_multi(Xr, Xi, resps_perm, nfft, tables, interpret)
-    Yr, Yi = _stage_b(Yr, Yi, nfft, True, tables, interpret)
+    Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables, interpret)
     Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret, real_out=True)
     return Yr[:, :n_out].reshape((K,) + tuple(lead) + (n_out,))
 

@@ -154,21 +154,90 @@ def fftconvolve_same_fd(x: jax.Array, h: jax.Array, nfft: int) -> jax.Array:
     return y[..., start:start + n]
 
 
+def _box_pallas(x2: jax.Array, k: int) -> jax.Array:
+    """Pallas moving-average kernel over [R, n] (zero-padded edges).
+
+    XLA lowers the k-term shift-add as ~k separate passes (66 ms for k=67
+    at [16, 2^23] on v5e); here each grid step loads its block plus both
+    neighbors and does the k adds in VMEM — bandwidth-bound at ~2 passes
+    (~2 ms)."""
+    from jax.experimental import pallas as pl
+
+    R, n = x2.shape
+    TB = 1 << 11
+    half = k // 2
+    nb = -(-n // TB)
+    xp = jnp.pad(x2, ((0, 0), (0, nb * TB - n)))
+
+    def kernel(prev_ref, cur_ref, nxt_ref, o_ref):
+        j = pl.program_id(0)
+        prev = jnp.where(j > 0, prev_ref[...], 0.0)
+        nxt = jnp.where(j < pl.num_programs(0) - 1, nxt_ref[...], 0.0)
+        win = jnp.concatenate(
+            [prev[:, TB - half:], cur_ref[...], nxt[:, :half]], axis=-1)
+        acc = win[:, :TB]
+        for s in range(1, k):
+            acc = acc + win[:, s:s + TB]
+        o_ref[...] = acc * (1.0 / k)
+
+    spec_c = pl.BlockSpec((R, TB), lambda j: (0, j))
+    spec_p = pl.BlockSpec((R, TB), lambda j: (0, jnp.maximum(j - 1, 0)))
+    spec_n = pl.BlockSpec(
+        (R, TB), lambda j: (0, jnp.minimum(j + 1, nb - 1)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[spec_p, spec_c, spec_n],
+        out_specs=spec_c,
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x2.dtype),
+    )(xp, xp, xp)
+    return out[:, :n]
+
+
 def box_smooth_same(x: jax.Array, k: int) -> jax.Array:
     """Centered moving average of odd width ``k`` with zero-padded edges —
     bit-equivalent (up to f32 summation order) to
     ``fftconvolve_same_fd(x, ones(k)/k, nfft)``.
 
     The deesser's gain-smoothing kernel is a ~66-tap box; routing it through
-    the giant track-length FFT costs a full forward+inverse pass (~109 ms for
-    [16, 2^23] on v5e).  An unrolled shift-add lets XLA fuse the k reads into
-    one VMEM-tiled elementwise kernel — bandwidth-bound at ~2 array passes.
-    """
+    the giant track-length FFT costs a full forward+inverse pass (~109 ms
+    for [16, 2^23] on v5e) and the XLA shift-add still ~66 ms; on TPU a
+    Pallas halo kernel does it in ~2 HBM passes."""
     if k <= 1:
         return x
     n = x.shape[-1]
     half = k // 2
+    lead = x.shape[:-1]
+    import numpy as _np
+
+    R = int(_np.prod(lead)) if lead else 1
+    if k < n and half < (1 << 11) and R >= 8:
+        # R < 8 (e.g. a [2, n] track under vmap) would force 4x-padded
+        # sublane tiles and tiny DMAs — the halo kernel only wins with
+        # enough rows per block.
+        try:
+            plat = jax.devices()[0].platform
+        except Exception:  # noqa: BLE001
+            plat = "cpu"
+        if plat in ("tpu", "axon"):
+            return _box_pallas(x.reshape(R, n), k).reshape(lead + (n,))
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, k - 1 - half)])
+    a = 8
+    b = k // a
+    if b >= 2:
+        # Two-level sliding sum: k = a*b + r needs a+b+r shifted adds
+        # instead of k (XLA materializes each shifted add as a pass).
+        r = k - a * b
+        La = n + k - a
+        sa = xp[..., 0:La]
+        for s in range(1, a):
+            sa = sa + xp[..., s:s + La]
+        acc = sa[..., 0:n]
+        for j in range(1, b):
+            acc = acc + sa[..., j * a:j * a + n]
+        for s in range(a * b, k):
+            acc = acc + xp[..., s:s + n]
+        return acc * (1.0 / k)
     acc = xp[..., :n]
     for s in range(1, k):
         acc = acc + xp[..., s:s + n]

@@ -126,10 +126,10 @@ def build_target_then_deesser(
             ys = jnp.fft.irfft(X[None] * Rb, n=nfft, axis=-1)[..., :n]
         y3_f, sc_f = ys[0], ys[1]
         # exact edges: target on raw windows, band on the exact target output
-        y3l = f_t(x[..., :w], pt)
-        y3r = f_t(x[..., -w:], pt)
-        y3 = _splice(y3_f, y3l, y3r, n, L)
-        sc = _splice(sc_f, band_zp(y3l, pb), band_zp(y3r, pb), n, L)
+        y3lr = f_t(jnp.stack([x[..., :w], x[..., -w:]]), pt)
+        y3 = _splice(y3_f, y3lr[0], y3lr[1], n, L)
+        sclr = band_zp(y3lr, pb)
+        sc = _splice(sc_f, sclr[0], sclr[1], n, L)
         env = envelope_follower(jnp.abs(sc), att, rel)
         reduction = jnp.where(env > thresh, thresh + (env - thresh) / ratio, env)
         gain = jnp.where(env > 1e-10, reduction / (env + 1e-12), 1.0)
@@ -258,8 +258,7 @@ def build_normalize_then_final(
         lufs = gated_loudness(block_energies(yk, plan))
         g = normalize_lufs_gain(lufs, tgt)
         fast = z[1] * g
-        el = f_small(x[..., :w] * g, ps)
-        er = f_small(x[..., -w:] * g, ps)
-        return _splice(fast, el, er, n, L)
+        elr = f_small(jnp.stack([x[..., :w], x[..., -w:]]) * g, ps)
+        return _splice(fast, elr[0], elr[1], n, L)
 
     return params, fn, fused_ids

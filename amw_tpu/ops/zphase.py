@@ -105,8 +105,11 @@ class HybridZP:
     def __call__(self, x, params):
         pf, ps = params
         y = self.fast(x, pf)
-        yl = self.small(x[..., : self.w_in], ps)[..., : self.L]
-        yr = self.small(x[..., -self.w_in:], ps)[..., -self.L:]
+        # both edge windows in one stacked pass (halves small-FFT dispatches)
+        ylr = self.small(jnp.stack([x[..., : self.w_in],
+                                    x[..., -self.w_in:]]), ps)
+        yl = ylr[0][..., : self.L]
+        yr = ylr[1][..., -self.L:]
         return jnp.concatenate(
             [yl, y[..., self.L: self.n - self.L], yr], axis=-1)
 
@@ -205,8 +208,9 @@ def hybridize_op(spec: GraphSpec, settle: int, padlen: int, build):
     def fn(x, params):
         pf, ps = params
         y = f_fast(x, pf)
-        yl = f_small(x[..., :w_in], ps)[..., :L]
-        yr = f_small(x[..., -w_in:], ps)[..., -L:]
+        ylr = f_small(jnp.stack([x[..., :w_in], x[..., -w_in:]]), ps)
+        yl = ylr[0][..., :L]
+        yr = ylr[1][..., -L:]
         return jnp.concatenate([yl, y[..., L:n - L], yr], axis=-1)
 
     return params, fn

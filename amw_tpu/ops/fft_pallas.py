@@ -305,15 +305,20 @@ def _stage_cb_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref, t2i_ref,
 
 def _stage_cb_multi_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref,
                            t2i_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
-                           rr_ref, ri_ref, or_ref, oi_ref, *, nfft):
-    """Fused inverse C+B over K responses sharing one forward spectrum."""
-    xr, xi = _cmul(xr_ref[0, 0], xi_ref[0, 0], rr_ref[0, 0], ri_ref[0, 0])
-    yr, yi = _cstage_inv(xr, xi, wr_ref[...], wi_ref[...],
-                         ctr_ref[...], cti_ref[...], nfft)
-    yr, yi = _cmul(yr, yi, t2r_ref[...], t2i_ref[...])
-    yr, yi = _dot_l(fbr_ref[...], fbi_ref[...], yr, yi)
-    or_ref[0, 0, 0] = yr
-    oi_ref[0, 0, 0] = yi
+                           rr_ref, ri_ref, or_ref, oi_ref, *, nfft, K):
+    """Fused inverse C+B over K responses sharing one forward spectrum.
+    All K responses are processed per X-block load (unrolled in-kernel),
+    so the spectrum streams from HBM once instead of K times."""
+    xr = xr_ref[0, 0]
+    xi = xi_ref[0, 0]
+    for k in range(K):
+        zr, zi = _cmul(xr, xi, rr_ref[k, 0], ri_ref[k, 0])
+        yr, yi = _cstage_inv(zr, zi, wr_ref[...], wi_ref[...],
+                             ctr_ref[...], cti_ref[...], nfft)
+        yr, yi = _cmul(yr, yi, t2r_ref[...], t2i_ref[...])
+        yr, yi = _dot_l(fbr_ref[...], fbi_ref[...], yr, yi)
+        or_ref[k, 0, 0] = yr
+        oi_ref[k, 0, 0] = yi
 
 
 # ---------------------------------------------------------------------------
@@ -449,15 +454,15 @@ def _stage_cb_multi(Xr, Xi, resps, nfft, tables, interpret=False):
     xi4 = Xi.reshape(R, A, B, C)
     rr = resps[:, 0].reshape(K, A, B, C)
     ri = resps[:, 1].reshape(K, A, B, C)
-    spec_x = pl.BlockSpec((1, 1, B, C), lambda k, r, i: (r, i, 0, 0))
-    spec_r = pl.BlockSpec((1, 1, B, C), lambda k, r, i: (k, i, 0, 0))
-    spec_o = pl.BlockSpec((1, 1, 1, B, C), lambda k, r, i: (k, r, i, 0, 0))
+    spec_x = pl.BlockSpec((1, 1, B, C), lambda r, i: (r, i, 0, 0))
+    spec_r = pl.BlockSpec((K, 1, B, C), lambda r, i: (0, i, 0, 0))
+    spec_o = pl.BlockSpec((K, 1, 1, B, C), lambda r, i: (0, r, i, 0, 0))
     ins, shapes = _bc_tables(nfft, True, tables)
-    w_specs = [pl.BlockSpec(sh, (lambda nd: lambda k, r, i: (0,) * nd)(len(sh)))
+    w_specs = [pl.BlockSpec(sh, (lambda nd: lambda r, i: (0,) * nd)(len(sh)))
                for sh in shapes]
     out = pl.pallas_call(
-        functools.partial(_stage_cb_multi_kernel, nfft=nfft),
-        grid=(K, R, A),
+        functools.partial(_stage_cb_multi_kernel, nfft=nfft, K=K),
+        grid=(R, A),
         in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
         out_specs=[spec_o, spec_o],
         out_shape=[jax.ShapeDtypeStruct((K, R, A, B, C), jnp.float32)] * 2,
@@ -543,6 +548,60 @@ def inv_multi(Xr, Xi, resps_perm, nfft: int, lead, n_out: int,
     Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables, interpret)
     Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret, real_out=True)
     return Yr[:, :n_out].reshape((K,) + tuple(lead) + (n_out,))
+
+
+def _stage_a_reduce_kernel(yr_ref, yi_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
+                           o_ref, *, K, scale, band_fns):
+    """Final inverse stage A over K spectra with a per-band memoryless
+    map fused in and the bands summed in-VMEM.  Blocks hold strided time
+    samples, which is fine for per-sample maps; the output array is the
+    summed time signal in natural order."""
+    twr = t1r_ref[0]
+    twi = t1i_ref[0]
+    dot = lambda m, v: jax.lax.dot_general(
+        m, v, (((1,), (0,)), ((), ())), precision=_HI,
+        preferred_element_type=jnp.float32)
+    acc = None
+    for k in range(K):
+        xr, xi = _cmul(yr_ref[k, 0], yi_ref[k, 0], twr, twi)
+        y = (dot(fr_ref[...], xr) - dot(fi_ref[...], xi)) * scale
+        y = band_fns[k](y)
+        acc = y if acc is None else acc + y
+    o_ref[0] = acc
+
+
+def inv_multi_reduce(Xr, Xi, resps_perm, nfft: int, lead, n_out: int,
+                     band_fns, tables=None, interpret: bool = False):
+    """Like :func:`inv_multi`, but each band passes through its (traceable,
+    memoryless, per-sample) ``band_fns[k]`` and the bands are summed inside
+    the final kernel — the K band signals are never materialized in HBM.
+    Returns real [*lead, n_out]."""
+    if tables is None:
+        tables = plan_params(nfft)
+    K = resps_perm.shape[0]
+    R = Xr.shape[0]
+    C = nfft // (A * B)
+    Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables, interpret)
+    wa, _, _, _, _ = _tables(nfft, True)
+    t1r, t1i, _, _ = _tabs(tables, True)
+    yr4 = Yr.reshape(K, R, A, B * C)
+    yi4 = Yi.reshape(K, R, A, B * C)
+    spec_y = pl.BlockSpec((K, 1, A, C), lambda r, j: (0, r, 0, j))
+    spec_o = pl.BlockSpec((1, A, C), lambda r, j: (r, 0, j))
+    spec_t1 = pl.BlockSpec((1, A, C), lambda r, j: (j, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_stage_a_reduce_kernel, K=K, scale=1.0 / nfft,
+                          band_fns=tuple(band_fns)),
+        grid=(R, B),
+        in_specs=[spec_y, spec_y,
+                  _const_spec((A, A)), _const_spec((A, A)),
+                  spec_t1, spec_t1],
+        out_specs=spec_o,
+        out_shape=jax.ShapeDtypeStruct((R, A, B * C), jnp.float32),
+        interpret=interpret,
+    )(yr4, yi4, jnp.asarray(wa[0]), jnp.asarray(wa[1]),
+      t1r.reshape(B, A, C), t1i.reshape(B, A, C))
+    return out.reshape(R, nfft)[:, :n_out].reshape(tuple(lead) + (n_out,))
 
 
 def enabled(nfft: int) -> bool:

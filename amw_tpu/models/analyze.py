@@ -47,22 +47,36 @@ def _analysis_graph(sr: int, n: int, channels: int, extended: bool,
     serves any upload up to the bucket."""
     settle = meters.k_weight_settle(sr)
     nfft = design.next_fft_size(n + settle)
-    Hk = meters.k_weight_response(sr, nfft)
     can_gate = n >= int(0.4 * sr) + 1
     plan = meters.plan_blocks(sr, n) if can_gate else None
+
+    from ..ops import fft_pallas as fp
+
+    use_pallas = fp.enabled(nfft)
+    if use_pallas:
+        Hk_c = design.cascade_response(design.k_weighting_ba(sr), nfft)
+        Hk = (fp.permute_full_response(Hk_c, nfft), fp.plan_params(nfft))
+    else:
+        Hk = (meters.k_weight_response(sr, nfft), None)
 
     def fn(x, Hk_dev, n_valid):
         out = {}
         out["peak"] = jnp.max(jnp.abs(x)) if n > 0 else jnp.float32(0.0)
+        # K-weighted signal computed ONCE and shared by the integrated,
+        # short-term (LRA) and timeline meters (previously 3 filter passes).
+        resp, tabs = Hk_dev
+        yk = meters.k_weight_filter(x, resp, nfft, pallas_tables=tabs) \
+            if (can_gate or true_peak or extended) else None
         if can_gate:
-            out["lufs"] = meters.integrated_lufs(x, Hk_dev, nfft, plan,
-                                                 n_valid=n_valid)
+            out["lufs"] = meters.integrated_lufs(x, resp, nfft, plan,
+                                                 n_valid=n_valid, yk=yk)
         if channels == 2:
             out["correlation"] = meters.stereo_correlation(x, n_valid=n_valid)
         if true_peak:
             out["true_peak_db"] = meters.true_peak_dbfs(x)
             tl3, tl3_valid = meters.timeline_lufs_masked(
-                x, Hk_dev, nfft, sr, n_valid, block_sec=3.0, max_points=200)
+                x, resp, nfft, sr, n_valid, block_sec=3.0, max_points=200,
+                yk=yk)
             out["lra"] = meters.loudness_range_lu(
                 jnp.where(tl3_valid, tl3, -1e9))
         if extended:
@@ -75,7 +89,7 @@ def _analysis_graph(sr: int, n: int, channels: int, extended: bool,
                         mid[None], sr, n_valid)
                     out["spectrum_side"] = meters.spectrum_bars_masked(
                         side[None], sr, n_valid)
-            out["timeline"], out["timeline_valid"] =                 meters.timeline_lufs_masked(x, Hk_dev, nfft, sr, n_valid)
+            out["timeline"], out["timeline_valid"] =                 meters.timeline_lufs_masked(x, resp, nfft, sr, n_valid, yk=yk)
             if channels == 2:
                 out["vectorscope"], out["vectorscope_valid"] =                     meters.vectorscope_points_masked(x, n_valid)
         return out

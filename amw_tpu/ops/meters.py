@@ -147,15 +147,28 @@ def gated_loudness(z: jax.Array, rel_gate_lu: float = 10.0,
     return jnp.where(m2.any(), lufs, -1e9)
 
 
+def k_weight_filter(x: jax.Array, Hk: jax.Array, nfft: int,
+                    pallas_tables=None) -> jax.Array:
+    """K-weighted signal (causal, zero state).  ``Hk``: packed [2, nbins]
+    planes, or — when ``pallas_tables`` is given — the PERMUTED full
+    response [2, nfft] for the staged Pallas FFT."""
+    if pallas_tables is not None:
+        from . import fft_pallas as fp
+
+        return fp.apply_response(x, Hk, nfft, tables=pallas_tables,
+                                 n_out=x.shape[-1])
+    return lfilter_fd(x, jax.lax.complex(Hk[0], Hk[1]), nfft)
+
+
 def integrated_lufs(x: jax.Array, Hk: jax.Array, nfft: int, plan: BlockPlan,
-                    n_valid: jax.Array | None = None) -> jax.Array:
+                    n_valid: jax.Array | None = None,
+                    yk: jax.Array | None = None) -> jax.Array:
     """Integrated loudness of ``x`` [C, N].  ``Hk``: packed K-weighting
     response (float32 [2, nbins]).  With ``n_valid`` (traced sample count),
     ``x`` may be zero-padded to the static N: blocks beyond the valid
     length's pyloudnorm block count are masked out (padding is silent, so
     retained truncated-tail blocks match the exact-length meter)."""
-    H = jax.lax.complex(Hk[0], Hk[1])
-    y = lfilter_fd(x, H, nfft)
+    y = yk if yk is not None else k_weight_filter(x, Hk, nfft)
     mask = None
     if n_valid is not None:
         n_blocks_v = jnp.round((n_valid / plan.sr - 0.4) / 0.1) + 1
@@ -214,12 +227,13 @@ def segment_starts(n: int, sr: int, block_sec: float, max_points: int) -> np.nda
 def timeline_lufs(
     x: jax.Array, Hk: jax.Array, nfft: int, sr: int,
     block_sec: float = 0.4, max_points: int = 300,
+    yk: jax.Array | None = None,
 ) -> jax.Array:
     """Per-segment loudness (single-block integrated ≈ K-weighted power with
     absolute gate).  Returns [n_points] LUFS values (-1e9 where gated)."""
     n = x.shape[-1]
     starts = segment_starts(n, sr, block_sec, max_points)
-    y = lfilter_fd(x, jax.lax.complex(Hk[0], Hk[1]), nfft)
+    y = yk if yk is not None else k_weight_filter(x, Hk, nfft)
     block_samples = int(sr * block_sec)
     if starts.size == 0:
         # Track shorter than one block: single integrated measurement region.
@@ -237,6 +251,7 @@ def timeline_lufs(
 def timeline_lufs_masked(
     x: jax.Array, Hk: jax.Array, nfft: int, sr: int, n_valid: jax.Array,
     block_sec: float = 0.4, max_points: int = 300,
+    yk: jax.Array | None = None,
 ):
     """Valid-length-masked timeline for bucket-padded input.
 
@@ -246,7 +261,7 @@ def timeline_lufs_masked(
     arithmetic with the duration as a traced value.
     """
     n_pad = x.shape[-1]
-    y = lfilter_fd(x, jax.lax.complex(Hk[0], Hk[1]), nfft)
+    y = yk if yk is not None else k_weight_filter(x, Hk, nfft)
     block_samples = int(sr * block_sec)
     duration = n_valid / sr
     n_points = jnp.clip(

@@ -72,6 +72,9 @@ class Settings:
     auth_rate_per_minute: int = 10
     lufs_tool_rate_per_hour: int = 20
     rate_limit_per_minute: int = 300
+    # Comma-separated reverse-proxy IPs allowed to set X-Real-IP /
+    # X-Forwarded-For; empty = trust loopback + RFC1918 only.
+    trusted_proxies: str = ""
 
     # Engine.
     engine_exact_mode: bool = True

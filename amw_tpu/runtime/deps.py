@@ -19,11 +19,40 @@ _auth_attempts: dict[str, deque] = defaultdict(deque)
 _global_hits: dict[str, deque] = defaultdict(deque)
 
 
+def _is_trusted_proxy(peer: str | None) -> bool:
+    """Only the reverse proxy in front of us may supply forwarding headers.
+
+    Default trusted set: loopback + RFC1918 (the shipped nginx runs on the
+    same host / private network).  Override with the ``trusted_proxies``
+    setting (comma-separated exact IPs; empty string disables header trust
+    entirely)."""
+    if not peer:
+        return False
+    conf = (getattr(settings, "trusted_proxies", None) or "").strip()
+    if conf:
+        return peer in {p.strip() for p in conf.split(",") if p.strip()}
+    if peer in ("127.0.0.1", "::1", "localhost"):
+        return True
+    return (peer.startswith("10.") or peer.startswith("192.168.")
+            or any(peer.startswith(f"172.{i}.") for i in range(16, 32)))
+
+
 def client_ip(request: web.Request) -> str:
-    fwd = request.headers.get("X-Forwarded-For")
-    if fwd:
-        return fwd.split(",")[0].strip()
+    """Client IP for rate limiting / whitelists.
+
+    Forwarding headers are attacker-controlled unless the direct peer is our
+    own reverse proxy, so: (1) ignore them entirely from untrusted peers;
+    (2) from a trusted proxy prefer X-Real-IP (nginx sets it to $remote_addr,
+    unforgeable), else take the LAST X-Forwarded-For hop — the one appended
+    by our proxy — never the first, which the client chooses."""
     peer = request.remote
+    if _is_trusted_proxy(peer):
+        real = request.headers.get("X-Real-IP")
+        if real and real.strip():
+            return real.strip()
+        fwd = request.headers.get("X-Forwarded-For")
+        if fwd:
+            return fwd.split(",")[-1].strip()
     return peer or "unknown"
 
 

@@ -8,6 +8,7 @@ an optional IP whitelist and upgrades tier/tokens on ``payment.succeeded``.
 
 from __future__ import annotations
 
+import hmac
 import json
 import time
 import uuid
@@ -39,18 +40,66 @@ def _err(status, detail):
                content_type="application/json")
 
 
+def _plan_terms(plan_key: str | None, metadata: dict | None = None) -> dict:
+    """Resolve tier/period/tokens for a payment.
+
+    Known catalogue key wins; otherwise fall back to validated metadata
+    fields (tier / tokens_included / period_days), mirroring the reference
+    (backend/app/payments.py metadata fallback) so custom top-ups sent by
+    the provider are credited rather than silently dropped."""
+    plan = TIER_PRICES.get(plan_key or "")
+    if plan:
+        return {"tier": plan.get("tier"),
+                "period_days": int(plan.get("period_days", 0)),
+                "tokens_included": int(plan.get("tokens_included", 0))}
+    md = metadata or {}
+    tier = md.get("tier")
+    if tier not in ("pro", "studio"):
+        tier = None
+    try:
+        days = max(0, min(int(md.get("period_days", 0)), 3660))
+    except (TypeError, ValueError):
+        days = 0
+    try:
+        tokens = max(0, min(int(md.get("tokens_included", 0)), 100000))
+    except (TypeError, ValueError):
+        tokens = 0
+    return {"tier": tier, "period_days": days, "tokens_included": tokens}
+
+
 def _apply_plan(user_id: int, plan_key: str, payment_id: str,
-                amount: float, currency: str, status: str = "succeeded"):
-    plan = TIER_PRICES.get(plan_key) or {}
-    tier = plan.get("tier")
-    days = int(plan.get("period_days", 0))
-    tokens = int(plan.get("tokens_included", 0))
+                amount: float, currency: str, status: str = "succeeded",
+                metadata: dict | None = None):
+    terms = _plan_terms(plan_key, metadata)
+    tier = terms["tier"]
+    days = terms["period_days"]
+    tokens = terms["tokens_included"]
     with db.connect() as c:
-        c.execute(
-            "INSERT INTO transactions (user_id, amount, currency, status,"
-            " provider, provider_id, plan, created_at) VALUES (?,?,?,?,?,?,?,?)",
-            (user_id, amount, currency, status, "yookassa", payment_id,
-             plan_key, time.time()))
+        # Idempotency: providers redeliver webhooks as normal operation.
+        # A prior succeeded row for this payment means the plan was already
+        # applied — never re-credit.  A pending row (created by h_create)
+        # flips to the new status instead of inserting a duplicate.
+        if payment_id:
+            row = c.execute(
+                "SELECT id, status FROM transactions WHERE provider_id = ?"
+                " ORDER BY id DESC LIMIT 1", (payment_id,)).fetchone()
+            if row is not None:
+                if row["status"] == "succeeded":
+                    return
+                c.execute("UPDATE transactions SET status = ?, amount = ?,"
+                          " currency = ? WHERE id = ?",
+                          (status, amount, currency, row["id"]))
+            else:
+                row = None
+        else:
+            row = None
+        if row is None:
+            c.execute(
+                "INSERT INTO transactions (user_id, amount, currency, status,"
+                " provider, provider_id, plan, created_at)"
+                " VALUES (?,?,?,?,?,?,?,?)",
+                (user_id, amount, currency, status, "yookassa", payment_id,
+                 plan_key, time.time()))
     if status != "succeeded":
         return
     if tier:
@@ -108,6 +157,16 @@ async def h_create(request):
 
 
 async def h_webhook(request):
+    # Authenticate by content, not just source IP: if a webhook secret is
+    # configured, the provider must echo it (query param or header set up in
+    # the YooKassa callback URL).  Constant-time compare.
+    secret = (settings_store.get_setting_str(
+        "yookassa_webhook_secret", "") or "").strip()
+    if secret:
+        supplied = (request.query.get("secret")
+                    or request.headers.get("X-Webhook-Secret") or "")
+        if not hmac.compare_digest(supplied, secret):
+            raise _err(403, "Forbidden")
     whitelist = (settings_store.get_setting_str(
         "yookassa_webhook_ip_whitelist", "") or "").strip()
     if whitelist:
@@ -126,10 +185,15 @@ async def h_webhook(request):
     user_id = metadata.get("user_id")
     if not user_id:
         return web.json_response({"status": "ignored"})
+    try:
+        user_id = int(user_id)
+    except (TypeError, ValueError):
+        return web.json_response({"status": "ignored"})
     amount = obj.get("amount") or {}
-    _apply_plan(int(user_id), metadata.get("plan"), obj.get("id") or "",
+    _apply_plan(user_id, metadata.get("plan"), obj.get("id") or "",
                 float(amount.get("value", 0)),
-                (amount.get("currency") or "RUB").strip())
+                (amount.get("currency") or "RUB").strip(),
+                metadata=metadata)
     return web.json_response({"status": "ok"})
 
 

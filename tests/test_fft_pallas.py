@@ -94,3 +94,59 @@ def test_apply_response_composite_c_stage():
     want = np.fft.irfft(np.fft.rfft(x, n=nfft, axis=-1) * R,
                         n=nfft, axis=-1)[..., :n]
     assert np.max(np.abs(got - want)) < 2e-5
+
+
+def test_inv_multi_reduce_matches_separate_maps():
+    """inv_multi_reduce == inv_multi + per-band maps + sum (advisor r1):
+    this is the production-default multiband-dynamics route when the
+    Pallas FFT is enabled."""
+    g = np.random.default_rng(4)
+    n = NFFT - 1024
+    x = g.standard_normal((1, n)).astype(np.float32)
+    R1 = (np.random.rand(NFFT // 2 + 1) + 0.25)
+    R2 = (np.random.rand(NFFT // 2 + 1) + 0.25)
+    resps = np.stack([fp.permute_full_response(R1, NFFT),
+                      fp.permute_full_response(R2, NFFT)])
+    maps = (lambda y: jnp.tanh(1.7 * y) * 0.8,
+            lambda y: y * 0.35 + 0.01 * y * y)
+    Xr, Xi, lead = fp.fwd_real(jnp.asarray(x), NFFT, interpret=True)
+    mixed = np.asarray(fp.inv_multi_reduce(
+        Xr, Xi, jnp.asarray(resps), NFFT, lead, n, maps, interpret=True))
+    ys = fp.inv_multi(Xr, Xi, jnp.asarray(resps), NFFT, lead, n,
+                      interpret=True)
+    want = np.asarray(sum(m(y) for m, y in zip(maps, ys)))
+    scale = max(np.max(np.abs(want)), 1e-9)
+    assert np.max(np.abs(mixed - want)) / scale < 1e-5
+
+
+def test_band_split_plan_band_maps_pallas_parity(monkeypatch):
+    """band_split_plan(band_maps=...) Pallas route (interpret-forced) vs
+    the XLA route: same mixed output."""
+    import functools
+
+    from amw_tpu.ops import bands
+    from amw_tpu.spec import GraphSpec
+
+    monkeypatch.setattr(fp, "enabled", lambda nfft: True)
+    for name in ("fwd_real", "inv_multi", "inv_multi_reduce"):
+        orig = getattr(fp, name)
+        monkeypatch.setattr(fp, name,
+                            functools.partial(orig, interpret=True))
+
+    n = (1 << 21) - 65536
+    g = np.random.default_rng(5)
+    x = (0.3 * g.standard_normal((2, n))).astype(np.float32)
+    maps = tuple((lambda gk: (lambda y: jnp.tanh(gk * y)))(1.0 + 0.2 * k)
+                 for k in range(4))
+    spec = GraphSpec(sr=44100, n=n, channels=2)
+
+    params_p, split_p = bands.band_split_plan(spec, band_maps=maps)
+    got = np.asarray(split_p(jnp.asarray(x), params_p))
+
+    monkeypatch.setattr(fp, "enabled", lambda nfft: False)
+    params_x, split_x = bands.band_split_plan(spec, band_maps=maps)
+    want = np.asarray(split_x(jnp.asarray(x), params_x))
+
+    scale = max(np.max(np.abs(want)), 1e-9)
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) / scale < 2e-5

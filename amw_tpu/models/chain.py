@@ -205,9 +205,14 @@ def compile_chain(
         spec, config, target_lufs=target_lufs, style=style
     )
 
-    def chain_fn(x, params):
-        for f, p in zip(fns, params):
-            x = f(x, p)
+    def chain_fn(x, params, n_valid=None):
+        from ..ops import validctx
+
+        with validctx.valid_length(n_valid):
+            for f, p in zip(fns, params):
+                # Keep the bucket padding silent between modules (no-op
+                # without a valid-length context) — see ops.validctx.
+                x = validctx.mask_tail(f(x, p))
         return basic.finalize_clip(x)
 
     fn = jax.jit(chain_fn) if jit else chain_fn

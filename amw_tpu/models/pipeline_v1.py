@@ -37,6 +37,7 @@ def build_v1_pipeline(
     reference_strength: float = 0.8,
     compressor: str = "soft_knee",
     jit: bool = True,
+    stage_ticks: bool = False,
 ):
     """Returns ``(params, fn)``; ``fn(x, params)`` masters a [C, N] track."""
     cfg = STYLE_CONFIGS.get(style, STYLE_CONFIGS["standard"])
@@ -99,9 +100,19 @@ def build_v1_pipeline(
     params = [list(s[1]) for s in stages]
     fns = [s[2] for s in stages]
 
-    def fn(x, params):
-        for f, p in zip(fns, params):
-            x = f(x, p)
+    def fn(x, params, n_valid=None, prog_tok=None):
+        from ..ops import validctx
+
+        with validctx.valid_length(n_valid):
+            for i, (f, p) in enumerate(zip(fns, params)):
+                # Keep bucket padding silent between stages (no-op without
+                # n_valid) — see ops.validctx.
+                x = validctx.mask_tail(f(x, p))
+                if stage_ticks and prog_tok is not None:
+                    from ..runtime.progress import emit_stage_tick
+
+                    jax.debug.callback(emit_stage_tick, prog_tok,
+                                       np.int32(i), ordered=True)
         return basic.finalize_clip(x)
 
     if jit:

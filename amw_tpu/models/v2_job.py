@@ -42,9 +42,14 @@ def build_v2_job_graph(
     target_lufs: float = -14.0,
     style: str = "standard",
     jit: bool = True,
+    stage_ticks: bool = False,
 ):
-    """Returns (params, fn, stage_names); fn(x, params) ->
-    dict(out, before_lufs, after_lufs, peak, finite)."""
+    """Returns (params, fn, stage_names); fn(x, params, n_valid, prog_tok) ->
+    dict(out, before_lufs, after_lufs, peak, finite).
+
+    ``stage_ticks``: emit a jax.debug.callback per completed stage keyed by
+    the traced ``prog_tok`` (see runtime.progress) — real per-stage SSE
+    progress on backends that support host callbacks."""
     pro = pro or {}
     stages = []
 
@@ -102,13 +107,26 @@ def build_v2_job_graph(
     params = [s[1] for s in stages] + [[Hk]]
     fns = [s[2] for s in stages]
 
-    def fn(x, params):
-        before = (meters.integrated_lufs(x, params[-1][0], nfft, plan)
+    def fn(x, params, n_valid=None, prog_tok=None):
+        from ..ops import validctx
+
+        before = (meters.integrated_lufs(x, params[-1][0], nfft, plan,
+                                         n_valid=n_valid)
                   if plan is not None else np.float32(-1e9))
-        y = x
-        for f, p in zip(fns, params[:-1]):
-            y = f(y, p)
-        after = (meters.integrated_lufs(y, params[-1][0], nfft, plan)
+        with validctx.valid_length(n_valid):
+            y = x
+            for i, (f, p) in enumerate(zip(fns, params[:-1])):
+                # Per-stage tail mask keeps the bucket padding silent, which
+                # is what makes causal/pointwise ops padding-invariant (see
+                # ops.validctx); no-op when n_valid is None.
+                y = validctx.mask_tail(f(y, p))
+                if stage_ticks and prog_tok is not None:
+                    from ..runtime.progress import emit_stage_tick
+
+                    jax.debug.callback(emit_stage_tick, prog_tok,
+                                       np.int32(i), ordered=True)
+        after = (meters.integrated_lufs(y, params[-1][0], nfft, plan,
+                                        n_valid=n_valid)
                  if plan is not None else np.float32(-1e9))
         finite, peak = basic.validate_stats(y)
         return {"out": y, "before_lufs": before, "after_lufs": after,

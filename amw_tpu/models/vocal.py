@@ -88,13 +88,95 @@ def is_available() -> bool:
     return True
 
 
+# --- neural path: converted htdemucs weights (scripts/convert_htdemucs.py) --
+
+_HT_SENTINEL = object()
+_ht_cache = _HT_SENTINEL
+
+
+def htdemucs_checkpoint_path() -> str | None:
+    """Configured checkpoint directory: AMW_HTDEMUCS_CKPT env or the
+    'htdemucs_checkpoint' runtime setting."""
+    import os
+
+    path = os.environ.get("AMW_HTDEMUCS_CKPT")
+    if path:
+        return path
+    try:
+        from ..runtime import settings_store
+
+        return settings_store.get_setting_str("htdemucs_checkpoint", None) or None
+    except Exception:  # noqa: BLE001 — models layer must work standalone
+        return None
+
+
+def _htdemucs():
+    """(cfg, device_params) when converted weights are configured and load,
+    else None (DSP separator remains the fallback)."""
+    global _ht_cache
+    if _ht_cache is not _HT_SENTINEL:
+        return _ht_cache
+    path = htdemucs_checkpoint_path()
+    result = None
+    if path:
+        try:
+            from . import htdemucs_jax as hj
+
+            cfg, params = hj.load_params(path)
+            result = (cfg, jax.device_put(params))
+        except Exception:  # noqa: BLE001 — fall back to the DSP separator
+            result = None
+    _ht_cache = result
+    return result
+
+
+def separate_htdemucs(audio: np.ndarray, sr: int) -> np.ndarray | None:
+    """[C, N] -> vocals [C, N] via the TPU htdemucs forward, or None when no
+    weights are configured.  Resamples to/from the model rate (44.1 kHz) as
+    the reference's demucs CLI does internally."""
+    loaded = _htdemucs()
+    if loaded is None:
+        return None
+    cfg, params = loaded
+    from . import htdemucs_jax as hj
+    from ..ops.fdfilter import resample_fft, resample_plan
+
+    x = np.atleast_2d(np.ascontiguousarray(audio, np.float32))
+    if x.shape[0] == 1:
+        x = np.repeat(x, 2, axis=0)
+    n = x.shape[-1]
+    if sr != cfg.samplerate:
+        n_model = int(round(n * cfg.samplerate / sr))
+        x = np.asarray(resample_fft(x, n_model, resample_plan(n, n_model)))
+    stems = hj.separate(params, x, cfg)
+    vocals = stems[cfg.sources.index("vocals")]
+    if sr != cfg.samplerate:
+        vocals = np.asarray(resample_fft(vocals, n,
+                                         resample_plan(vocals.shape[-1], n)))
+    if audio.ndim == 2 and audio.shape[0] == 1:
+        vocals = vocals.mean(axis=0, keepdims=True)
+    return np.clip(vocals, -1.0, 1.0).astype(np.float32)
+
+
+def isolate_vocal(audio: np.ndarray, sr: int,
+                  model: str = "htdemucs") -> np.ndarray:
+    """[C, N] -> vocals [C, N].  htdemucs (neural, when converted weights are
+    configured) with the DSP center-extractor as fallback — mirrors the
+    reference's model choice (services/vocal_isolation.py:23)."""
+    if model in ("htdemucs", "auto"):
+        vocals = separate_htdemucs(audio, sr)
+        if vocals is not None:
+            return vocals
+    params, fn = _jitted(sr, audio.shape[-1], audio.shape[0])
+    return np.asarray(fn(np.ascontiguousarray(audio, np.float32), params))
+
+
 def isolate_vocal_bytes(audio_bytes: bytes, filename: str,
-                        model: str = "center_extract") -> bytes:
+                        model: str = "htdemucs") -> bytes:
     """Bytes-level contract of the reference's ``isolate_vocal``."""
     from ..utils.audio_io import load_audio_from_bytes
     from ..utils import wav
 
     audio, sr = load_audio_from_bytes(audio_bytes, filename)
-    params, fn = _jitted(sr, audio.shape[-1], audio.shape[0])
-    vocals = np.asarray(fn(np.ascontiguousarray(audio, np.float32), params))
+    vocals = isolate_vocal(audio, sr, model=model)
     return wav.write_wav_float32(vocals, sr)

@@ -144,9 +144,14 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None, pre=None,
                                      else [])
 
             def split_fn(x, params):
+                from . import validctx
+
                 Rd, ps = params[:2]
-                core = odd_ext(x, padlen)
-                lr = f_small(jnp.stack([x[..., :w_in], x[..., -w_in:]]), ps)
+                nv = validctx.n_valid()
+                xr = validctx.right_window(x, w_in, nv)
+                with validctx.cleared():
+                    core = odd_ext(x, padlen)
+                    lr = f_small(jnp.stack([x[..., :w_in], xr]), ps)
                 left = [b[0] for b in lr]
                 right = [b[1] for b in lr]
                 if band_maps is not None and use_pallas:
@@ -155,10 +160,9 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None, pre=None,
                     mix = fp.inv_multi_reduce(Xr, Xi, Rd, nfft, lead,
                                               padlen + n, band_maps,
                                               tables=params[2])[..., padlen:]
-                    el = sum(band_maps[i](left[i][..., :L]) for i in range(4))
-                    er = sum(band_maps[i](right[i][..., -L:]) for i in range(4))
-                    return jnp.concatenate(
-                        [el, mix[..., L:n - L], er], axis=-1)
+                    el = sum(band_maps[i](left[i]) for i in range(4))
+                    er = sum(band_maps[i](right[i]) for i in range(4))
+                    return validctx.splice(mix, el, er, n, L, nv)
                 # One batched inverse over the 4 band responses — measured
                 # ~50 ms faster than 4 separate transforms at [16, 2^23].
                 if use_pallas:
@@ -174,9 +178,8 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None, pre=None,
                                        axis=-1)[..., padlen:padlen + n]
                 out = []
                 for i in range(4):
-                    out.append(jnp.concatenate(
-                        [left[i][..., :L], ys[i][..., L:n - L],
-                         right[i][..., -L:]], axis=-1))
+                    out.append(validctx.splice(ys[i], left[i], right[i],
+                                               n, L, nv))
                 if band_maps is not None:
                     return sum(band_maps[i](out[i]) for i in range(4))
                 return out

@@ -48,6 +48,8 @@ def build_deesser(
     params = [zp.params]
 
     def fn(x, params):
+        from . import validctx
+
         sidechain = zp(x, params[0])
         env = envelope_follower(jnp.abs(sidechain), att, rel)
         reduction = jnp.where(env > thresh, thresh + (env - thresh) / ratio, env)
@@ -55,7 +57,9 @@ def build_deesser(
         gain = jnp.clip(gain, 0.35, 1.0)
         # ~1.5 ms box smoothing: shift-add moving average instead of a full
         # track-length FFT pair (saves ~109 ms/batch on v5e, see fdfilter).
-        gain = box_smooth_same(gain, k)
+        # The exact-length graph's smoothing sees zeros beyond the track end
+        # (box_smooth_same zero-pads) — reproduce that at the valid end.
+        gain = box_smooth_same(validctx.mask_tail(gain), k)
         gain = jnp.clip(gain, 0.35, 1.0)
         return x - sidechain + sidechain * gain
 

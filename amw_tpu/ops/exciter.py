@@ -9,7 +9,7 @@ from __future__ import annotations
 from ..spec import GraphSpec
 from . import design
 from .basic import exciter_saturate
-from .fdfilter import resample_fft
+from .fdfilter import resample_fft, resample_plan
 from .zphase import make_zp
 
 
@@ -32,15 +32,25 @@ def build_harmonic_exciter(
     sat_mode = mode if mode in ("warm", "tape", "tube", "transistor", "digital") else "warm"
     k = 2.5 if sat_mode == "warm" else 2.0
     exciter_mix = 0.25
-    params = [zp.params]
+    # Bluestein tables for non-native track lengths (fdfilter.resample_plan);
+    # shipped as params so they never inline into the compiled program.
+    up_plan = resample_plan(spec.n, work_n) if os_f > 1 else None
+    down_plan = resample_plan(work_n, spec.n) if os_f > 1 else None
+    params = [zp.params,
+              list(up_plan.values()) if up_plan else [],
+              list(down_plan.values()) if down_plan else []]
+    up_keys = list(up_plan) if up_plan else []
+    down_keys = list(down_plan) if down_plan else []
 
     def fn(x, params):
-        work = resample_fft(x, work_n) if os_f > 1 else x
+        up = dict(zip(up_keys, params[1])) or None
+        down = dict(zip(down_keys, params[2])) or None
+        work = resample_fft(x, work_n, up) if os_f > 1 else x
         hf = zp(work, params[0])
         excitation = (exciter_saturate(hf, sat_mode, k) - hf) * gain * exciter_mix
         out = work + excitation
         if os_f > 1:
-            out = resample_fft(out, spec.n)
+            out = resample_fft(out, spec.n, down)
         return out
 
     return params, fn

@@ -85,6 +85,27 @@ def odd_ext(x: jax.Array, p: int) -> jax.Array:
     return jnp.concatenate([left, x, right], axis=-1)
 
 
+def odd_ext_valid(x: jax.Array, p: int, nv) -> jax.Array:
+    """Odd extension anchored at the traced valid end.
+
+    ``x`` must be zero beyond ``nv``.  Returns a buffer of static length
+    ``n + 2p``: left extension (around t=0), the signal, then the right odd
+    extension written at position ``p + nv`` (zeros beyond).  With
+    ``nv == n`` this equals :func:`odd_ext`."""
+    if p <= 0:
+        return x
+    n = x.shape[-1]
+    left = 2.0 * x[..., :1] - x[..., p:0:-1]
+    buf = jnp.concatenate(
+        [left, x, jnp.zeros(x.shape[:-1] + (p,), x.dtype)], axis=-1)
+    from .validctx import gather_last
+
+    last = gather_last(x, nv)
+    idx = jnp.maximum(nv - 2 - jnp.arange(p), 0)
+    right = 2.0 * last - x[..., idx]
+    return jax.lax.dynamic_update_slice_in_dim(buf, right, p + nv, axis=-1)
+
+
 def lfilter_fd(x: jax.Array, H: jax.Array, nfft: int) -> jax.Array:
     """Causal LTI filter, zero initial state.  ``H``: complex response on the
     rFFT grid of ``nfft``.  Requires ``nfft >= x.shape[-1] + settle``."""
@@ -101,6 +122,7 @@ def filtfilt_fd(
     padlen: int,
     settle: int,
     exact: bool = True,
+    nv=None,
 ) -> jax.Array:
     """Zero-phase forward-backward filter.
 
@@ -112,15 +134,21 @@ def filtfilt_fd(
     exact=False — single fused pass multiplying by ``|H|²`` (pass
                   ``H = |H|²`` as a real array); edge transients differ from
                   scipy within ~``settle`` samples of the track ends.
+    nv          — traced valid length for bucket-padded input (track end at
+                  ``nv`` instead of ``n``; output zeroed beyond).
     """
     n = x.shape[-1]
     p = min(padlen, max(n - 1, 0))
-    core = odd_ext(x, p)  # length n + 2p
+    core = odd_ext(x, p) if nv is None else odd_ext_valid(x, p, nv)
     ncore = n + 2 * p
 
     if not exact:
-        y = _apply_response(core, H, nfft)
-        return y[..., p:p + n]
+        y = _apply_response(core, H, nfft)[..., p:p + n]
+        if nv is None:
+            return y
+        from .validctx import mask_tail
+
+        return mask_tail(y, nv)
 
     M = settle
     x0 = core[..., :1]
@@ -128,13 +156,33 @@ def filtfilt_fd(
     ext1 = jnp.concatenate([prefix, core], axis=-1)
     yf = _apply_response(ext1, H, nfft)[..., M:M + ncore]
 
-    y_end = yf[..., -1:]
+    if nv is None:
+        y_end = yf[..., -1:]
+        suffix = jnp.broadcast_to(y_end, x.shape[:-1] + (M,))
+        ext2 = jnp.concatenate([yf, suffix], axis=-1)
+        # Anti-causal pass: multiply by conj(H) == reverse, filter, reverse
+        # with the right-end steady state provided by the constant suffix.
+        z = _apply_response(ext2, H, nfft, conj=True)
+        return z[..., p:p + n]
+
+    from .validctx import mask_tail
+
+    # Valid-end variant: the forward output past the right extension
+    # (position nv + 2p in core coordinates) is ringout that the exact-length
+    # computation never produces — zero it, then write the steady-state
+    # suffix at the traced boundary.
+    end = nv + 2 * p  # core-coordinate end of the right extension
+    t = jnp.arange(ncore)
+    yf = jnp.where(t < end, yf, jnp.zeros((), yf.dtype))
+    from .validctx import gather_last
+
+    y_end = gather_last(yf, end)
+    ext2 = jnp.concatenate(
+        [yf, jnp.zeros(x.shape[:-1] + (M,), yf.dtype)], axis=-1)
     suffix = jnp.broadcast_to(y_end, x.shape[:-1] + (M,))
-    ext2 = jnp.concatenate([yf, suffix], axis=-1)
-    # Anti-causal pass: multiply by conj(H) == reverse, filter, reverse with
-    # the right-end steady state provided by the constant suffix.
+    ext2 = jax.lax.dynamic_update_slice_in_dim(ext2, suffix, end, axis=-1)
     z = _apply_response(ext2, H, nfft, conj=True)
-    return z[..., p:p + n]
+    return mask_tail(z[..., p:p + n], nv)
 
 
 def fftconvolve_same_fd(x: jax.Array, h: jax.Array, nfft: int) -> jax.Array:
@@ -244,18 +292,80 @@ def box_smooth_same(x: jax.Array, k: int) -> jax.Array:
     return acc * (1.0 / k)
 
 
-def resample_fft(x: jax.Array, n_out: int) -> jax.Array:
-    """FFT-domain resampling with ``scipy.signal.resample`` semantics for real
-    input (reference: pipeline.py:920-936 and the exciter oversampling path).
+def fft_native_ok(n: int) -> bool:
+    """Is a length-``n`` FFT in XLA-TPU's natively supported size set
+    ({1,3,5}·2^k)?  Any other length is lowered as a materialized DFT
+    matmul — an O(n²) catastrophe (an f32[n, n] operand) at track lengths."""
+    m = n
+    while m % 2 == 0 and m > 1:
+        m //= 2
+    return m in (1, 3, 5)
 
-    Matches scipy's rfft-based branch: spectrum truncation/zero-padding with
-    Nyquist-bin halving/doubling and ``n_out/n_in`` amplitude scaling.
-    """
+
+def _chirp_tables(n: int, L: int):
+    """Host-side Bluestein (chirp-z) tables for a length-``n`` DFT computed
+    with length-``L`` (native-size) FFTs: ``a[k] = exp(-iπk²/n)`` and the
+    spectrum of the circularly packed conjugate chirp.  Phases are reduced
+    mod 2n in exact integer arithmetic so float64 stays accurate at k ~ 10^7.
+    Returned as stacked (re, im) float32 pairs — complex arrays must never
+    cross the host↔device relay (docs/TPU_NOTES.md)."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.int64)
+    ph = np.pi * ((k * k) % (2 * n)).astype(np.float64) / n
+    a = np.exp(-1j * ph)
+    b = np.zeros(L, np.complex128)
+    b[:n] = np.conj(a)
+    if n > 1:
+        b[L - (n - 1):] = np.conj(a[1:])[::-1]
+    Bf = np.fft.fft(b)
+    return (np.stack([a.real, a.imag]).astype(np.float32),
+            np.stack([Bf.real, Bf.imag]).astype(np.float32))
+
+
+def resample_plan(n_in: int, n_out: int):
+    """Bluestein tables for :func:`resample_fft` when either length is not a
+    native FFT size.  Returns ``None`` when the plain path is safe (always
+    pass the result as a *runtime argument* to the jitted caller — the
+    tables are tens of MB and would overflow a remote compile as literals)."""
+    from .design import next_fft_size
+
+    plan = {}
+    if n_in != n_out:
+        if not fft_native_ok(n_in):
+            plan["fwd"] = _chirp_tables(n_in, next_fft_size(2 * n_in - 1))
+        if not fft_native_ok(n_out):
+            plan["inv"] = _chirp_tables(n_out, next_fft_size(2 * n_out - 1))
+    return plan or None
+
+
+def _cx(pair):
+    return jax.lax.complex(pair[0], pair[1])
+
+
+def _bluestein_dft(z: jax.Array, tables) -> jax.Array:
+    """Length-``n`` complex DFT of ``z`` via native-size FFTs (chirp-z):
+    ``DFT(z)_k = a_k · IFFT_L(FFT_L(z·a) · Bf)_k``."""
+    a = _cx(tables[0])
+    Bf = _cx(tables[1])
+    n = z.shape[-1]
+    L = Bf.shape[-1]
+    za = z * a
+    pad = [(0, 0)] * (z.ndim - 1) + [(0, L - n)]
+    Z = jnp.fft.fft(jnp.pad(za, pad), axis=-1)
+    return jnp.fft.ifft(Z * Bf, axis=-1)[..., :n] * a
+
+
+def _resample_1d(x: jax.Array, n_out: int, plan) -> jax.Array:
+    """scipy.signal.resample spectrum surgery on the trailing axis, using
+    Bluestein for whichever side has a non-native length."""
     n_in = x.shape[-1]
-    if n_out == n_in:
-        return x
-    X = jnp.fft.rfft(x, axis=-1)
     nyq_out = n_out // 2 + 1
+    if plan is not None and "fwd" in plan:
+        X = _bluestein_dft(x.astype(jnp.complex64),
+                           plan["fwd"])[..., : n_in // 2 + 1]
+    else:
+        X = jnp.fft.rfft(x, axis=-1)
     if n_out < n_in:
         X = X[..., :nyq_out]
         # When the new length is even, the new Nyquist bin aggregates both
@@ -272,5 +382,38 @@ def resample_fft(x: jax.Array, n_out: int) -> jax.Array:
         X = jnp.concatenate(
             [X, jnp.zeros(x.shape[:-1] + (pad,), X.dtype)], axis=-1
         )
-    y = jnp.fft.irfft(X, n=n_out, axis=-1)
+    if plan is not None and "inv" in plan:
+        # Hermitian-extend the rfft bins to the full spectrum, then the
+        # inverse DFT via conj(DFT(conj(·)))/n.
+        neg = jnp.conj(X[..., 1:n_out - nyq_out + 1])[..., ::-1]
+        Xf = jnp.concatenate([X, neg], axis=-1)
+        y = jnp.real(jnp.conj(_bluestein_dft(jnp.conj(Xf),
+                                             plan["inv"]))) / n_out
+    else:
+        y = jnp.fft.irfft(X, n=n_out, axis=-1)
     return y * (n_out / n_in)
+
+
+def resample_fft(x: jax.Array, n_out: int, plan=None) -> jax.Array:
+    """FFT-domain resampling with ``scipy.signal.resample`` semantics for real
+    input (reference: pipeline.py:920-936, the exciter oversampling path, and
+    ``/api/v2/upscale``).
+
+    Matches scipy's rfft-based branch: spectrum truncation/zero-padding with
+    Nyquist-bin halving/doubling and ``n_out/n_in`` amplitude scaling.
+
+    ``plan`` (from :func:`resample_plan`): required on TPU when either length
+    is outside the native FFT size set — routes that side through a Bluestein
+    chirp-z transform built from native-size FFTs.  Rows are processed
+    sequentially through ``lax.map`` in that case to bound the ~2·L complex64
+    working set (L can be 2^25 at track lengths)."""
+    n_in = x.shape[-1]
+    if n_out == n_in:
+        return x
+    if plan is None:
+        return _resample_1d(x, n_out, None)
+    rows = x.reshape((-1, n_in))
+    if rows.shape[0] == 1:
+        return _resample_1d(x, n_out, plan)
+    y = jax.lax.map(lambda r: _resample_1d(r, n_out, plan), rows)
+    return y.reshape(x.shape[:-1] + (n_out,))

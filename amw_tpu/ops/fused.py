@@ -115,26 +115,34 @@ def build_target_then_deesser(
     n = spec.n
 
     def fn(x, params):
+        from . import validctx
+
         R2, pt, pb = params[:3]
-        if use_pallas:
-            Xr, Xi, lead = fp.fwd_real(x, nfft, tables=params[3])
-            ys = fp.inv_multi(Xr, Xi, R2, nfft, lead, n, tables=params[3])
-        else:
-            X = jnp.fft.rfft(x, n=nfft, axis=-1)
-            # one batched irfft over both responses (faster than two)
-            Rb = R2.reshape((2,) + (1,) * (X.ndim - 1) + (R2.shape[-1],))
-            ys = jnp.fft.irfft(X[None] * Rb, n=nfft, axis=-1)[..., :n]
-        y3_f, sc_f = ys[0], ys[1]
-        # exact edges: target on raw windows, band on the exact target output
-        y3lr = f_t(jnp.stack([x[..., :w], x[..., -w:]]), pt)
-        y3 = _splice(y3_f, y3lr[0], y3lr[1], n, L)
-        sclr = band_zp(y3lr, pb)
-        sc = _splice(sc_f, sclr[0], sclr[1], n, L)
+        nv = validctx.n_valid()
+        xr = validctx.right_window(x, w, nv)
+        with validctx.cleared():
+            if use_pallas:
+                Xr, Xi, lead = fp.fwd_real(x, nfft, tables=params[3])
+                ys = fp.inv_multi(Xr, Xi, R2, nfft, lead, n, tables=params[3])
+            else:
+                X = jnp.fft.rfft(x, n=nfft, axis=-1)
+                # one batched irfft over both responses (faster than two)
+                Rb = R2.reshape((2,) + (1,) * (X.ndim - 1) + (R2.shape[-1],))
+                ys = jnp.fft.irfft(X[None] * Rb, n=nfft, axis=-1)[..., :n]
+            y3_f, sc_f = ys[0], ys[1]
+            # exact edges: target on raw windows, band on the exact target
+            # output
+            y3lr = f_t(jnp.stack([x[..., :w], xr]), pt)
+            sclr = band_zp(y3lr, pb)
+        y3 = validctx.splice(y3_f, y3lr[0], y3lr[1], n, L, nv)
+        sc = validctx.splice(sc_f, sclr[0], sclr[1], n, L, nv)
         env = envelope_follower(jnp.abs(sc), att, rel)
         reduction = jnp.where(env > thresh, thresh + (env - thresh) / ratio, env)
         gain = jnp.where(env > 1e-10, reduction / (env + 1e-12), 1.0)
         gain = jnp.clip(gain, 0.35, 1.0)
-        gain = box_smooth_same(gain, k)
+        # The exact-length graph's box smoothing sees zeros beyond the track
+        # end (fdfilter.box_smooth_same zero-pads) — reproduce that at nv.
+        gain = box_smooth_same(validctx.mask_tail(gain, nv), k)
         gain = jnp.clip(gain, 0.35, 1.0)
         return y3 - sc + sc * gain
 
@@ -244,21 +252,35 @@ def build_normalize_then_final(
     n = spec.n
 
     def fn(x, params):
-        if use_pallas:
-            R2, tgt, ps, tabs = params
-            Xr, Xi, lead = fp.fwd_real(x, nfft, tables=tabs)
-            z = fp.inv_multi(Xr, Xi, R2, nfft, lead, n, tables=tabs)
-        else:
-            Hk_d, tgt, R_d, ps = params
-            X = jnp.fft.rfft(x, n=nfft, axis=-1)
-            # one batched irfft over K-weighting + EQ responses
-            Y = jnp.stack([X * jax.lax.complex(Hk_d[0], Hk_d[1]), X * R_d])
-            z = jnp.fft.irfft(Y, n=nfft, axis=-1)[..., :n]
-        yk = z[0]
-        lufs = gated_loudness(block_energies(yk, plan))
+        from . import validctx
+
+        nv = validctx.n_valid()
+        xr = validctx.right_window(x, w, nv)
+        with validctx.cleared():
+            if use_pallas:
+                R2, tgt, ps, tabs = params
+                Xr, Xi, lead = fp.fwd_real(x, nfft, tables=tabs)
+                z = fp.inv_multi(Xr, Xi, R2, nfft, lead, n, tables=tabs)
+            else:
+                Hk_d, tgt, R_d, ps = params
+                X = jnp.fft.rfft(x, n=nfft, axis=-1)
+                # one batched irfft over K-weighting + EQ responses
+                Y = jnp.stack([X * jax.lax.complex(Hk_d[0], Hk_d[1]),
+                               X * R_d])
+                z = jnp.fft.irfft(Y, n=nfft, axis=-1)[..., :n]
+        # Causal K-weighting ringout past the valid end must not leak into
+        # the (truncated-tail) gating blocks — the exact-length meter reads
+        # zeros there.
+        yk = validctx.mask_tail(z[0], nv)
+        mask = None
+        if nv is not None:
+            n_blocks_v = jnp.round((nv / plan.sr - 0.4) / 0.1) + 1
+            mask = jnp.arange(plan.n_blocks) < n_blocks_v
+        lufs = gated_loudness(block_energies(yk, plan), block_mask=mask)
         g = normalize_lufs_gain(lufs, tgt)
         fast = z[1] * g
-        elr = f_small(jnp.stack([x[..., :w], x[..., -w:]]) * g, ps)
-        return _splice(fast, elr[0], elr[1], n, L)
+        with validctx.cleared():
+            elr = f_small(jnp.stack([x[..., :w], xr]) * g, ps)
+        return validctx.splice(fast, elr[0], elr[1], n, L, nv)
 
     return params, fn, fused_ids

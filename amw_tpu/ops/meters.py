@@ -171,6 +171,12 @@ def integrated_lufs(x: jax.Array, Hk: jax.Array, nfft: int, plan: BlockPlan,
     y = yk if yk is not None else k_weight_filter(x, Hk, nfft)
     mask = None
     if n_valid is not None:
+        # Causal K-weighting ringout past the valid end must read as zero in
+        # any truncated-tail gating block (the exact-length meter's signal
+        # simply ends there).
+        from .validctx import mask_tail
+
+        y = mask_tail(y, n_valid)
         n_blocks_v = jnp.round((n_valid / plan.sr - 0.4) / 0.1) + 1
         mask = jnp.arange(plan.n_blocks) < n_blocks_v
     return gated_loudness(block_energies(y, plan), block_mask=mask)
@@ -194,7 +200,9 @@ def build_normalize_lufs(spec, target_lufs: float = -14.0):
     params = [k_weight_response(spec.sr, nfft), np.float32(target_lufs)]
 
     def fn(x, params):
-        lufs = integrated_lufs(x, params[0], nfft, plan)
+        from .validctx import n_valid as _nv
+
+        lufs = integrated_lufs(x, params[0], nfft, plan, n_valid=_nv())
         return x * normalize_lufs_gain(lufs, params[1])
 
     return params, fn

@@ -96,11 +96,16 @@ def build_reverb(
     m_side = float(np.clip(mix_side if mix_side is not None else mix, 0.0, 1.0))
 
     def _wet(x, ir_dev):
+        from .validctx import mask_tail
+
         # Linear convolution cropped to the first n samples (the recurrence
-        # only ever produces those) + per-signal peak normalization.
+        # only ever produces those) + per-signal peak normalization.  Causal
+        # wet ringout past the valid end is masked so the peak (and the
+        # normalization it drives) matches the exact-length graph.
         y = jnp.fft.irfft(
             jnp.fft.rfft(x, n=nfft, axis=-1) * jnp.fft.rfft(ir_dev, n=nfft), n=nfft, axis=-1
         )[..., : spec.n]
+        y = mask_tail(y)
         peak = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
         scale = jnp.where(peak > 1e-6, 1.0 / jnp.minimum(peak, 2.0), 1.0)
         return y * scale

@@ -52,8 +52,17 @@ def stft(x, nperseg: int = 2048, hop: int = 512):
     return jnp.fft.rfft(framed * jnp.asarray(win, x.dtype), axis=-1) * scale
 
 
-def istft(Z, n: int, nperseg: int = 2048, hop: int = 512):
-    """Inverse of :func:`stft`, cropped to ``n`` output samples."""
+def istft(Z, n: int, nperseg: int = 2048, hop: int = 512, n_frames_valid=None):
+    """Inverse of :func:`stft`, cropped to ``n`` output samples.
+
+    ``n_frames_valid`` (traced, optional): number of frames the exact-length
+    signal would have.  Frames beyond it are all-silent in a bucket-padded
+    signal and contribute nothing to the overlap-add *numerator*, but the
+    static window-square normalization would still count them — the one frame
+    that can overlap valid output positions (frame ``n_frames_valid``) is
+    subtracted from the denominator so the result matches the exact-length
+    istft's right-edge normalization.
+    """
     win = _hann_periodic(nperseg)
     frames = Z.shape[-2]
     total = (frames - 1) * hop + nperseg
@@ -65,8 +74,18 @@ def istft(Z, n: int, nperseg: int = 2048, hop: int = 512):
     # Window-square overlap normalization (host-computed constant).
     norm = np.zeros(total)
     np.add.at(norm, idx.reshape(-1), np.tile(win * win, frames))
-    norm = np.where(norm > 1e-10, norm, 1.0)
-    out = out / jnp.asarray(norm, out.dtype)
+    if n_frames_valid is None:
+        norm = np.where(norm > 1e-10, norm, 1.0)
+        out = out / jnp.asarray(norm, out.dtype)
+    else:
+        w2 = np.concatenate([win * win, np.zeros(1)])
+        u = jnp.arange(total) - n_frames_valid * hop
+        deficit = jnp.asarray(w2, jnp.float32)[
+            jnp.clip(u, 0, nperseg)] * ((u >= 0) & (u < nperseg))
+        deficit = jnp.where(n_frames_valid < frames, deficit, 0.0)
+        nv_norm = jnp.asarray(norm, jnp.float32) - deficit
+        nv_norm = jnp.where(nv_norm > 1e-10, nv_norm, 1.0)
+        out = out / nv_norm
     lead = nperseg // 2
     return out[..., lead:lead + n]
 
@@ -79,23 +98,51 @@ def build_spectral_denoise(spec: GraphSpec, strength: float = 0.5,
     min_gain = 0.25
 
     def fn(x, params):
+        from .validctx import masked_quantile_last, n_valid
+
+        nv = n_valid()
         Z = stft(x)  # [..., T, F]
         mag = jnp.abs(Z)
         magT = jnp.swapaxes(mag, -1, -2)  # [..., F, T]
-        noise = jnp.percentile(magT, noise_percentile, axis=-1, keepdims=True)
+        if nv is None:
+            t_valid = None
+            noise = jnp.percentile(magT, noise_percentile, axis=-1,
+                                   keepdims=True)
+            med = jnp.median(magT, axis=-1, keepdims=True)
+        else:
+            # Noise profile over the frames the exact-length signal would
+            # have — all-silent padding frames must not skew the percentile.
+            hop, T = 512, magT.shape[-1]
+            t_valid = (nv + hop - 1) // hop + 1
+            masked = jnp.where(jnp.arange(T) < t_valid, magT, jnp.inf)
+            noise = masked_quantile_last(masked, noise_percentile, t_valid)
+            med = masked_quantile_last(masked, 50.0, t_valid)
         noise = jnp.maximum(noise, 1e-12)
-        med = jnp.maximum(jnp.median(magT, axis=-1, keepdims=True), 1e-12)
+        med = jnp.maximum(med, 1e-12)
         noise = jnp.minimum(noise, 0.85 * med)
         gain = 1.0 - strength * (jnp.swapaxes(noise, -1, -2) / (mag + 1e-10)) ** 2
         gain = jnp.clip(gain, min_gain, 1.0)
-        rec = istft(Z * gain, spec.n)
+        Zg = Z * gain
+        if t_valid is not None:
+            # Frame t_valid straddles the track tail (it holds real samples
+            # in the padded signal) but does not exist in the exact-length
+            # STFT — zero every frame >= t_valid so the overlap-add numerator
+            # matches; istft's n_frames_valid corrects the denominator.
+            T = Zg.shape[-2]
+            Zg = Zg * (jnp.arange(T) < t_valid)[:, None]
+        rec = istft(Zg, spec.n, n_frames_valid=t_valid)
         return jnp.clip(rec, -1.0, 1.0)
 
     return [], fn
 
 
 def spectral_envelope(x, n_fft: int = 8192):
-    """Averaged RMS magnitude spectrum of the mono mix ([..., C, N] input)."""
+    """Averaged RMS magnitude spectrum of the mono mix ([..., C, N] input).
+
+    Under a valid-length context (bucket-padded input) only the frames the
+    exact-length signal would produce enter the average."""
+    from .validctx import n_valid
+
     mono = x.mean(axis=-2) if x.ndim >= 2 else x
     n = mono.shape[-1]
     hop = n_fft // 4
@@ -106,7 +153,12 @@ def spectral_envelope(x, n_fft: int = 8192):
     idx = (np.arange(count) * hop)[:, None] + np.arange(n_fft)[None, :]
     frames = mono[..., idx] * jnp.asarray(win)
     power = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
-    return jnp.sqrt(power.mean(axis=-2))
+    nv = n_valid()
+    if nv is None:
+        return jnp.sqrt(power.mean(axis=-2))
+    count_v = jnp.maximum((nv - n_fft) // hop + 1, 1)
+    valid = (jnp.arange(count) < count_v)[:, None]
+    return jnp.sqrt((power * valid).sum(axis=-2) / count_v)
 
 
 @functools.lru_cache(maxsize=None)

@@ -64,7 +64,10 @@ class ZP:
     pallas: bool = False
 
     def __call__(self, x, params):
+        from . import validctx
+
         resp = params[0]
+        nv = validctx.n_valid()
         if self.padlen >= x.shape[-1]:
             # scipy filtfilt raises for padlen >= n; the reference's
             # _safe_filtfilt then falls back to causal lfilter (exact mode).
@@ -73,18 +76,18 @@ class ZP:
                 return lfilter_fd(x, unpack_complex(resp), self.nfft)
             return x
         if self.pallas:
-            from .fdfilter import odd_ext
+            from .fdfilter import odd_ext, odd_ext_valid
             from . import fft_pallas as fp
 
             n = x.shape[-1]
             p = min(self.padlen, max(n - 1, 0))
-            core = odd_ext(x, p)
+            core = odd_ext(x, p) if nv is None else odd_ext_valid(x, p, nv)
             y = fp.apply_response(core, resp, self.nfft, tables=params[1])
-            return y[..., p:p + n]
+            return validctx.mask_tail(y[..., p:p + n], nv)
         H = unpack_complex(resp) if self.exact else resp
         return filtfilt_fd(
             x, H, self.nfft,
-            padlen=self.padlen, settle=self.settle, exact=self.exact,
+            padlen=self.padlen, settle=self.settle, exact=self.exact, nv=nv,
         )
 
 
@@ -103,15 +106,20 @@ class HybridZP:
         return [self.fast.params, self.small.params]
 
     def __call__(self, x, params):
+        from . import validctx
+
         pf, ps = params
-        y = self.fast(x, pf)
-        # both edge windows in one stacked pass (halves small-FFT dispatches)
-        ylr = self.small(jnp.stack([x[..., : self.w_in],
-                                    x[..., -self.w_in:]]), ps)
-        yl = ylr[0][..., : self.L]
-        yr = ylr[1][..., -self.L:]
-        return jnp.concatenate(
-            [yl, y[..., self.L: self.n - self.L], yr], axis=-1)
+        nv = validctx.n_valid()
+        xr = validctx.right_window(x, self.w_in, nv)
+        # The fast interior and the extracted edge windows have their track
+        # ends at static positions — run them with the context cleared; the
+        # dynamic anchoring happens in the window extraction and the splice.
+        with validctx.cleared():
+            y = self.fast(x, pf)
+            # both edge windows in one stacked pass (halves small-FFT
+            # dispatches)
+            ylr = self.small(jnp.stack([x[..., : self.w_in], xr]), ps)
+        return validctx.splice(y, ylr[0], ylr[1], self.n, self.L, nv)
 
 
 @dataclass
@@ -206,11 +214,14 @@ def hybridize_op(spec: GraphSpec, settle: int, padlen: int, build):
     n = spec.n
 
     def fn(x, params):
+        from . import validctx
+
         pf, ps = params
-        y = f_fast(x, pf)
-        ylr = f_small(jnp.stack([x[..., :w_in], x[..., -w_in:]]), ps)
-        yl = ylr[0][..., :L]
-        yr = ylr[1][..., -L:]
-        return jnp.concatenate([yl, y[..., L:n - L], yr], axis=-1)
+        nv = validctx.n_valid()
+        xr = validctx.right_window(x, w_in, nv)
+        with validctx.cleared():
+            y = f_fast(x, pf)
+            ylr = f_small(jnp.stack([x[..., :w_in], xr]), ps)
+        return validctx.splice(y, ylr[0], ylr[1], n, L, nv)
 
     return params, fn

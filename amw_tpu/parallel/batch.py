@@ -1,10 +1,11 @@
 """Batch mastering: vmapped chain over [B, C, N], optionally mesh-sharded.
 
 Length bucketing: tracks are padded (with zeros) up to a bucket length so one
-compiled graph serves a range of durations.  NOTE: ops whose semantics depend
-on track length (LUFS gating, fades) currently treat the padded length as the
-track length; bucket granularity should therefore be fine (±2%) — masked
-valid-length support is tracked for a later round.
+compiled graph serves a range of durations; each track's true length travels
+as a per-track ``n_valid`` (ops.validctx) so LUFS gating, filter edge
+semantics, and fades anchor at the real track end — padded output sliced to
+``n_valid`` equals the exact-length graph's output (tests/test_valid_masking,
+tests/test_batch_mesh).
 """
 
 from __future__ import annotations
@@ -33,33 +34,50 @@ def pad_to_bucket(x: np.ndarray, sr: int, buckets_sec=DEFAULT_BUCKETS_SEC):
 
 def make_batch_fn(spec: GraphSpec, config: dict | None = None, *,
                   mesh=None, donate: bool = True, **chain_kw):
-    """Returns (jitted_step, params) computing the chain over [B, C, N].
+    """Returns (jitted_step, params): step(xb, params[, nvb]) computes the
+    chain over [B, C, N] with optional per-track valid lengths nvb [B].
 
     With ``mesh``, the batch axis is sharded over the mesh's first axis and
     params are replicated — pure data parallelism over ICI."""
     chain = compile_chain(spec, config, jit=False, **chain_kw)
-    step = lambda xb, params: jax.vmap(chain.raw_fn, in_axes=(0, None))(xb, params)
+
     if mesh is not None:
+        def step(xb, params, nvb):
+            return jax.vmap(chain.raw_fn, in_axes=(0, None, 0))(
+                xb, params, nvb)
+
         axis = mesh.axis_names[0]
         x_sh = NamedSharding(mesh, P(axis))
         p_sh = NamedSharding(mesh, P())
         params = jax.device_put(chain.params, p_sh)
         jitted = jax.jit(
             step,
-            in_shardings=(x_sh, p_sh),
+            in_shardings=(x_sh, p_sh, NamedSharding(mesh, P(axis))),
             out_shardings=x_sh,
             donate_argnums=(0,) if donate else (),
         )
     else:
+        def step(xb, params, nvb=None):
+            if nvb is None:
+                return jax.vmap(chain.raw_fn, in_axes=(0, None))(xb, params)
+            return jax.vmap(chain.raw_fn, in_axes=(0, None, 0))(
+                xb, params, nvb)
+
         params = jax.device_put(chain.params)
         jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
     return jitted, params
 
 
 def batch_master(xb: np.ndarray, sr: int, config: dict | None = None, *,
-                 mesh=None, **chain_kw) -> np.ndarray:
-    """Master a batch [B, C, N] in one fused SPMD step."""
+                 mesh=None, nvb: np.ndarray | None = None,
+                 **chain_kw) -> np.ndarray:
+    """Master a batch [B, C, N] in one fused SPMD step.  ``nvb`` [B]: valid
+    length per (bucket-padded) track."""
     xb = np.ascontiguousarray(xb, np.float32)
     spec = GraphSpec(sr=sr, n=xb.shape[-1], channels=xb.shape[1])
     fn, params = make_batch_fn(spec, config, mesh=mesh, **chain_kw)
-    return np.asarray(fn(xb, params))
+    if nvb is None:
+        if mesh is None:
+            return np.asarray(fn(xb, params))
+        nvb = np.full(xb.shape[0], xb.shape[-1])
+    return np.asarray(fn(xb, params, np.asarray(nvb, np.int32)))

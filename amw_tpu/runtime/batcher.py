@@ -29,6 +29,7 @@ import jax
 @dataclass
 class _Pending:
     x: np.ndarray
+    aux: object = None  # per-item metadata stacked alongside x (e.g. n_valid)
     future: Future = field(default_factory=Future)
 
 
@@ -63,8 +64,8 @@ class Batcher:
             self._thread = None
         self._stop = False
 
-    def submit(self, key, x: np.ndarray) -> Future:
-        item = _Pending(x=x)
+    def submit(self, key, x: np.ndarray, aux=None) -> Future:
+        item = _Pending(x=x, aux=aux)
         with self._lock:
             self._queues.setdefault(key, {"items": [], "first_ts": None})
             q = self._queues[key]
@@ -105,7 +106,11 @@ class Batcher:
             for key, items in ready:
                 try:
                     xb = np.stack([it.x for it in items])
-                    outs = self._run_batch(key, xb)
+                    if any(it.aux is not None for it in items):
+                        auxb = np.stack([it.aux for it in items])
+                        outs = self._run_batch(key, xb, auxb)
+                    else:
+                        outs = self._run_batch(key, xb)
                     for it, out in zip(items, outs):
                         it.future.set_result(out)
                 except Exception as e:  # noqa: BLE001

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 
 import numpy as np
 import jax
@@ -65,6 +66,7 @@ class MasteringEngine:
                             if micro_batch is None else micro_batch)
         self._cache: dict = {}
         self._batch_graphs: dict = {}
+        self._dur_ema: dict = {}  # graph key -> EMA of run wall time (sec)
         self._lock = threading.Lock()
         self._batcher = None
         if self.micro_batch:
@@ -89,8 +91,14 @@ class MasteringEngine:
             self._cache.setdefault(key, built)
         return self._cache[key]
 
+    # Tracks shorter than this (seconds) compile at their exact length:
+    # the valid-end dynamic edge windows (ops.validctx) need the valid
+    # region to dominate the largest filter settle window, and sub-3 s
+    # tracks compile quickly anyway.
+    MIN_BUCKET_SEC = 3.0
+
     def _spec_for(self, sr: int, n: int, channels: int):
-        if self.bucket:
+        if self.bucket and n >= int(self.MIN_BUCKET_SEC * sr):
             bn = n
             from ..parallel.batch import DEFAULT_BUCKETS_SEC
             for s in DEFAULT_BUCKETS_SEC:
@@ -150,9 +158,8 @@ class MasteringEngine:
             report(3, "Vocal isolation…")
             from ..models import vocal
 
-            params_v, fn_v = vocal._jitted(sr, audio.shape[-1], audio.shape[0])
-            audio = np.asarray(fn_v(np.ascontiguousarray(audio, np.float32),
-                                    params_v))
+            # htdemucs (converted weights) when configured, DSP fallback.
+            audio = vocal.isolate_vocal(audio, sr)
             pro = {k: v for k, v in pro.items() if k != "apply_vocal_isolation"}
         n, C = audio.shape[-1], audio.shape[0]
         spec = self._spec_for(sr, n, C)
@@ -161,19 +168,50 @@ class MasteringEngine:
              "t": round(float(target_lufs), 2)},
             sort_keys=True, default=str)
         report(5, "Mastering (v2)…")
-        params, fn, names = self._get_graph(
-            "v2", spec, key,
-            lambda: self._built_v2(spec, chain_config, pro, target_lufs, style),
+        from . import progress as prog_mod
+
+        use_ticks = (progress is not None and self._batcher is None
+                     and prog_mod.callbacks_supported())
+        cache_extra = key + (";ticks" if use_ticks else "")
+        params, fn, (names, _raw) = self._get_graph(
+            "v2", spec, cache_extra,
+            lambda: self._built_v2(spec, chain_config, pro, target_lufs,
+                                   style, use_ticks),
         )
         audio = self._pre_dc(np.ascontiguousarray(audio, np.float32),
                              chain_config)
         xb = self._pad(audio, spec.n)
+        nv = np.int32(n)
+        ema_key = ("v2", spec, key)
+        t0 = time.monotonic()
         with _maybe_profile("master_v2"):
             if self._batcher is not None:
-                res = self._batcher.submit(("v2", spec, key), xb).result(
-                    timeout=600.0)
+                ema = self._dur_ema.get(ema_key) if progress else None
+                with prog_mod.TimedTicker(names, report, ema):
+                    res = self._batcher.submit(("v2", spec, key), xb,
+                                               aux=nv).result(timeout=600.0)
+                dt = time.monotonic() - t0
+                prev = self._dur_ema.get(ema_key)
+                self._dur_ema[ema_key] = (dt if prev is None
+                                          else 0.7 * prev + 0.3 * dt)
+            elif use_ticks:
+                tok = prog_mod.register(names, report)
+                try:
+                    res = fn(xb, params, nv, np.int32(tok))
+                    res = {k: np.asarray(v) for k, v in res.items()}
+                finally:
+                    prog_mod.unregister(tok)
             else:
-                res = fn(xb, params)
+                # Backends without host callbacks (axon relay): interpolate
+                # stage progress against this graph's measured wall time.
+                ema = self._dur_ema.get(ema_key) if progress else None
+                with prog_mod.TimedTicker(names, report, ema):
+                    res = fn(xb, params, nv)
+                    res = {k: np.asarray(v) for k, v in res.items()}
+                dt = time.monotonic() - t0
+                prev = self._dur_ema.get(ema_key)
+                self._dur_ema[ema_key] = (dt if prev is None
+                                          else 0.7 * prev + 0.3 * dt)
         out = np.asarray(res["out"])[..., :n]
         before = float(np.asarray(res["before_lufs"]))
         after = float(np.asarray(res["after_lufs"]))
@@ -199,15 +237,17 @@ class MasteringEngine:
             "after_lufs": None if after < -1e8 else after,
         }
 
-    def _built_v2(self, spec, chain_config, pro, target_lufs, style):
+    def _built_v2(self, spec, chain_config, pro, target_lufs, style,
+                  stage_ticks: bool = False):
         params, raw_fn, names = build_v2_job_graph(
-            spec, chain_config, pro, target_lufs, style, jit=False
+            spec, chain_config, pro, target_lufs, style, jit=False,
+            stage_ticks=stage_ticks,
         )
         return jax.device_put(params), jax.jit(raw_fn), (names, raw_fn)
 
     # -- micro-batching (see runtime/batcher.py) ---------------------------
 
-    def _run_v2_batch(self, bkey, xb):
+    def _run_v2_batch(self, bkey, xb, nvb):
         kind, spec, key = bkey
         params, _fn, (names, raw_fn) = self._cache[(kind, spec, key)]
         b = xb.shape[0]
@@ -216,14 +256,18 @@ class MasteringEngine:
         with self._lock:
             bfn = self._batch_graphs.get(gkey)
         if bfn is None:
-            bfn = jax.jit(lambda x, p: jax.vmap(raw_fn, in_axes=(0, None))(x, p))
+            bfn = jax.jit(
+                lambda x, p, nv: jax.vmap(raw_fn, in_axes=(0, None, 0))(
+                    x, p, nv))
             with self._lock:
                 self._batch_graphs.setdefault(gkey, bfn)
             bfn = self._batch_graphs[gkey]
+        nvb = np.asarray(nvb, np.int32)
         if b_pow2 != b:
             xb = np.concatenate(
                 [xb, np.repeat(xb[:1], b_pow2 - b, axis=0)], axis=0)
-        res = bfn(xb, params)
+            nvb = np.concatenate([nvb, np.repeat(nvb[:1], b_pow2 - b)])
+        res = bfn(xb, params, nvb)
         res = {k: np.asarray(v) for k, v in res.items()}
         return [{k: v[i] for k, v in res.items()} for i in range(b)]
 
@@ -249,16 +293,38 @@ class MasteringEngine:
              "rs": round(float(reference_strength), 2)},
             sort_keys=True)
         report(5, "Mastering…")
-        params, fn, _names = self._get_graph(
-            "v1", spec, key,
+        from . import progress as prog_mod
+
+        use_ticks = progress is not None and prog_mod.callbacks_supported()
+        cache_extra = key + (";ticks" if use_ticks else "")
+        params, fn, names = self._get_graph(
+            "v1", spec, cache_extra,
             lambda: self._built_v1(spec, target_lufs, style, denoise_strength,
                                    transient_attack, transient_sustain,
-                                   reference_env, reference_strength),
+                                   reference_env, reference_strength,
+                                   use_ticks),
         )
         audio = self._pre_dc(np.ascontiguousarray(audio, np.float32), None)
         xb = self._pad(audio, spec.n)
+        ema_key = ("v1", spec, key)
+        t0 = time.monotonic()
         with _maybe_profile("master_v1"):
-            res = fn(xb, params)
+            if use_ticks:
+                tok = prog_mod.register(names, report)
+                try:
+                    res = fn(xb, params, np.int32(n), np.int32(tok))
+                    res = {k: np.asarray(v) for k, v in res.items()}
+                finally:
+                    prog_mod.unregister(tok)
+            else:
+                ema = self._dur_ema.get(ema_key) if progress else None
+                with prog_mod.TimedTicker(names, report, ema):
+                    res = fn(xb, params, np.int32(n))
+                    res = {k: np.asarray(v) for k, v in res.items()}
+                dt = time.monotonic() - t0
+                prev = self._dur_ema.get(ema_key)
+                self._dur_ema[ema_key] = (dt if prev is None
+                                          else 0.7 * prev + 0.3 * dt)
         out = np.asarray(res["out"])[..., :n]
         before = float(np.asarray(res["before_lufs"]))
         after = float(np.asarray(res["after_lufs"]))
@@ -279,7 +345,7 @@ class MasteringEngine:
 
     def _built_v1(self, spec, target_lufs, style, denoise_strength,
                   transient_attack, transient_sustain, reference_env,
-                  reference_strength):
+                  reference_strength, stage_ticks: bool = False):
         params, raw_fn, names = build_v1_pipeline(
             spec, target_lufs=target_lufs, style=style,
             denoise_strength=denoise_strength,
@@ -287,6 +353,7 @@ class MasteringEngine:
             transient_sustain=transient_sustain,
             reference_env=reference_env,
             reference_strength=reference_strength, jit=False,
+            stage_ticks=stage_ticks,
         )
         settle = meters.k_weight_settle(spec.sr)
         nfft = design.next_fft_size(spec.n + settle)
@@ -297,11 +364,13 @@ class MasteringEngine:
             plan = None
         all_params = list(params) + [[Hk]]
 
-        def fn(x, ps):
-            before = (meters.integrated_lufs(x, ps[-1][0], nfft, plan)
+        def fn(x, ps, n_valid=None, prog_tok=None):
+            before = (meters.integrated_lufs(x, ps[-1][0], nfft, plan,
+                                             n_valid=n_valid)
                       if plan is not None else np.float32(-1e9))
-            y = raw_fn(x, ps[:-1])
-            after = (meters.integrated_lufs(y, ps[-1][0], nfft, plan)
+            y = raw_fn(x, ps[:-1], n_valid, prog_tok)
+            after = (meters.integrated_lufs(y, ps[-1][0], nfft, plan,
+                                            n_valid=n_valid)
                      if plan is not None else np.float32(-1e9))
             finite, peak = basic.validate_stats(y)
             return {"out": y, "before_lufs": before, "after_lufs": after,
@@ -336,24 +405,34 @@ class MasteringEngine:
         # jitted graph is cached per (spec, strength) and reused across
         # different reference tracks.
         key = f"refmatch:{round(float(strength), 3)}"
-        cached = self._get_graph(
-            "tool", spec, key,
-            lambda: (None,
-                     jax.jit(build_reference_match(spec, np.ones_like(ref_env),
-                                                   strength=float(strength))[1]),
-                     None))
+
+        def _build_tool():
+            from ..ops import validctx
+
+            raw = build_reference_match(spec, np.ones_like(ref_env),
+                                        strength=float(strength))[1]
+
+            def tool_fn(x, p, nv):
+                # Source-envelope frames and output anchored at the valid
+                # length of the bucket-padded track.
+                with validctx.valid_length(nv):
+                    return validctx.mask_tail(raw(x, p))
+
+            return None, jax.jit(tool_fn), None
+
+        cached = self._get_graph("tool", spec, key, _build_tool)
         _, fn, _ = cached
         params = jax.device_put(
             build_reference_match(spec, ref_env, strength=float(strength))[0])
         xb = self._pad(np.ascontiguousarray(audio, np.float32), spec.n)
-        out = np.asarray(fn(xb, params))[..., :n]
+        out = np.asarray(fn(xb, params, np.int32(n)))[..., :n]
         out_bytes = export_audio(out, sr, out_format.lower(), bitrate=bitrate)
         return {"bytes": out_bytes, "sr": sr}
 
     def upscale_bytes(self, data: bytes, filename: str, *,
                       target_sr: int) -> dict:
         """FFT resample to a higher rate + 16-bit WAV (mastering.py:1369-1406)."""
-        from ..ops.fdfilter import resample_fft
+        from ..ops.fdfilter import resample_fft, resample_plan
 
         audio, sr = load_audio_from_bytes(data, filename)
         if target_sr <= sr:
@@ -366,11 +445,17 @@ class MasteringEngine:
         with self._lock:
             fn = self._cache.get(key)
         if fn is None:
-            fn = jax.jit(lambda x: resample_fft(x, n_out))
+            # Bluestein tables ride as runtime args: arbitrary track lengths
+            # are not native TPU FFT sizes (fdfilter.resample_plan).
+            plan = resample_plan(n, n_out)
+            plan_dev = (jax.device_put(plan) if plan else None)
+            fn = (jax.jit(lambda x, p: resample_fft(x, n_out, p)), plan_dev)
             with self._lock:
                 self._cache.setdefault(key, fn)
             fn = self._cache[key]
-        out = np.asarray(fn(np.ascontiguousarray(audio, np.float32)))
+        jfn, plan_dev = fn
+        out = np.asarray(jfn(np.ascontiguousarray(audio, np.float32),
+                             plan_dev))
         out_bytes = export_audio(out.astype(np.float32), target_sr, "wav",
                                  dither_type="tpdf")
         return {"bytes": out_bytes, "sr": target_sr}

@@ -93,10 +93,16 @@ def main():
     log(f"relay round-trip: {relay*1e3:.0f} ms")
 
     # Find the largest micro-batch that compiles (remote compiler limits).
+    # B=16 at 180 s hits an XLA TPU bounds-check failure (an N x N operand
+    # materializes during fusion) and the failed compile can wedge the axon
+    # relay session — only attempt it when explicitly asked.
+    trials = (8, 4, 2, 1)
+    if os.environ.get("BENCH_TRY_B16") == "1":
+        trials = (16,) + trials
     micro = None
     step = None
     xb = None
-    for trial in (8, 4, 2, 1):
+    for trial in trials:
         try:
             tracks = np.stack([make_track(sr, dur, seed=i) for i in range(trial)])
             xb = jax.device_put(tracks)
@@ -137,27 +143,74 @@ def main():
     p50 = float(np.median(lats))
     log(f"p50 single-track latency: {p50*1e3:.0f} ms")
 
-    # Export path (BASELINE config #3): dither + 16-bit quantize on device,
-    # then host WAV writing — measured per track from the mastered output.
+    # Sustained batch throughput (BASELINE config #4): stream 256 tracks of
+    # MIXED valid lengths through the bucketed, valid-length-masked v2 path
+    # in micro-batch chunks, dispatches pipelined, one fence at the end.
+    # Device buffers are reused across dispatches so this measures sustained
+    # compute throughput (production overlaps host I/O with device work).
+    sus_tpm = None
+    sus_rtf = None
+    try:
+        from amw_tpu.models.v2_job import build_v2_job_graph
+
+        vparams, vraw, _vn = build_v2_job_graph(
+            spec, None, {}, target_lufs=-14.0, style="standard", jit=False)
+        vstep = jax.jit(
+            lambda xb, p, nv: jnp.sum(jnp.square(
+                jax.vmap(vraw, in_axes=(0, None, 0))(xb, p, nv)["out"])))
+        vp = jax.device_put(vparams)
+        g = np.random.default_rng(7)
+        nvb = jax.device_put(
+            g.integers(int(0.8 * n), n, size=micro).astype(np.int32))
+        t0 = time.perf_counter()
+        fence(vstep(xb, vp, nvb))
+        log(f"masked v2 batch={micro} compiled+ran in "
+            f"{time.perf_counter()-t0:.1f}s")
+        total_tracks = 256
+        n_disp = max(1, total_tracks // micro)
+        acc = None
+        t0 = time.perf_counter()
+        for _ in range(n_disp):
+            acc = vstep(xb, vp, nvb)
+        fence(acc)
+        sus_dt = time.perf_counter() - t0 - relay
+        done = n_disp * micro
+        sus_tpm = done / sus_dt * 60.0
+        sus_rtf = done * dur / sus_dt
+        log(f"sustained (BASELINE #4): {done} tracks in {sus_dt:.1f}s -> "
+            f"{sus_tpm:.0f} tracks/min, {sus_rtf:.0f}x realtime, "
+            f"recompiles: 0 (single cached executable)")
+    except Exception as e:  # noqa: BLE001
+        log(f"sustained bench failed: {type(e).__name__}: {str(e)[:200]}")
+
+    # Export path (BASELINE config #3): resample 44.1k -> 48k, TPDF dither,
+    # 16-bit quantize — all on device; host WAV writing excluded (I/O).
     from amw_tpu.ops import dither as dither_ops
+    from amw_tpu.ops.fdfilter import resample_fft, resample_plan
 
     key = jax.random.PRNGKey(0)
     out_batch_shape = (micro, 2, n)
+    n48 = int(round(n * 48000 / sr))
+    # Bluestein tables as runtime args: 180 s at 44.1/48 kHz is not a native
+    # TPU FFT size (a bare jnp.fft there materializes an f32[n, n] DFT).
+    rplan = jax.device_put(resample_plan(n, n48))
 
-    def export_step(y, k):
-        noise = dither_ops.dither_noise(k, out_batch_shape, "tpdf")
-        return jnp.sum(dither_ops.quantize16(y, noise).astype(jnp.int32))
+    def export_step(y, k, plan):
+        y48 = resample_fft(y, n48, plan)
+        noise = dither_ops.dither_noise(k, y48.shape, "tpdf")
+        return jnp.sum(dither_ops.quantize16(y48, noise).astype(jnp.int32))
 
     exp_jit = jax.jit(export_step)
     y_dev = jax.device_put(np.zeros(out_batch_shape, np.float32))
-    fence(exp_jit(y_dev, key))
+    fence(exp_jit(y_dev, key, rplan))
     t0 = time.perf_counter()
     for _ in range(reps):
-        acc = exp_jit(y_dev, key)
+        acc = exp_jit(y_dev, key, rplan)
     fence(acc)
     exp_dt = (time.perf_counter() - t0 - relay) / reps
     exp_rtf = micro * dur / max(exp_dt, 1e-9)
-    log(f"export path (TPDF dither + int16): {exp_dt:.3f}s -> {exp_rtf:.0f}x")
+    log(f"export path (48k resample + TPDF dither + int16): "
+        f"{exp_dt:.3f}s -> {exp_rtf:.0f}x")
 
     # Genre sweep (BASELINE config #2): club -9 with the edm style graph
     # (adds exciter + imager + parallel compression stages).
@@ -216,6 +269,8 @@ def main():
         "out_true_peak_dbtp": round(tp, 2),
         "export_path_rtf": round(exp_rtf, 1),
         "genre_sweep_rtf": round(sweep_rtf, 1) if sweep_rtf else None,
+        "sustained_tracks_per_min": round(sus_tpm, 1) if sus_tpm else None,
+        "sustained_rtf": round(sus_rtf, 1) if sus_rtf else None,
     }))
 
 

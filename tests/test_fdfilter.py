@@ -98,6 +98,30 @@ def test_resample_fft_matches_scipy(n_in, n_out):
     assert np.max(np.abs(got - want)) < 2e-5
 
 
+@pytest.mark.parametrize("n_in,n_out", [(1001, 2002), (1000, 777),
+                                        (441 * 10, 480 * 10), (900, 1024)])
+def test_resample_bluestein_matches_scipy(n_in, n_out):
+    """The TPU route: non-native FFT lengths via the chirp-z plan (the bare
+    jnp.fft path would lower to an n×n DFT matmul on TPU)."""
+    g = np.random.default_rng(2)
+    x = g.standard_normal((3, n_in))
+    plan = fdfilter.resample_plan(n_in, n_out)
+    assert plan is not None and (
+        ("fwd" in plan) == (not fdfilter.fft_native_ok(n_in)))
+    got = np.asarray(
+        fdfilter.resample_fft(jnp.asarray(x, jnp.float32), n_out, plan))
+    want = np.stack([sg.resample(c, n_out) for c in x])
+    assert np.max(np.abs(got - want)) < 5e-5
+
+
+def test_fft_native_ok():
+    assert fdfilter.fft_native_ok(1 << 20)
+    assert fdfilter.fft_native_ok(3 << 14)
+    assert fdfilter.fft_native_ok(5 << 10)
+    assert not fdfilter.fft_native_ok(44100 * 180)  # the 180 s bucket
+    assert not fdfilter.fft_native_ok(7 << 12)
+
+
 def test_odd_ext_matches_scipy(noise_stereo):
     from scipy.signal._arraytools import odd_ext
 

@@ -37,6 +37,31 @@ def test_batch_master_matches_per_track():
         assert np.max(np.abs(got[i].astype(np.float64) - want)) < 1e-3
 
 
+def test_mesh_batch_mixed_lengths_match_exact_graphs():
+    """Bucket-padded mesh batch with per-track n_valid: every track's output
+    (sliced to its true length) matches the exact-length chain graph."""
+    from amw_tpu.models.chain import compile_chain
+
+    bucket = 3 * SR
+    lengths = [bucket, int(2.6 * SR) + 17, int(2.83 * SR) + 1, bucket - 1]
+    xb = np.zeros((4, 2, bucket), np.float32)
+    for i, nv in enumerate(lengths):
+        seg = _tracks(1, nv, seed=i)[0]
+        # pre-remove the exact per-track mean (the engine's _pre_dc does
+        # this host-side) so the in-graph dc stage is a no-op in both the
+        # padded and the exact graphs
+        xb[i, :, :nv] = seg - seg.mean(axis=-1, keepdims=True)
+    mesh = make_mesh(4)
+    got = batch_master(xb, SR, mesh=mesh, nvb=np.asarray(lengths))
+    for i, nv in enumerate(lengths):
+        chain = compile_chain(GraphSpec(sr=SR, n=nv, channels=2))
+        want = chain(xb[i, :, :nv])
+        err = np.max(np.abs(got[i, :, :nv].astype(np.float64) - want))
+        assert 20 * np.log10(max(err, 1e-12)) < -90.0, (i, err)
+        if nv < bucket:
+            assert np.abs(got[i, :, nv:]).max() == 0.0
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 

@@ -1,275 +1,540 @@
-"""Hybrid-transformer source separation model (htdemucs-class) in JAX/flax.
+"""Hybrid-transformer Demucs (htdemucs) — TPU-native JAX inference.
 
 The reference shells out to PyTorch Demucs ``htdemucs`` for vocal isolation
-(services/vocal_isolation.py).  This module provides the TPU-native model
-family: a dual-branch (waveform + spectrogram) U-Net with a cross-domain
-transformer bottleneck, the same architectural shape as hybrid-transformer
-Demucs, implemented in flax linen and jitted/shardable like everything else
-in this framework.
+(reference: services/vocal_isolation.py:13-63).  Here the SAME architecture
+(dual waveform/spectrogram U-Net with a cross-domain transformer bottleneck)
+runs as a pure functional JAX forward over a parameter dict whose keys are
+the upstream torch state-dict names — so upstream pretrained checkpoints
+convert weight-for-weight (scripts/convert_htdemucs.py) and the output is
+parity-tested sample-for-sample against the torch oracle
+(:mod:`amw_tpu.models.htdemucs_torch`, tests/test_htdemucs_parity.py).
 
-Weights: ``load_params(path)`` restores an orbax checkpoint.  A converter for
-upstream PyTorch checkpoints can populate that checkpoint offline; until
-weights are provided, the production vocal-isolation path uses the DSP
-separator in :mod:`amw_tpu.models.vocal`, and this model runs with random
-initialization (shape-verified in tests).
-
-Sources follow Demucs' convention: (drums, bass, other, vocals).
+Design notes (TPU-first):
+- one jitted graph per segment shape; segments batch/vmap cleanly, convs and
+  attention land on the MXU;
+- parameters are a flat dict of arrays in the torch layouts (OIHW convs,
+  [in, out, k] transposed convs, [out, in] linears) — XLA re-lays them out
+  internally, so no conversion transposes are needed or wanted;
+- STFT/iSTFT replicate torch.stft/istft (center=True, reflect padding,
+  ``normalized=True``) plus demucs' extra padding/cropping (_spec/_ispec).
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Sequence
+import math
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-import flax.linen as nn
 
 SOURCES = ("drums", "bass", "other", "vocals")
 
 
-@dataclasses.dataclass(frozen=True)
-class HTDemucsConfig:
-    sources: Sequence[str] = SOURCES
-    audio_channels: int = 2
-    depth: int = 4
-    base_channels: int = 48
-    growth: int = 2
-    nfft: int = 4096
-    hop: int = 1024
-    t_layers: int = 5
-    t_dim: int = 384
-    t_heads: int = 8
-    segment_samples: int = 44100 * 6
+# --- primitive ops matching torch semantics ---------------------------------
 
 
-def _glu(x, axis=-1):
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _glu(x, axis):
     a, b = jnp.split(x, 2, axis=axis)
     return a * jax.nn.sigmoid(b)
 
 
-class EncLayer(nn.Module):
-    """Conv stride-4 encoder layer with a GLU 1x1 expansion (both branches)."""
-
-    channels: int
-    kernel: int = 8
-    stride: int = 4
-
-    @nn.compact
-    def __call__(self, x):  # x: [B, T', C]
-        x = nn.Conv(self.channels, (self.kernel,), strides=(self.stride,),
-                    padding="SAME")(x)
-        x = nn.gelu(x)
-        y = nn.Conv(2 * self.channels, (1,))(x)
-        return _glu_res(x, y)
+def conv1d(x, w, b, stride=1, padding=0, dilation=1):
+    """x: [B, C, T]; w: torch [O, I, K]."""
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return y + b[None, :, None]
 
 
-def _glu_res(x, y):
-    return x + _glu(y, axis=-1) * 0.5
+def conv2d(x, w, b, stride=(1, 1), padding=(0, 0)):
+    """x: [B, C, H, W]; w: torch [O, I, Kh, Kw]."""
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y + b[None, :, None, None]
 
 
-class DecLayer(nn.Module):
-    """Transposed-conv stride-4 decoder layer consuming the skip."""
-
-    channels: int
-    kernel: int = 8
-    stride: int = 4
-    last: bool = False
-
-    @nn.compact
-    def __call__(self, x, skip):
-        x = x + skip
-        y = nn.Conv(2 * x.shape[-1], (3,), padding="SAME")(x)
-        x = _glu_res(x, y)
-        x = nn.ConvTranspose(self.channels, (self.kernel,),
-                             strides=(self.stride,), padding="SAME")(x)
-        if not self.last:
-            x = nn.gelu(x)
-        return x
+def conv_transpose1d(x, w, b, stride):
+    """torch ConvTranspose1d, padding=0.  w: torch [I, O, K] — declared
+    'OIH' because transpose_kernel=True swaps the channel axes (the torch
+    layout is the forward conv's)."""
+    y = jax.lax.conv_transpose(
+        x, w, strides=(stride,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"), transpose_kernel=True)
+    return y + b[None, :, None]
 
 
-class CrossTransformer(nn.Module):
-    """Cross-domain transformer: joint self-attention over the concatenated
-    time-branch and spectral-branch bottleneck tokens."""
-
-    layers: int
-    dim: int
-    heads: int
-
-    @nn.compact
-    def __call__(self, xt, xs):
-        # xt: [B, Tt, D], xs: [B, Ts, D]
-        def posemb(n, d):
-            pos = np.arange(n)[:, None]
-            i = np.arange(d // 2)[None, :]
-            ang = pos / np.power(10000.0, 2 * i / d)
-            emb = np.concatenate([np.sin(ang), np.cos(ang)], axis=-1)
-            return jnp.asarray(emb, jnp.float32)
-
-        nt, ns = xt.shape[1], xs.shape[1]
-        xt = xt + posemb(nt, self.dim)
-        xs = xs + posemb(ns, self.dim)
-        x = jnp.concatenate([xt, xs], axis=1)
-        for _ in range(self.layers):
-            h = nn.LayerNorm()(x)
-            h = nn.MultiHeadDotProductAttention(
-                num_heads=self.heads, qkv_features=self.dim)(h, h)
-            x = x + h
-            h = nn.LayerNorm()(x)
-            h = nn.Dense(4 * self.dim)(h)
-            h = nn.gelu(h)
-            h = nn.Dense(self.dim)(h)
-            x = x + h
-        return x[:, :nt], x[:, nt:]
+def conv_transpose2d(x, w, b, stride):
+    """torch ConvTranspose2d, padding=0.  w: torch [I, O, Kh, Kw] ('OIHW'
+    with transpose_kernel=True, see conv_transpose1d)."""
+    y = jax.lax.conv_transpose(
+        x, w, strides=stride, padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), transpose_kernel=True)
+    return y + b[None, :, None, None]
 
 
-class HTDemucs(nn.Module):
-    cfg: HTDemucsConfig = HTDemucsConfig()
-
-    @nn.compact
-    def __call__(self, mix):  # mix: [B, C, T]
-        cfg = self.cfg
-        B, C, T = mix.shape
-        S = len(cfg.sources)
-
-        # --- spectral branch: real+imag as channels over freq frames.
-        # Pad T so both branches stay stride-aligned through the U-Net.
-        align = int(np.lcm(cfg.hop, 4 ** cfg.depth))
-        pad = (-T) % align
-        mp = jnp.pad(mix, ((0, 0), (0, 0), (0, pad)))
-        frames = mp.shape[-1] // cfg.hop
-        Z = jax.vmap(lambda ch: _stft(ch, cfg.nfft, cfg.hop), in_axes=1,
-                     out_axes=1)(mp)  # [B, C, F, Frames]
-        Z = Z[:, :, : cfg.nfft // 2, :]  # drop Nyquist (Demucs convention)
-        spec_in = jnp.concatenate([Z.real, Z.imag], axis=1)  # [B, 2C, F, Fr]
-        # fold freq into channels progressively via strided convs over freq:
-        xs = jnp.transpose(spec_in, (0, 3, 2, 1))  # [B, Fr, F, 2C]
-        Bf = xs.shape[0]
-        xs = xs.reshape(B * frames, xs.shape[2], xs.shape[3])  # [B*Fr, F, 2C]
-        skips_s = []
-        ch = cfg.base_channels
-        for d in range(cfg.depth):
-            xs = EncLayer(ch)(xs)
-            skips_s.append(xs)
-            ch *= cfg.growth
-
-        # --- time branch
-        xt = jnp.transpose(mp, (0, 2, 1))  # [B, T, C]
-        skips_t = []
-        ch = cfg.base_channels
-        for d in range(cfg.depth):
-            xt = EncLayer(ch)(xt)
-            skips_t.append(xt)
-            ch *= cfg.growth
-        bott = ch // cfg.growth
-
-        # --- transformer bottleneck over both token sets
-        ts_tokens = xs.reshape(B, frames * xs.shape[1], xs.shape[2])
-        xt_tok = nn.Dense(cfg.t_dim)(xt)
-        xs_tok = nn.Dense(cfg.t_dim)(ts_tokens)
-        xt_tok, xs_tok = CrossTransformer(
-            cfg.t_layers, cfg.t_dim, cfg.t_heads)(xt_tok, xs_tok)
-        xt = xt + nn.Dense(bott)(xt_tok)
-        xs = xs + nn.Dense(bott)(xs_tok).reshape(B * frames, xs.shape[1],
-                                                 xs.shape[2])
-
-        # --- decoders (mirror, skip connections), output S stems
-        ch = bott
-        for d in range(cfg.depth):
-            last = d == cfg.depth - 1
-            out_ch_t = (S * C) if last else ch // cfg.growth
-            xt = DecLayer(out_ch_t, last=last)(xt, skips_t[-1 - d])
-            out_ch_s = (S * 2 * C) if last else ch // cfg.growth
-            xs = DecLayer(out_ch_s, last=last)(xs, skips_s[-1 - d])
-            ch //= cfg.growth
-
-        # time-branch output [B, T, S*C] -> [B, S, C, T]
-        wave = jnp.transpose(xt, (0, 2, 1))[..., :T]
-        wave = wave.reshape(B, S, C, T)
-
-        # spectral-branch output -> complex masks -> iSTFT
-        F_dim = spec_in.shape[2]
-        xs = xs[:, :F_dim, :]
-        xs = xs.reshape(B, frames, F_dim, S, 2, C)
-        re = jnp.transpose(xs[..., 0, :], (0, 3, 4, 2, 1))  # [B,S,C,F,Fr]
-        im = jnp.transpose(xs[..., 1, :], (0, 3, 4, 2, 1))
-        # restore the dropped Nyquist bin as zero before the iSTFT
-        zpad = [(0, 0)] * 3 + [(0, 1), (0, 0)]
-        re = jnp.pad(re, zpad)
-        im = jnp.pad(im, zpad)
-        spec_wave = jax.vmap(jax.vmap(
-            lambda r, i: _istft(r + 1j * i, cfg.nfft, cfg.hop, T),
-            in_axes=(1, 1), out_axes=1), in_axes=(1, 1), out_axes=1)(re, im)
-
-        return wave + spec_wave  # [B, S, C, T]
+def group_norm1(x, w, b, eps=1e-5):
+    """GroupNorm(num_groups=1) over channel-first [B, C, *spatial]."""
+    axes = tuple(range(1, x.ndim))
+    mu = x.mean(axis=axes, keepdims=True)
+    var = x.var(axis=axes, keepdims=True)
+    xn = (x - mu) / jnp.sqrt(var + eps)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return xn * w.reshape(shape) + b.reshape(shape)
 
 
-def _stft(x, nfft, hop):  # x: [B, T] -> [B, F, frames]
-    frames = x.shape[-1] // hop
+def layer_norm(x, w, b, eps=1e-5):
+    """LayerNorm over the last axis (channel-last)."""
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * w + b
+
+
+def group_norm_tokens(x, w, b, eps=1e-5):
+    """demucs MyGroupNorm(1, C): GroupNorm over channel-first applied to
+    channel-last tokens [B, T, C] (normalizes over C AND T jointly)."""
+    mu = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * w + b
+
+
+def mha(q_in, kv_in, p, prefix, heads):
+    """torch nn.MultiheadAttention (batch_first).  q_in: [B, Tq, D]."""
+    w = p[prefix + ".in_proj_weight"]      # [3D, D]
+    bias = p[prefix + ".in_proj_bias"]     # [3D]
+    D = q_in.shape[-1]
+    wq, wk, wv = w[:D], w[D:2 * D], w[2 * D:]
+    bq, bk, bv = bias[:D], bias[D:2 * D], bias[2 * D:]
+    q = q_in @ wq.T + bq
+    k = kv_in @ wk.T + bk
+    v = kv_in @ wv.T + bv
+    B, Tq, _ = q.shape
+    Tk = k.shape[1]
+    hd = D // heads
+    q = q.reshape(B, Tq, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, Tk, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, Tk, heads, hd).transpose(0, 2, 1, 3)
+    att = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) / math.sqrt(hd), axis=-1)
+    out = (att @ v).transpose(0, 2, 1, 3).reshape(B, Tq, D)
+    return out @ p[prefix + ".out_proj.weight"].T + p[prefix + ".out_proj.bias"]
+
+
+# --- STFT / iSTFT (torch.stft/istft + demucs _spec/_ispec) -------------------
+
+
+def _hann(n):
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(
+        np.float32)
+
+
+def torch_stft(x, nfft, hop):
+    """torch.stft(center=True, pad_mode='reflect', normalized=True,
+    onesided).  x: [..., T] -> (re, im) each [..., F, frames]."""
     pad = nfft // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    frames = (xp.shape[-1] - nfft) // hop + 1
     idx = (np.arange(frames) * hop)[:, None] + np.arange(nfft)[None, :]
-    win = jnp.asarray(np.hanning(nfft).astype(np.float32))
-    fr = xp[:, idx] * win
-    return jnp.swapaxes(jnp.fft.rfft(fr, axis=-1), -1, -2)
+    fr = xp[..., idx] * jnp.asarray(_hann(nfft))
+    Z = jnp.fft.rfft(fr, axis=-1) * (nfft ** -0.5)
+    return (jnp.swapaxes(Z.real, -1, -2).astype(jnp.float32),
+            jnp.swapaxes(Z.imag, -1, -2).astype(jnp.float32))
 
 
-def _istft(Z, nfft, hop, T):  # Z: [B, F, frames] -> [B, T]
-    fr = jnp.fft.irfft(jnp.swapaxes(Z, -1, -2), n=nfft, axis=-1)
-    win = jnp.asarray(np.hanning(nfft).astype(np.float32))
+def torch_istft(re, im, nfft, hop, length):
+    """torch.istft(center=True, normalized=True, length=length).
+    re/im: [..., F, frames] -> [..., length]."""
+    Z = jax.lax.complex(jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2))
+    fr = jnp.fft.irfft(Z, n=nfft, axis=-1) * (nfft ** 0.5)
+    win = jnp.asarray(_hann(nfft))
     fr = fr * win
-    frames = fr.shape[1]
-    total = frames * hop + nfft
+    frames = fr.shape[-2]
+    total = (frames - 1) * hop + nfft
     idx = (np.arange(frames) * hop)[:, None] + np.arange(nfft)[None, :]
-    out = jnp.zeros(fr.shape[:1] + (total,), fr.dtype)
-    out = out.at[:, idx.reshape(-1)].add(fr.reshape(fr.shape[0], -1))
-    norm = np.zeros(total)
-    np.add.at(norm, idx.reshape(-1), np.tile((np.hanning(nfft) ** 2), frames))
-    out = out / jnp.asarray(np.where(norm > 1e-8, norm, 1.0), fr.dtype)
+    lead = fr.shape[:-2]
+    out = jnp.zeros(lead + (total,), fr.dtype)
+    out = out.at[..., idx.reshape(-1)].add(fr.reshape(lead + (-1,)))
+    norm = np.zeros(total, np.float64)
+    w2 = (_hann(nfft).astype(np.float64)) ** 2
+    for f in range(frames):
+        norm[f * hop:f * hop + nfft] += w2
+    out = out / jnp.asarray(np.where(norm > 1e-11, norm, 1.0), fr.dtype)
     pad = nfft // 2
-    return out[:, pad:pad + T]
+    return out[..., pad:pad + length]
 
 
-# --- weights / inference ---------------------------------------------------
+def _spec(x, nfft, hop):
+    """demucs HDemucs._spec: extra reflect pad + frame crop; drops Nyquist."""
+    le = int(math.ceil(x.shape[-1] / hop))
+    pad = hop // 2 * 3
+    extra = pad + le * hop - x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, extra)], mode="reflect")
+    re, im = torch_stft(xp, nfft, hop)
+    return re[..., :-1, 2:2 + le], im[..., :-1, 2:2 + le]
 
 
-def init_params(cfg: HTDemucsConfig | None = None, seed: int = 0):
-    cfg = cfg or HTDemucsConfig()
-    model = HTDemucs(cfg)
-    x = jnp.zeros((1, cfg.audio_channels, cfg.hop * 16), jnp.float32)
-    return model, model.init(jax.random.PRNGKey(seed), x)
+def _ispec(re, im, hop, length):
+    """demucs HDemucs._ispec (restores Nyquist row + 2 frames)."""
+    zpad = [(0, 0)] * (re.ndim - 2) + [(0, 1), (2, 2)]
+    re = jnp.pad(re, zpad)
+    im = jnp.pad(im, zpad)
+    nfft = 2 * (re.shape[-2] - 1)
+    pad = hop // 2 * 3
+    le = hop * int(math.ceil(length / hop)) + 2 * pad
+    x = torch_istft(re, im, nfft, hop, le)
+    return x[..., pad:pad + length]
 
 
-def load_params(path: str, cfg: HTDemucsConfig | None = None):
-    """Restore converted weights from an orbax checkpoint directory."""
+# --- model blocks ------------------------------------------------------------
+
+
+def _dconv(x, p, prefix, depth):
+    """DConv residual branch on [B, C, T]."""
+    for d in range(depth):
+        dilation = 2 ** d
+        pre = f"{prefix}.layers.{d}"
+        y = conv1d(x, p[f"{pre}.0.weight"], p[f"{pre}.0.bias"],
+                   dilation=dilation, padding=dilation)
+        y = group_norm1(y, p[f"{pre}.1.weight"], p[f"{pre}.1.bias"])
+        y = _gelu(y)
+        y = conv1d(y, p[f"{pre}.3.weight"], p[f"{pre}.3.bias"])
+        y = group_norm1(y, p[f"{pre}.4.weight"], p[f"{pre}.4.bias"])
+        y = _glu(y, axis=1)
+        y = y * p[f"{pre}.6.scale"][None, :, None]
+        x = x + y
+    return x
+
+
+def _henc(x, p, prefix, freq, dconv_depth, kernel=8, stride=4):
+    pad = kernel // 4
+    if freq:
+        y = conv2d(x, p[prefix + ".conv.weight"], p[prefix + ".conv.bias"],
+                   stride=(stride, 1), padding=(pad, 0))
+        y = _gelu(y)
+        B, C, Fr, T = y.shape
+        y2 = y.transpose(0, 2, 1, 3).reshape(B * Fr, C, T)
+        y2 = _dconv(y2, p, prefix + ".dconv", dconv_depth)
+        y = y2.reshape(B, Fr, C, T).transpose(0, 2, 1, 3)
+        y = conv2d(y, p[prefix + ".rewrite.weight"],
+                   p[prefix + ".rewrite.bias"])
+        return _glu(y, axis=1)
+    le = x.shape[-1]
+    if le % stride != 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, stride - le % stride)])
+    y = conv1d(x, p[prefix + ".conv.weight"], p[prefix + ".conv.bias"],
+               stride=stride, padding=pad)
+    y = _gelu(y)
+    y = _dconv(y, p, prefix + ".dconv", dconv_depth)
+    y = conv1d(y, p[prefix + ".rewrite.weight"], p[prefix + ".rewrite.bias"])
+    return _glu(y, axis=1)
+
+
+def _hdec(x, skip, p, prefix, freq, last, length, kernel=8, stride=4):
+    pad = kernel // 4
+    x = x + skip
+    if freq:
+        y = conv2d(x, p[prefix + ".rewrite.weight"],
+                   p[prefix + ".rewrite.bias"], padding=(1, 1))
+        y = _glu(y, axis=1)
+        z = conv_transpose2d(y, p[prefix + ".conv_tr.weight"],
+                             p[prefix + ".conv_tr.bias"], (stride, 1))
+        z = z[..., pad:-pad, :]
+    else:
+        y = conv1d(x, p[prefix + ".rewrite.weight"],
+                   p[prefix + ".rewrite.bias"], padding=1)
+        y = _glu(y, axis=1)
+        z = conv_transpose1d(y, p[prefix + ".conv_tr.weight"],
+                             p[prefix + ".conv_tr.bias"], stride)
+        z = z[..., pad:pad + length]
+    if not last:
+        z = _gelu(z)
+    return z
+
+
+def _sin_embedding_1d(length, dim, max_period=10000.0):
+    pos = np.arange(length)[:, None].astype(np.float64)
+    adim = np.arange(dim // 2)[None, :].astype(np.float64)
+    phase = pos / (max_period ** (adim / (dim // 2 - 1)))
+    return np.concatenate([np.cos(phase), np.sin(phase)],
+                          axis=-1).astype(np.float32)  # [T, C]
+
+
+def _sin_embedding_2d(d_model, height, width, max_period=10000.0):
+    pe = np.zeros((d_model, height, width), np.float64)
+    half = d_model // 2
+    div_term = np.exp(np.arange(0.0, half, 2)
+                      * -(math.log(max_period) / half))
+    pos_w = np.arange(0.0, width)[:, None]
+    pos_h = np.arange(0.0, height)[:, None]
+    sw = np.sin(pos_w * div_term).T[:, None, :]       # [half/2, 1, W]
+    cw = np.cos(pos_w * div_term).T[:, None, :]
+    sh = np.sin(pos_h * div_term).T[:, :, None]       # [half/2, H, 1]
+    ch = np.cos(pos_h * div_term).T[:, :, None]
+    pe[0:half:2] = np.repeat(sw, height, axis=1)
+    pe[1:half:2] = np.repeat(cw, height, axis=1)
+    pe[half::2] = np.repeat(sh, width, axis=2)
+    pe[half + 1::2] = np.repeat(ch, width, axis=2)
+    return pe.astype(np.float32)  # [C, H, W]
+
+
+def _t_layer(x, p, prefix, heads, cross_kv=None):
+    """One transformer layer (self when cross_kv is None, else cross)."""
+    if cross_kv is None:
+        h = layer_norm(x, p[prefix + ".norm1.weight"],
+                       p[prefix + ".norm1.bias"])
+        h = mha(h, h, p, prefix + ".self_attn", heads)
+        x = x + h * p[prefix + ".gamma_1.scale"]
+        h = layer_norm(x, p[prefix + ".norm2.weight"],
+                       p[prefix + ".norm2.bias"])
+    else:
+        q = layer_norm(x, p[prefix + ".norm1.weight"],
+                       p[prefix + ".norm1.bias"])
+        kv = layer_norm(cross_kv, p[prefix + ".norm2.weight"],
+                        p[prefix + ".norm2.bias"])
+        h = mha(q, kv, p, prefix + ".cross_attn", heads)
+        x = x + h * p[prefix + ".gamma_1.scale"]
+        h = layer_norm(x, p[prefix + ".norm3.weight"],
+                       p[prefix + ".norm3.bias"])
+    h = h @ p[prefix + ".linear1.weight"].T + p[prefix + ".linear1.bias"]
+    h = _gelu(h)
+    h = h @ p[prefix + ".linear2.weight"].T + p[prefix + ".linear2.bias"]
+    x = x + h * p[prefix + ".gamma_2.scale"]
+    return group_norm_tokens(x, p[prefix + ".norm_out.weight"],
+                             p[prefix + ".norm_out.bias"])
+
+
+# --- config + forward --------------------------------------------------------
+
+
+class HTConfig:
+    """Architecture hyperparameters of the released ``htdemucs`` model
+    (shared spec for the JAX forward and the torch oracle)."""
+
+    def __init__(self, sources=SOURCES, audio_channels=2, channels=48,
+                 growth=2, depth=4, nfft=4096, bottom_channels=512,
+                 t_layers=5, t_heads=8, t_hidden_scale=4.0,
+                 dconv_depth=2, dconv_comp=8, dconv_init=1e-3,
+                 freq_emb_scale=0.2, emb_scale=10.0, emb_smooth=True,
+                 segment=7.8, samplerate=44100):
+        self.sources = tuple(sources)
+        self.audio_channels = audio_channels
+        self.channels = channels
+        self.growth = growth
+        self.depth = depth
+        self.nfft = nfft
+        self.hop = nfft // 4
+        self.bottom_channels = bottom_channels
+        self.t_layers = t_layers
+        self.t_heads = t_heads
+        self.t_hidden_scale = t_hidden_scale
+        self.dconv_depth = dconv_depth
+        self.dconv_comp = dconv_comp
+        self.dconv_init = dconv_init
+        self.freq_emb_scale = freq_emb_scale
+        self.emb_scale = emb_scale
+        self.emb_smooth = emb_smooth
+        self.segment = segment
+        self.samplerate = samplerate
+
+    @property
+    def segment_samples(self):
+        return int(self.segment * self.samplerate)
+
+
+def tiny_config(**kw):
+    """Small config for parity tests (same topology, ~1000x fewer FLOPs)."""
+    base = dict(channels=8, nfft=1024, bottom_channels=24, t_layers=3,
+                t_heads=2, depth=4, segment=1.0, samplerate=8000)
+    base.update(kw)
+    return HTConfig(**base)
+
+
+def forward(params, mix, cfg: HTConfig):
+    """[B, C, T] mix -> [B, S, C, T] stems.  Pure function of (params, mix);
+    jit it (and vmap/shard the batch axis) at the call site."""
+    p = params
+    S = len(cfg.sources)
+    B, C, length = mix.shape
+    nfft, hop = cfg.nfft, cfg.hop
+
+    re, im = _spec(mix, nfft, hop)                      # [B, C, F, T]
+    Fq, T = re.shape[-2], re.shape[-1]
+    x = jnp.stack([re, im], axis=2).reshape(B, 2 * C, Fq, T)  # CaC
+    mean = x.mean(axis=(1, 2, 3), keepdims=True)
+    std = x.std(axis=(1, 2, 3), keepdims=True, ddof=1)
+    x = (x - mean) / (1e-5 + std)
+
+    xt = mix
+    meant = xt.mean(axis=(1, 2), keepdims=True)
+    stdt = xt.std(axis=(1, 2), keepdims=True, ddof=1)
+    xt = (xt - meant) / (1e-5 + stdt)
+
+    saved, saved_t, lengths, lengths_t = [], [], [], []
+    for idx in range(cfg.depth):
+        lengths.append(x.shape[-1])
+        lengths_t.append(xt.shape[-1])
+        xt = _henc(xt, p, f"tencoder.{idx}", freq=False,
+                   dconv_depth=cfg.dconv_depth)
+        saved_t.append(xt)
+        x = _henc(x, p, f"encoder.{idx}", freq=True,
+                  dconv_depth=cfg.dconv_depth)
+        if idx == 0:
+            emb = (p["freq_emb.embedding.weight"] * cfg.emb_scale).T
+            x = x + cfg.freq_emb_scale * emb[None, :, :, None]
+        saved.append(x)
+
+    b, c, f, t = x.shape
+    x = conv1d(x.reshape(b, c, f * t), p["channel_upsampler.weight"],
+               p["channel_upsampler.bias"])
+    bc = x.shape[1]
+    x = x.reshape(b, bc, f, t)
+    xt = conv1d(xt, p["channel_upsampler_t.weight"],
+                p["channel_upsampler_t.bias"])
+
+    # cross-domain transformer
+    pe2 = _sin_embedding_2d(bc, f, t)                   # [C, F, T]
+    xtok = x.transpose(0, 3, 2, 1).reshape(b, t * f, bc)
+    pe2 = jnp.asarray(pe2).transpose(2, 1, 0).reshape(1, t * f, bc)
+    xtok = layer_norm(xtok, p["crosstransformer.norm_in.weight"],
+                      p["crosstransformer.norm_in.bias"]) + pe2
+    t2 = xt.shape[-1]
+    pe1 = jnp.asarray(_sin_embedding_1d(t2, bc))[None]
+    ttok = xt.transpose(0, 2, 1)
+    ttok = layer_norm(ttok, p["crosstransformer.norm_in_t.weight"],
+                      p["crosstransformer.norm_in_t.bias"]) + pe1
+    for i in range(cfg.t_layers):
+        if i % 2 == 0:
+            xtok = _t_layer(xtok, p, f"crosstransformer.layers.{i}",
+                            cfg.t_heads)
+            ttok = _t_layer(ttok, p, f"crosstransformer.layers_t.{i}",
+                            cfg.t_heads)
+        else:
+            old = xtok
+            xtok = _t_layer(xtok, p, f"crosstransformer.layers.{i}",
+                            cfg.t_heads, cross_kv=ttok)
+            ttok = _t_layer(ttok, p, f"crosstransformer.layers_t.{i}",
+                            cfg.t_heads, cross_kv=old)
+    x = xtok.reshape(b, t, f, bc).transpose(0, 3, 2, 1)
+    xt = ttok.transpose(0, 2, 1)
+
+    x = conv1d(x.reshape(b, bc, f * t), p["channel_downsampler.weight"],
+               p["channel_downsampler.bias"]).reshape(b, c, f, t)
+    xt = conv1d(xt, p["channel_downsampler_t.weight"],
+                p["channel_downsampler_t.bias"])
+
+    for idx in range(cfg.depth):
+        last = idx == cfg.depth - 1
+        x = _hdec(x, saved.pop(-1), p, f"decoder.{idx}", freq=True,
+                  last=last, length=lengths.pop(-1))
+        xt = _hdec(xt, saved_t.pop(-1), p, f"tdecoder.{idx}", freq=False,
+                   last=last, length=lengths_t.pop(-1))
+
+    Fq2, T2 = x.shape[-2], x.shape[-1]
+    x = x.reshape(B, S, 2 * C, Fq2, T2)
+    x = x * std[:, None] + mean[:, None]
+    x = x.reshape(B, S, C, 2, Fq2, T2)
+    xf = _ispec(x[:, :, :, 0], x[:, :, :, 1], hop, length)
+
+    xt = xt.reshape(B, S, C, length)
+    xt = xt * stdt[:, None] + meant[:, None]
+    return xt + xf
+
+
+# --- weights / inference ------------------------------------------------------
+
+
+def params_from_torch_state(state) -> dict:
+    """torch state dict -> flat numpy dict (layouts preserved; see module
+    docstring).  Remaps the oracle's private ``_LayerScale1d`` name and
+    ignores buffers that have no inference role."""
+    out = {}
+    for k, v in state.items():
+        arr = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                         else v, np.float32)
+        out[k] = arr
+    return out
+
+
+_CONFIG_KEY = "__config__"
+_CONFIG_FIELDS = ("channels", "nfft", "bottom_channels", "t_layers",
+                  "t_heads", "depth", "samplerate")
+
+
+def _config_vec(cfg: "HTConfig") -> np.ndarray:
+    return np.asarray([getattr(cfg, f) for f in _CONFIG_FIELDS], np.int32)
+
+
+def _config_from_vec(v) -> "HTConfig":
+    vals = dict(zip(_CONFIG_FIELDS, (int(x) for x in np.asarray(v))))
+    return HTConfig(**vals)
+
+
+def load_params(path: str):
+    """Restore converted weights from an orbax checkpoint directory.
+    Returns ``(cfg, params)`` — the architecture config is embedded in the
+    checkpoint (``__config__``), defaulting to the released htdemucs shape."""
     import orbax.checkpoint as ocp
 
-    cfg = cfg or HTDemucsConfig()
-    model = HTDemucs(cfg)
     ckpt = ocp.StandardCheckpointer()
-    params = ckpt.restore(path)
-    return model, params
+    params = dict(ckpt.restore(path))
+    cfg = HTConfig()
+    if _CONFIG_KEY in params:
+        cfg = _config_from_vec(params.pop(_CONFIG_KEY))
+    return cfg, params
 
 
-def separate(model: HTDemucs, params, mix: np.ndarray,
-             segment: int | None = None) -> np.ndarray:
-    """[C, T] -> stems [S, C, T], processed in overlapping segments."""
-    cfg = model.cfg
+def save_params(params: dict, path: str, cfg: "HTConfig | None" = None):
+    import orbax.checkpoint as ocp
+
+    blob = {k: np.asarray(v) for k, v in params.items()}
+    blob[_CONFIG_KEY] = _config_vec(cfg or HTConfig())
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, blob)
+    ckpt.wait_until_finished()
+
+
+def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
+             segment: int | None = None, overlap: float = 0.25) -> np.ndarray:
+    """[C, T] -> stems [S, C, T]: overlapping fixed-size segments through one
+    jitted forward, triangular cross-fade weighting (the shape demucs'
+    apply_model uses with transition_power=1)."""
+    cfg = cfg or HTConfig()
     seg = segment or cfg.segment_samples
     C, T = mix.shape
-    hop = seg // 2
+    stride = max(1, int(seg * (1 - overlap)))
     out = np.zeros((len(cfg.sources), C, T), np.float32)
-    weight = np.zeros(T, np.float32)
-    apply = jax.jit(lambda p, x: model.apply(p, x))
-    win = np.hanning(seg).astype(np.float32) + 1e-3
-    for start in range(0, max(T - 1, 1), hop):
+    weight_acc = np.zeros(T, np.float32)
+    w = np.concatenate([np.arange(1, seg // 2 + 1),
+                        np.arange(seg - seg // 2, 0, -1)]).astype(np.float32)
+    w = w / w.max()
+    apply = jax.jit(lambda pp, xx: forward(pp, xx, cfg))
+    dev_params = jax.device_put(params)
+    start = 0
+    while start < T:
         end = min(start + seg, T)
         chunk = np.zeros((1, C, seg), np.float32)
-        chunk[0, :, : end - start] = mix[:, start:end]
-        stems = np.asarray(apply(params, chunk))[0]
-        out[:, :, start:end] += stems[:, :, : end - start] * win[: end - start]
-        weight[start:end] += win[: end - start]
+        chunk[0, :, :end - start] = mix[:, start:end]
+        stems = np.asarray(apply(dev_params, chunk))[0]
+        out[:, :, start:end] += stems[:, :, :end - start] * w[:end - start]
+        weight_acc[start:end] += w[:end - start]
         if end == T:
             break
-    return out / np.maximum(weight, 1e-6)
+        start += stride
+    return out / np.maximum(weight_acc, 1e-8)
+
+
+def init_params(cfg: HTConfig | None = None, seed: int = 0) -> dict:
+    """Random-initialized parameter dict via the torch oracle (tests /
+    development only — production uses converted upstream weights)."""
+    import torch
+
+    from .htdemucs_torch import HTDemucsTorch
+
+    torch.manual_seed(seed)
+    model = HTDemucsTorch(cfg or HTConfig())
+    return params_from_torch_state(model.state_dict())

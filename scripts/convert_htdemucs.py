@@ -4,18 +4,21 @@ for :mod:`amw_tpu.models.htdemucs_jax`.
 
 Usage:
   python scripts/convert_htdemucs.py inspect ckpt.th
-      — print the torch state-dict keys/shapes (to build/verify the mapping)
+      — print the torch state-dict keys/shapes
   python scripts/convert_htdemucs.py convert ckpt.th out_dir/
-      — map weights and save an orbax checkpoint
+      — convert and save an orbax checkpoint
+  python scripts/convert_htdemucs.py selftest out_dir/
+      — build a random torch oracle, convert, and verify JAX parity
 
-The in-tree model is an htdemucs-CLASS architecture, not a parameter-
-identical clone of the upstream module tree, so conversion requires the
-explicit name map below.  `inspect` output + `init_params()` tree paths are
-the two sides to line up; unmapped tensors are reported rather than
-silently dropped.  (This environment has no network access and ships no
-demucs checkpoint, so the map is a scaffold to be completed against a real
-file; the DSP separator in models/vocal.py remains the production path
-until then.)
+The JAX forward consumes the upstream state-dict names and layouts directly
+(see amw_tpu/models/htdemucs_jax.py), so conversion is a 1:1 tensor dump —
+no renames or transposes.  Accepted checkpoint layouts: a raw state dict,
+the demucs package format {'klass','args','kwargs','state'}, or a bag-of-
+models file {'models': [...]} (first model taken).
+
+Expected upstream sources for the released two-stem/four-stem models:
+``htdemucs`` (955717e8-8726e21a.th) from the demucs v4 release — the
+reference invokes it via the demucs CLI (services/vocal_isolation.py:23-41).
 """
 
 import sys
@@ -27,11 +30,14 @@ def load_torch_state(path: str) -> dict:
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
-    # demucs checkpoints nest the state dict under 'state' or 'models'
+    if isinstance(blob, dict) and "models" in blob:
+        blob = blob["models"][0]
     for key in ("state", "state_dict"):
         if isinstance(blob, dict) and key in blob:
             blob = blob[key]
             break
+    if hasattr(blob, "state_dict"):
+        blob = blob.state_dict()
     if not isinstance(blob, dict):
         raise SystemExit("unrecognized checkpoint layout")
     return {k: v for k, v in blob.items() if hasattr(v, "shape")}
@@ -40,37 +46,58 @@ def load_torch_state(path: str) -> dict:
 def cmd_inspect(path: str) -> int:
     state = load_torch_state(path)
     for k, v in state.items():
-        print(f"{k:60s} {tuple(v.shape)}")
+        print(f"{k:64s} {tuple(v.shape)}")
     print(f"\n{len(state)} tensors")
     return 0
 
 
-def cmd_convert(path: str, out_dir: str) -> int:
-    import numpy as np
-    import jax
+EXPECTED_PREFIXES = (
+    "encoder.", "tencoder.", "decoder.", "tdecoder.", "freq_emb.",
+    "channel_upsampler", "channel_downsampler", "crosstransformer.",
+)
 
-    from amw_tpu.models.htdemucs_jax import init_params
+
+def cmd_convert(path: str, out_dir: str) -> int:
+    from amw_tpu.models.htdemucs_jax import params_from_torch_state, save_params
 
     state = load_torch_state(path)
-    model, params = init_params()
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    print(f"target model has {len(flat)} parameter tensors")
+    params = params_from_torch_state(state)
+    unknown = [k for k in params if not k.startswith(EXPECTED_PREFIXES)]
+    if unknown:
+        print(f"WARNING: {len(unknown)} tensors outside the known module "
+              f"tree (kept as-is): {unknown[:8]}{'…' if len(unknown) > 8 else ''}")
+    save_params(params, out_dir)
+    print(f"saved {len(params)} tensors to orbax checkpoint {out_dir}")
+    return 0
 
-    # --- name mapping (complete against `inspect` output) -----------------
-    # upstream prefix -> (flax module path fragment, transpose spec)
-    NAME_MAP: dict[str, str] = {
-        # "encoder.0.conv.weight": "EncLayer_0/Conv_0/kernel",
-        # ...
-    }
-    if not NAME_MAP:
-        print("NAME_MAP is empty — run `inspect` and fill the mapping "
-              "before converting.  Saving randomly-initialized params so "
-              "the orbax pipeline itself can be exercised.")
-    import orbax.checkpoint as ocp
 
-    ckpt = ocp.StandardCheckpointer()
-    ckpt.save(out_dir, jax.tree_util.tree_map(np.asarray, params), force=True)
-    print(f"saved orbax checkpoint to {out_dir}")
+def cmd_selftest(out_dir: str) -> int:
+    """Random-weights end-to-end check of the conversion path: torch oracle →
+    orbax → jax forward parity (same assertion as tests/test_htdemucs_parity)."""
+    import numpy as np
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from amw_tpu.models import htdemucs_jax as hj
+    from amw_tpu.models.htdemucs_torch import HTDemucsTorch
+
+    cfg = hj.tiny_config()
+    torch.manual_seed(0)
+    model = HTDemucsTorch(cfg).eval()
+    params = hj.params_from_torch_state(model.state_dict())
+    hj.save_params(params, out_dir, cfg)
+    cfg2, restored = hj.load_params(out_dir)
+    assert cfg2.nfft == cfg.nfft and cfg2.t_heads == cfg.t_heads
+    mix = torch.randn(1, 2, cfg.segment_samples)
+    with torch.no_grad():
+        y_t = model(mix).numpy()
+    y_j = np.asarray(jax.jit(lambda p, x: hj.forward(p, x, cfg2))(
+        jax.device_put(dict(restored)), jnp.asarray(mix.numpy())))
+    err = float(np.abs(y_t - y_j).max())
+    print(f"parity max err: {err:.2e}")
+    assert err < 2e-3, "conversion parity failed"
+    print("selftest OK")
     return 0
 
 
@@ -86,6 +113,8 @@ def main() -> int:
             print("convert needs: ckpt.th out_dir/")
             return 2
         return cmd_convert(sys.argv[2], sys.argv[3])
+    if cmd == "selftest":
+        return cmd_selftest(sys.argv[2])
     print(__doc__)
     return 2
 

@@ -1,0 +1,157 @@
+"""htdemucs conversion parity: the JAX forward must match the PyTorch oracle
+sample-for-sample on the same weights.
+
+The torch oracle (amw_tpu.models.htdemucs_torch) reproduces the upstream
+``demucs`` v4 module tree, so this test is the offline guarantee that a
+converted upstream checkpoint produces the same stems on TPU as the
+reference's Demucs subprocess (reference: services/vocal_isolation.py:13-63).
+Runs at a tiny config (same topology) to keep CI fast.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from amw_tpu.models import htdemucs_jax as hj  # noqa: E402
+from amw_tpu.models.htdemucs_torch import (  # noqa: E402
+    HTDemucsTorch, _spec as t_spec, _ispec as t_ispec, spectro)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    torch.manual_seed(0)
+    cfg = hj.tiny_config()
+    model = HTDemucsTorch(cfg).eval()
+    params = hj.params_from_torch_state(model.state_dict())
+    return cfg, model, params
+
+
+def test_stft_matches_torch(tiny):
+    cfg, _, _ = tiny
+    x = torch.randn(2, 3000)
+    re_t, im_t = (z.numpy() for z in
+                  (t_spec(x, cfg.nfft, cfg.hop).real,
+                   t_spec(x, cfg.nfft, cfg.hop).imag))
+    re_j, im_j = hj._spec(jnp.asarray(x.numpy()), cfg.nfft, cfg.hop)
+    np.testing.assert_allclose(np.asarray(re_j), re_t, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(im_j), im_t, atol=2e-5)
+
+
+def test_istft_matches_torch(tiny):
+    cfg, _, _ = tiny
+    x = torch.randn(2, 3000)
+    z = t_spec(x, cfg.nfft, cfg.hop)
+    y_t = t_ispec(z, cfg.hop, 3000).numpy()
+    y_j = hj._ispec(jnp.asarray(z.real.numpy()), jnp.asarray(z.imag.numpy()),
+                    cfg.hop, 3000)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=2e-5)
+
+
+def test_conv_transpose_matches_torch():
+    torch.manual_seed(1)
+    ct = torch.nn.ConvTranspose1d(6, 4, 8, 4)
+    x = torch.randn(2, 6, 10)
+    y_t = ct(x).detach().numpy()
+    y_j = hj.conv_transpose1d(jnp.asarray(x.numpy()),
+                              jnp.asarray(ct.weight.detach().numpy()),
+                              jnp.asarray(ct.bias.detach().numpy()), 4)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=1e-5)
+    ct2 = torch.nn.ConvTranspose2d(6, 4, (8, 1), (4, 1))
+    x2 = torch.randn(2, 6, 10, 3)
+    y2_t = ct2(x2).detach().numpy()
+    y2_j = hj.conv_transpose2d(jnp.asarray(x2.numpy()),
+                               jnp.asarray(ct2.weight.detach().numpy()),
+                               jnp.asarray(ct2.bias.detach().numpy()), (4, 1))
+    np.testing.assert_allclose(np.asarray(y2_j), y2_t, atol=1e-5)
+
+
+def test_forward_parity(tiny):
+    """Full model: torch forward == jax forward on the same random weights."""
+    cfg, model, params = tiny
+    torch.manual_seed(2)
+    mix = torch.randn(1, 2, cfg.segment_samples)
+    with torch.no_grad():
+        y_t = model(mix).numpy()
+    y_j = np.asarray(jax.jit(lambda p, x: hj.forward(p, x, cfg))(
+        jax.device_put(params), jnp.asarray(mix.numpy())))
+    assert y_t.shape == y_j.shape == (1, 4, 2, cfg.segment_samples)
+    scale = np.abs(y_t).max()
+    err = np.abs(y_t - y_j).max()
+    assert err < 2e-3 * max(scale, 1.0), f"parity err {err} (scale {scale})"
+
+
+def test_separate_segments(tiny):
+    """separate(): overlapping segmented inference reconstructs ~the same
+    stems as one full-length forward."""
+    cfg, model, params = tiny
+    rng = np.random.default_rng(3)
+    T = int(cfg.segment_samples * 1.7)
+    mix = rng.standard_normal((2, T)).astype(np.float32) * 0.2
+    stems = hj.separate(params, mix, cfg)
+    assert stems.shape == (4, 2, T)
+    assert np.all(np.isfinite(stems))
+    # stems sum should roughly reconstruct the mix only for trained weights;
+    # for random weights just check the segmentation produced smooth output
+    # (no NaN, bounded amplitude).
+    assert np.abs(stems).max() < 100.0
+
+
+def test_orbax_roundtrip(tiny, tmp_path):
+    cfg, _, params = tiny
+    path = str(tmp_path / "ckpt")
+    hj.save_params(params, path, cfg)
+    cfg2, restored = hj.load_params(path)
+    assert set(restored.keys()) == set(params.keys())
+    assert (cfg2.nfft, cfg2.t_heads, cfg2.channels) == (
+        cfg.nfft, cfg.t_heads, cfg.channels)
+    k = "encoder.0.conv.weight"
+    np.testing.assert_array_equal(np.asarray(restored[k]), params[k])
+
+
+def test_vocal_isolation_uses_htdemucs_checkpoint(tiny, tmp_path,
+                                                  monkeypatch):
+    """End-to-end: a configured converted checkpoint makes the vocal
+    isolation service path run the neural separator (reference behavior:
+    services/vocal_isolation.py uses demucs htdemucs)."""
+    import amw_tpu.models.vocal as vocal
+
+    cfg, _, params = tiny
+    path = str(tmp_path / "ckpt2")
+    hj.save_params(params, path, cfg)
+    monkeypatch.setenv("AMW_HTDEMUCS_CKPT", path)
+    monkeypatch.setattr(vocal, "_ht_cache", vocal._HT_SENTINEL)
+    rng = np.random.default_rng(0)
+    audio = (0.2 * rng.standard_normal((2, 12000))).astype(np.float32)
+    vocals = vocal.isolate_vocal(audio, 8000)
+    assert vocals.shape == audio.shape
+    assert np.all(np.isfinite(vocals))
+    # the neural path was actually taken
+    assert vocal._ht_cache is not None and vocal._ht_cache is not vocal._HT_SENTINEL
+    direct = vocal.separate_htdemucs(audio, 8000)
+    np.testing.assert_allclose(vocals, direct, atol=1e-6)
+
+
+def test_upstream_key_compatibility(tiny):
+    """The oracle's state-dict keys follow the upstream naming scheme the
+    converter maps (spot checks against demucs v4's tree)."""
+    _, model, _ = tiny
+    keys = set(model.state_dict().keys())
+    for expected in [
+        "encoder.0.conv.weight", "encoder.3.rewrite.bias",
+        "encoder.1.dconv.layers.0.0.weight",
+        "encoder.1.dconv.layers.1.6.scale",
+        "tencoder.0.conv.weight", "tdecoder.3.conv_tr.weight",
+        "decoder.0.rewrite.weight", "freq_emb.embedding.weight",
+        "channel_upsampler.weight", "channel_downsampler_t.bias",
+        "crosstransformer.norm_in.weight",
+        "crosstransformer.layers.0.self_attn.in_proj_weight",
+        "crosstransformer.layers.1.cross_attn.out_proj.weight",
+        "crosstransformer.layers_t.2.gamma_2.scale",
+        "crosstransformer.layers_t.1.norm3.bias",
+        "crosstransformer.layers.0.norm_out.weight",
+    ]:
+        assert expected in keys, expected

@@ -4,9 +4,9 @@ The audio analog of context parallelism (SURVEY §5.7): a DJ-set-length track
 (up to 800 MB WAV) is split into per-device chunks processed under
 ``shard_map``.  Each device extends its chunk with halo regions exchanged
 from its neighbors via ``ppermute`` (halo ≥ the largest filter settle /
-envelope warm-up), runs the chain's fast-mode ops on the extended chunk —
-whose interior is then exact — and keeps its chunk of the result.  Ops that
-need global state use collectives:
+envelope warm-up), runs local ops on the extended chunk — whose interior is
+then exact — and keeps its chunk of the result.  Ops that need global state
+use collectives:
 
 - DC offset: global mean via ``psum``.
 - Peak guard: global |max| via ``pmax``.
@@ -14,11 +14,23 @@ need global state use collectives:
   global statistics (absolute-gated energy sum/count, relative threshold,
   second gate) via ``psum`` — bit-equivalent to the full-track meter.
 - Output fade-in: position-aware via ``axis_index``.
+- Spectral denoise: the global per-bin noise percentile is estimated from a
+  ``psum``-merged log-magnitude histogram (the only approximate stage — the
+  exact percentile would need an all-gather of every STFT frame).
 
-Supported module set = the default v2 chain (reverb is off by default there;
-IRs longer than the halo are rejected at build).  Track edges use zero
-history (the fast path's zero-padding semantics); everything ≥ one halo from
-the track ends matches the single-device graph to float tolerance.
+Surface parity with the engine: ``sp_master`` accepts the same v2
+``(config, pro)`` pair as ``MasteringEngine.master_v2_bytes`` — PRE
+[rumble] [denoise] [deesser], any module list the chain compiler accepts
+(amount blend included), POST [transient designer] [parallel compression]
+[dynamic EQ] — plus the v1 fixed pipeline via ``style=``-only calls.
+Reverb is supported when its wet IR fits in the halo (longer decays are
+rejected at build).
+
+Track-edge semantics: chunks at the track boundaries see ZERO history
+(first/last halo masked), while the single-chip graph applies scipy's
+odd-extension edge handling — so the outer ~halo samples at the track's
+two ends differ from the single-chip output by design; everything else
+matches to ≤ -110 dBFS (tests/test_timeshard.py).
 """
 
 from __future__ import annotations
@@ -28,20 +40,74 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..constants import STYLE_CONFIGS
+from ..constants import DENOISE_PRESETS, STYLE_CONFIGS
+from ..models.chain import MODULE_BUILDERS, default_chain_config
+from ..models.v2_job import resolve_denoise
 from ..ops import basic, design, meters
-from ..ops.bands import build_dynamics
-from ..ops.dynamics import build_deesser
-from ..ops.eq import build_final_spectral_balance, build_style_eq, build_target_curve
-from ..ops.exciter import build_harmonic_exciter
-from ..ops.stereo import build_stereo_imager
+from ..ops.dynamics import (build_deesser, build_dynamic_eq,
+                            build_transient_designer)
+from ..ops.eq import build_rumble_filter
 from ..spec import GraphSpec
 
 DEFAULT_HALO = 1 << 17  # 131072: covers filter settles and envelope warm-ups
 
+# Module ids handled by collectives inside the shard function rather than by
+# a local op on the extended chunk.
+_GLOBAL_IDS = {"dc_offset", "peak_guard", "normalize_lufs"}
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _amount(f, a: float):
+    if a >= 1.0:
+        return f
+    return lambda x, p: x * (1.0 - a) + f(x, p) * a
+
+
+def _build_denoise_sp(spec_ext: GraphSpec, strength: float,
+                      noise_percentile: float, axis: str):
+    """Distributed STFT Wiener denoiser: local frames, global noise profile
+    via a psum'd per-bin log-magnitude histogram (percentile approximated to
+    the histogram resolution, ~0.35 dB)."""
+    from ..ops.spectral import istft, stft
+
+    strength = float(np.clip(strength, 0.0, 1.0))
+    nbins_h = 256
+    lo, hi = -120.0, 20.0  # dB range of STFT magnitudes
+    edges = np.linspace(lo, hi, nbins_h + 1).astype(np.float32)
+
+    def fn(ext, params):
+        Z = stft(ext)                     # [..., T, F]
+        mag = jnp.abs(Z)
+        mdb = 20.0 * jnp.log10(jnp.maximum(mag, 1e-12))
+        # per-bin histogram over local frames, merged across devices
+        binned = jnp.clip(((mdb - lo) / (hi - lo) * nbins_h).astype(jnp.int32),
+                          0, nbins_h - 1)
+        F = mag.shape[-1]
+        one_hot = jax.nn.one_hot(binned, nbins_h, dtype=jnp.float32)
+        hist = one_hot.sum(axis=tuple(range(one_hot.ndim - 2)))  # [F? ...]
+        # axes: [..., T, F, H] -> sum over leading+T: [F, H]
+        hist = jax.lax.psum(hist, axis)
+        total = hist.sum(axis=-1, keepdims=True)
+        cum = jnp.cumsum(hist, axis=-1)
+
+        def quant(q):
+            target = q / 100.0 * total
+            idx = (cum < target).sum(axis=-1)
+            idx = jnp.clip(idx, 0, nbins_h - 1)
+            return 10.0 ** (jnp.asarray(edges)[idx] / 20.0)
+
+        noise = jnp.maximum(quant(noise_percentile), 1e-12)
+        med = jnp.maximum(quant(50.0), 1e-12)
+        noise = jnp.minimum(noise, 0.85 * med)
+        gain = 1.0 - strength * (noise / (mag + 1e-10)) ** 2
+        gain = jnp.clip(gain, 0.25, 1.0)
+        rec = istft(Z * gain, spec_ext.n)
+        return jnp.clip(rec, -1.0, 1.0)
+
+    return [], fn
 
 
 def build_sp_master(
@@ -52,14 +118,18 @@ def build_sp_master(
     *,
     target_lufs: float = -14.0,
     style: str = "standard",
+    chain_config: dict | None = None,
+    pro: dict | None = None,
     halo: int = DEFAULT_HALO,
 ):
-    """Compile a time-sharded mastering step.
+    """Compile a time-sharded mastering step with the engine's (config, pro)
+    surface.
 
     Returns ``(fn, params, n_pad)``: ``fn(x[C, n_pad], params)`` is jitted
     with x sharded over the mesh's last ('sp') axis; pad input with zeros to
     ``n_pad`` and slice the output back to ``n_total``.
     """
+    pro = dict(pro or {})
     axis = mesh.axis_names[-1]
     n_dev = mesh.shape[axis]
     plan = meters.plan_blocks(sr, n_total)
@@ -69,30 +139,85 @@ def build_sp_master(
     n_ext = chunk + 2 * halo
     spec_ext = GraphSpec(sr=sr, n=n_ext, channels=channels, exact=False)
 
-    cfg = STYLE_CONFIGS.get(style, STYLE_CONFIGS["standard"])
-    exciter_db = cfg.get("exciter_db", 0.0)
-    imager_width = cfg.get("imager_width", 1.0)
+    config = chain_config or default_chain_config(target_lufs=target_lufs,
+                                                  style=style)
 
-    # LTI / local ops on the extended chunk (fast mode: exact interior).
-    ops = []
+    # Stage plan: ("local", name, params, fn, amount) run on the extended
+    # chunk; ("dc"|"peak"|"normalize", cfg) handled with collectives.
+    stages: list = []
 
-    def add(name, built):
-        ops.append((name, list(built[0]), built[1]))
+    def add_local(name, built, amount=1.0):
+        p, f = built
+        stages.append(("local", name, list(p), _amount(f, amount)))
 
-    add("target_curve", build_target_curve(spec_ext))
-    add("deesser", build_deesser(spec_ext))
-    add("dynamics", build_dynamics(spec_ext))
-    post_norm = []
+    # --- PRE pro modules (reference mastering.py:493-529) ---
+    if pro.get("rumble_enabled"):
+        add_local("rumble_filter", build_rumble_filter(
+            spec_ext, float(pro.get("rumble_cutoff", 80.0))))
+    strength, noise_pct = resolve_denoise(pro)
+    if strength > 0.01:
+        add_local("spectral_denoise",
+                  _build_denoise_sp(spec_ext, strength, noise_pct, axis))
+    if pro.get("deesser_enabled"):
+        add_local("deesser", build_deesser(
+            spec_ext,
+            threshold_db=float(pro.get("deesser_threshold", -6.0)),
+            freq_hi=float(pro.get("deesser_freq_hi", 9000.0))))
 
-    def add_post(name, built):
-        post_norm.append((name, list(built[0]), built[1]))
+    # --- chain modules ---
+    norm_stage = None
+    for item in [dict(m) for m in config.get("modules", [])]:
+        mid = item.pop("id", None)
+        if not mid or not bool(item.get("enabled", True)):
+            continue
+        amount = float(np.clip(float(item.get("amount", 1.0)), 0.0, 1.0))
+        if mid == "dc_offset":
+            stages.append(("dc", mid, None, None))
+            continue
+        if mid == "peak_guard":
+            stages.append(("peak", float(item.get("headroom_db", 0.5)),
+                           None, None))
+            continue
+        if mid == "normalize_lufs":
+            tgt = float(item.get("target_lufs", target_lufs))
+            stages.append(("normalize", tgt, None, None))
+            norm_stage = tgt
+            continue
+        if mid == "reverb":
+            from ..ops.reverb import wet_ir
 
-    add_post("final_spectral_balance", build_final_spectral_balance(spec_ext))
-    add_post("style_eq", build_style_eq(spec_ext, style))
-    if exciter_db >= 0.05:
-        add_post("exciter", build_harmonic_exciter(spec_ext, exciter_db))
-    if abs(imager_width - 1.0) >= 0.01 and channels == 2:
-        add_post("imager", build_stereo_imager(spec_ext, width=imager_width))
+            decay = float(item.get("decay_sec", 1.2) or 1.2)
+            ir = wet_ir(sr, n_ext, str(item.get("reverb_type", "plate")),
+                        decay)
+            if len(ir) > halo:
+                raise ValueError(
+                    f"reverb IR ({len(ir)} samples) exceeds the halo "
+                    f"({halo}); raise halo= or disable reverb in SP mode")
+        if mid == "style_eq" and style is not None:
+            item.setdefault("style", style)
+        builder = MODULE_BUILDERS.get(mid)
+        if builder is None:
+            continue
+        try:
+            built = builder(spec_ext, item)
+        except Exception:  # noqa: BLE001 — build-time bypass (chain.py policy)
+            continue
+        add_local(f"chain:{mid}", built, amount)
+
+    # --- POST pro modules (reference mastering.py:552-581) ---
+    ta = pro.get("transient_attack")
+    ts = pro.get("transient_sustain", 1.0)
+    if ta is not None and (abs(float(ta) - 1.0) > 0.02
+                           or abs(float(ts) - 1.0) > 0.02):
+        add_local("transient_designer",
+                  build_transient_designer(spec_ext, float(ta), float(ts)))
+    pmix = float(pro.get("parallel_mix", 0) or 0)
+    if pmix > 0:
+        add_local("parallel_compression",
+                  ([], lambda x, p, _m=pmix: basic.parallel_compression(
+                      x, mix=_m)))
+    if pro.get("dynamic_eq_enabled"):
+        add_local("dynamic_eq", build_dynamic_eq(spec_ext))
 
     # Normalize meter pieces (causal K-weighting on the extended chunk).
     settle_k = meters.k_weight_settle(sr)
@@ -103,41 +228,27 @@ def build_sp_master(
     sub_per_chunk = chunk // plan.hop
 
     params = {
-        "ops": [p for _, p, _ in ops],
-        "post": [p for _, p, _ in post_norm],
+        "stages": [p for kind, _, p, _ in stages if kind == "local"],
         "Hk": Hk,
-        "target": np.float32(target_lufs),
+        "target": np.float32(norm_stage if norm_stage is not None
+                             else target_lufs),
     }
 
     n_fade = max(2, min(int(round(sr * 0.006)), int(sr * 0.1)))
     g_weights = tuple(meters._CHANNEL_GAINS[:channels]
                       if channels <= 5 else (1.0,) * channels)
+    local_fns = [(name, f) for kind, name, _, f in stages if kind == "local"]
+    stage_kinds = [(kind, name) for kind, name, _, _ in stages]
 
     def shard_fn(x, params):
         # x: [C, chunk] local shard.
         idx = jax.lax.axis_index(axis)
         fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         bwd = [((i + 1) % n_dev, i) for i in range(n_dev)]
-        left = jax.lax.ppermute(x[..., -halo:], axis, fwd)
-        right = jax.lax.ppermute(x[..., :halo], axis, bwd)
-        left = jnp.where(idx == 0, 0.0, left)
-        right = jnp.where(idx == n_dev - 1, 0.0, right)
 
-        # position mask for valid samples (track may be zero-padded globally)
         pos0 = idx * chunk
         local_pos = pos0 + jnp.arange(chunk)
         valid = local_pos < n_total
-
-        # --- dc offset (global mean over valid samples) ---
-        s = jax.lax.psum(jnp.sum(jnp.where(valid, x, 0.0), axis=-1), axis)
-        x = jnp.where(valid, x - (s / n_total)[..., None], 0.0)
-
-        # --- peak guard (global) ---
-        x = jnp.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
-        peak = jax.lax.pmax(jnp.max(jnp.abs(x)), axis)
-        limit = 10.0 ** (-0.5 / 20.0)
-        scale = jnp.where(peak > limit, limit / jnp.maximum(peak, 1e-12), 1.0)
-        x = jnp.clip(x * scale, -1.0, 1.0)
 
         def with_halo(fn_local, x, p):
             left_h = jax.lax.ppermute(x[..., -halo:], axis, fwd)
@@ -148,51 +259,69 @@ def build_sp_master(
             out = fn_local(ext, p)
             return out[..., halo:halo + chunk]
 
-        for (name, _, f), p in zip(ops, params["ops"]):
-            x = with_halo(f, x, p)
+        def global_peak_guard(x, headroom_db):
+            x = jnp.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
+            peak = jax.lax.pmax(jnp.max(jnp.abs(x)), axis)
+            limit = 10.0 ** (-headroom_db / 20.0)
+            scale = jnp.where(peak > limit,
+                              limit / jnp.maximum(peak, 1e-12), 1.0)
+            return jnp.clip(x * scale, -1.0, 1.0)
 
-        # --- normalize_lufs (global gated meter) ---
-        left_h = jax.lax.ppermute(x[..., -halo:], axis, fwd)
-        right_h = jax.lax.ppermute(x[..., :halo], axis, bwd)
-        left_h = jnp.where(idx == 0, 0.0, left_h)
-        right_h = jnp.where(idx == n_dev - 1, 0.0, right_h)
-        ext = jnp.concatenate([left_h, x, right_h], axis=-1)
-        Hc = jax.lax.complex(params["Hk"][0], params["Hk"][1])
-        from ..ops.fdfilter import lfilter_fd
+        def global_normalize(x, target):
+            # K-weight the halo-extended chunk: the left halo warms the
+            # causal filter up, the right halo supplies the next shard's
+            # samples for the gating blocks that straddle the boundary.
+            left_h = jax.lax.ppermute(x[..., -halo:], axis, fwd)
+            right_h = jax.lax.ppermute(x[..., :halo], axis, bwd)
+            left_h = jnp.where(idx == 0, 0.0, left_h)
+            right_h = jnp.where(idx == n_dev - 1, 0.0, right_h)
+            ext = jnp.concatenate([left_h, x, right_h], axis=-1)
+            Hc = jax.lax.complex(params["Hk"][0], params["Hk"][1])
+            from ..ops.fdfilter import lfilter_fd
 
-        y = lfilter_fd(ext, Hc, nfft_k)[..., halo:halo + chunk + 3 * plan.hop]
-        # block j (global) starts at hop*j; local blocks start in this chunk.
-        y2 = jnp.square(y)
-        nsub = sub_per_chunk + 3
-        ysub = y2[..., :nsub * plan.hop].reshape(channels, nsub, plan.hop).sum(-1)
-        z = (ysub[:, 0:sub_per_chunk] + ysub[:, 1:sub_per_chunk + 1]
-             + ysub[:, 2:sub_per_chunk + 2] + ysub[:, 3:sub_per_chunk + 3]) / plan.div
-        j_local = idx * sub_per_chunk + jnp.arange(sub_per_chunk)
-        in_range = j_local < plan.n_blocks
-        g = jnp.asarray(g_weights, z.dtype)
-        zsum = jnp.einsum("c,cj->j", g, z)
-        l_j = -0.691 + 10.0 * jnp.log10(jnp.maximum(zsum, 1e-30))
-        m1 = (l_j > -70.0) & in_range
-        c1 = jax.lax.psum(m1.sum(), axis)
-        s1 = jax.lax.psum((zsum * m1).sum(), axis)
-        gamma_r = -0.691 + 10.0 * jnp.log10(
-            jnp.maximum(s1 / jnp.maximum(c1, 1), 1e-30)) - 10.0
-        m2 = m1 & (l_j > gamma_r)
-        c2 = jax.lax.psum(m2.sum(), axis)
-        s2 = jax.lax.psum((zsum * m2).sum(), axis)
-        lufs = -0.691 + 10.0 * jnp.log10(
-            jnp.maximum(s2 / jnp.maximum(c2, 1), 1e-30))
-        lufs = jnp.where(c2 > 0, lufs, -1e9)
-        x = x * meters.normalize_lufs_gain(lufs, params["target"])
+            y = lfilter_fd(ext, Hc, nfft_k)[
+                ..., halo:halo + chunk + 3 * plan.hop]
+            y2 = jnp.square(y)
+            nsub = sub_per_chunk + 3
+            ysub = y2[..., :nsub * plan.hop].reshape(
+                channels, nsub, plan.hop).sum(-1)
+            z = (ysub[:, 0:sub_per_chunk] + ysub[:, 1:sub_per_chunk + 1]
+                 + ysub[:, 2:sub_per_chunk + 2]
+                 + ysub[:, 3:sub_per_chunk + 3]) / plan.div
+            j_local = idx * sub_per_chunk + jnp.arange(sub_per_chunk)
+            in_range = j_local < plan.n_blocks
+            g = jnp.asarray(g_weights, z.dtype)
+            zsum = jnp.einsum("c,cj->j", g, z)
+            l_j = -0.691 + 10.0 * jnp.log10(jnp.maximum(zsum, 1e-30))
+            m1 = (l_j > -70.0) & in_range
+            c1 = jax.lax.psum(m1.sum(), axis)
+            s1 = jax.lax.psum((zsum * m1).sum(), axis)
+            gamma_r = -0.691 + 10.0 * jnp.log10(
+                jnp.maximum(s1 / jnp.maximum(c1, 1), 1e-30)) - 10.0
+            m2 = m1 & (l_j > gamma_r)
+            c2 = jax.lax.psum(m2.sum(), axis)
+            s2 = jax.lax.psum((zsum * m2).sum(), axis)
+            lufs = -0.691 + 10.0 * jnp.log10(
+                jnp.maximum(s2 / jnp.maximum(c2, 1), 1e-30))
+            lufs = jnp.where(c2 > 0, lufs, -1e9)
+            return x * meters.normalize_lufs_gain(lufs, target)
 
-        for (name, _, f), p in zip(post_norm, params["post"]):
-            x = with_halo(f, x, p)
+        li = 0
+        for kind, name in stage_kinds:
+            if kind == "dc":
+                s = jax.lax.psum(
+                    jnp.sum(jnp.where(valid, x, 0.0), axis=-1), axis)
+                x = jnp.where(valid, x - (s / n_total)[..., None], 0.0)
+            elif kind == "peak":
+                x = global_peak_guard(x, name)  # name carries headroom_db
+            elif kind == "normalize":
+                x = global_normalize(x, params["target"])
+            else:
+                x = with_halo(local_fns[li][1], x, params["stages"][li])
+                li += 1
+                x = jnp.where(valid, x, 0.0)
 
-        # --- final peak guard (global) + fade-in + clip ---
-        x = jnp.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
-        peak = jax.lax.pmax(jnp.max(jnp.abs(x)), axis)
-        scale = jnp.where(peak > limit, limit / jnp.maximum(peak, 1e-12), 1.0)
-        x = jnp.clip(x * scale, -1.0, 1.0)
+        # --- fade-in + clip ---
         ramp = jnp.clip(local_pos / (n_fade - 1), 0.0, 1.0)
         x = x * ramp
         return basic.finalize_clip(jnp.where(valid, x, 0.0))
@@ -201,12 +330,10 @@ def build_sp_master(
 
     mapped = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, axis), {"ops": P(), "post": P(), "Hk": P(),
-                                  "target": P()}),
+        in_specs=(P(None, axis), {"stages": P(), "Hk": P(), "target": P()}),
         out_specs=P(None, axis),
         check_vma=False,
     )
-    x_sh = NamedSharding(mesh, P(None, axis))
     fn = jax.jit(mapped)
     params_dev = jax.device_put(
         jax.tree_util.tree_map(np.asarray, params),
@@ -215,7 +342,8 @@ def build_sp_master(
 
 
 def sp_master(x: np.ndarray, sr: int, mesh: Mesh, **kw) -> np.ndarray:
-    """Master one long [C, N] track sharded over the mesh by time."""
+    """Master one long [C, N] track sharded over the mesh by time.  Accepts
+    the engine's v2 surface: chain_config=, pro=, target_lufs=, style=."""
     x = np.atleast_2d(np.asarray(x, np.float32))
     C, n = x.shape
     fn, params, n_pad = build_sp_master(sr, n, C, mesh, **kw)

@@ -1,14 +1,23 @@
-"""Sequence-parallel (time-sharded) mastering on the 8-device CPU mesh."""
+"""Sequence-parallel (time-sharded) mastering on the 8-device CPU mesh.
+
+Parity oracle = the single-chip fused v2 job graph (exact mode).  The SP
+path matches it everywhere except the outer ~halo samples at the track's two
+ends (zero-history vs scipy odd-extension edge handling — documented in
+amw_tpu/parallel/timeshard.py); the interior gate is -90 dBFS."""
 
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from amw_tpu import refimpl
+from amw_tpu.models.v2_job import build_v2_job_graph
 from amw_tpu.parallel.mesh import make_mesh
 from amw_tpu.parallel.timeshard import sp_master
+from amw_tpu.spec import GraphSpec
 
 SR = 44100
+HALO = 32768
 
 
 @pytest.fixture(scope="module")
@@ -20,30 +29,105 @@ def track():
          + 0.1 * np.sin(2 * np.pi * 1500 * t)
          + 0.03 * g.standard_normal(n))
     env = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * 0.3 * t))
-    return np.clip(np.stack([x * env, 0.85 * x * env]), -0.99, 0.99).astype(np.float32)
+    x = np.clip(np.stack([x * env, 0.85 * x * env]), -0.99, 0.99)
+    x = x.astype(np.float32)
+    return x - x.mean(axis=-1, keepdims=True)
 
 
-def test_sp_master_matches_oracle_interior(track):
+def _single_chip_v2(track, pro, target=-14.0, style="standard"):
+    spec = GraphSpec(sr=SR, n=track.shape[-1], channels=2, exact=True)
+    params, fn, _ = build_v2_job_graph(spec, None, pro, target, style)
+    return np.asarray(fn(jnp.asarray(track), jax.device_put(params))["out"])
+
+
+def _interior_err(got, want, edge=HALO):
+    return np.max(np.abs(got[:, edge:-edge].astype(np.float64)
+                         - want[:, edge:-edge]))
+
+
+def test_sp_default_v2_matches_single_chip(track):
     mesh = make_mesh(8, axis="sp")
     got = sp_master(track, SR, mesh, target_lufs=-14.0, style="standard",
-                    halo=32768)
-    want = refimpl.v1_pipeline(track, SR, target_lufs=-14.0, style="standard")
+                    halo=HALO)
+    want = _single_chip_v2(track, {})
     assert got.shape == want.shape
-    # Interior parity: the time-sharded fast path differs from the exact
-    # single-device graph only at the track edges (zero-history) and by the
-    # halo-truncated envelope warm-up.
-    edge = 40000
-    err = np.max(np.abs(got[:, edge:-edge].astype(np.float64)
-                        - want[:, edge:-edge]))
-    assert err < 5e-3, err
+    err = _interior_err(got, want)
+    assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
     l_got = refimpl.integrated_lufs(got, SR)
     l_want = refimpl.integrated_lufs(want, SR)
-    assert abs(l_got - l_want) < 0.05, (l_got, l_want)
+    assert abs(l_got - l_want) < 0.02, (l_got, l_want)
     assert np.all(np.isfinite(got))
+
+
+def test_sp_pro_modules_match_single_chip(track):
+    """SP accepts the engine's full pro surface (VERDICT r1 item 4)."""
+    pro = {"rumble_enabled": True, "rumble_cutoff": 60.0,
+           "deesser_enabled": True,
+           "transient_attack": 1.3, "transient_sustain": 0.85,
+           "parallel_mix": 0.25, "dynamic_eq_enabled": True}
+    mesh = make_mesh(8, axis="sp")
+    got = sp_master(track, SR, mesh, target_lufs=-14.0, style="standard",
+                    pro=pro, halo=HALO)
+    want = _single_chip_v2(track, pro)
+    err = _interior_err(got, want)
+    assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
+
+
+def test_sp_denoise_approximate(track):
+    """The SP denoiser's histogram-quantile noise profile is the one
+    documented approximation — gate at a loose envelope + audibility check."""
+    pro = {"denoise_strength": 0.5}
+    mesh = make_mesh(8, axis="sp")
+    got = sp_master(track, SR, mesh, target_lufs=-14.0, pro=pro, halo=HALO)
+    want = _single_chip_v2(track, pro)
+    err = _interior_err(got, want)
+    # Two documented divergences: histogram-quantile noise profile and the
+    # per-chunk STFT frame grid — the Wiener gains differ slightly, bounded
+    # well below the processed signal level (~-22 dBFS envelope).
+    assert err < 0.08, err
+    assert np.abs(got).max() > 0.05  # not silenced
+    l_got = refimpl.integrated_lufs(got, SR)
+    l_want = refimpl.integrated_lufs(want, SR)
+    assert abs(l_got - l_want) < 0.3, (l_got, l_want)
+
+
+def test_sp_custom_chain_config(track):
+    """Arbitrary chain configs (module subset + amount blend) run under SP."""
+    config = {"modules": [
+        {"id": "dc_offset", "enabled": True, "amount": 1.0},
+        {"id": "peak_guard", "enabled": True, "headroom_db": 0.5, "amount": 1.0},
+        {"id": "target_curve", "enabled": True, "phase_mode": "minimum",
+         "eq_ms": False, "amount": 0.7},
+        {"id": "normalize_lufs", "enabled": True, "target_lufs": -13.0,
+         "amount": 1.0},
+        {"id": "style_eq", "enabled": True, "style": "hiphop", "amount": 1.0},
+        {"id": "peak_guard", "enabled": True, "headroom_db": 0.5, "amount": 1.0},
+    ]}
+    mesh = make_mesh(8, axis="sp")
+    got = sp_master(track, SR, mesh, chain_config=config, target_lufs=-13.0,
+                    style="hiphop", halo=HALO)
+    spec = GraphSpec(sr=SR, n=track.shape[-1], channels=2, exact=True)
+    params, fn, _ = build_v2_job_graph(spec, config, {}, -13.0, "hiphop")
+    want = np.asarray(fn(jnp.asarray(track), jax.device_put(params))["out"])
+    err = _interior_err(got, want)
+    assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
+
+
+def test_sp_reverb_ir_exceeding_halo_rejected(track):
+    from amw_tpu.parallel.timeshard import build_sp_master
+
+    config = {"modules": [
+        {"id": "reverb", "enabled": True, "reverb_type": "cathedral",
+         "decay_sec": 8.0, "mix": 0.3, "amount": 1.0},
+    ]}
+    mesh = make_mesh(8, axis="sp")
+    with pytest.raises(ValueError, match="halo"):
+        build_sp_master(SR, track.shape[-1], 2, mesh, chain_config=config,
+                        halo=8192)
 
 
 def test_sp_master_loudness_gate(track):
     mesh = make_mesh(8, axis="sp")
-    got = sp_master(track, SR, mesh, target_lufs=-11.0, halo=32768)
+    got = sp_master(track, SR, mesh, target_lufs=-11.0, halo=HALO)
     lufs = refimpl.integrated_lufs(got, SR)
     assert abs(lufs - (-11.0)) < 1.0, lufs

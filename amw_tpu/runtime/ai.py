@@ -53,16 +53,34 @@ def reset_ai_usage() -> None:
 
 
 def _llm_config():
+    """Admin-stored key first (settings store), then env settings per the
+    reference's backend selection (config.py:47-56: openai | deepseek |
+    anthropic, deepseek is OpenAI-API-compatible)."""
+    from .config import settings
+
     key = settings_store.get_setting_str("ai_api_key", None)
-    if not key:
-        return None
-    return {
-        "key": key,
-        "base": settings_store.get_setting_str(
-            "ai_api_base", "https://api.openai.com/v1") or "https://api.openai.com/v1",
-        "model": settings_store.get_setting_str("ai_model", "gpt-4o-mini")
-        or "gpt-4o-mini",
-    }
+    if key:
+        return {
+            "key": key,
+            "base": settings_store.get_setting_str(
+                "ai_api_base",
+                "https://api.openai.com/v1") or "https://api.openai.com/v1",
+            "model": settings_store.get_setting_str("ai_model", "gpt-4o-mini")
+            or "gpt-4o-mini",
+        }
+    backend = (settings.ai_backend or "openai").lower()
+    if backend == "deepseek" and settings.deepseek_api_key:
+        return {"key": settings.deepseek_api_key,
+                "base": settings.deepseek_base_url.rstrip("/") + "/v1"
+                if not settings.deepseek_base_url.endswith("/v1")
+                else settings.deepseek_base_url,
+                "model": settings.deepseek_model}
+    if settings.openai_api_key:
+        return {"key": settings.openai_api_key,
+                "base": "https://api.openai.com/v1",
+                "model": settings_store.get_setting_str(
+                    "ai_model", "gpt-4o-mini") or "gpt-4o-mini"}
+    return None
 
 
 def llm_chat(messages: list[dict], max_tokens: int = 300,

@@ -16,26 +16,35 @@ from .server_metrics import server_metrics
 
 logger = logging.getLogger("amw_tpu.anomaly")
 
-THRESHOLDS = {
-    "load_1m": 8.0,
-    "min_available_mb": 300.0,
-    "min_disk_mb": 200.0,
-    "max_rss_mb": 12000.0,
-    "max_error_rate": 0.5,
-    "max_queue": 10,
-}
+def thresholds() -> dict:
+    """Reference-compatible env-tunable thresholds (config.py:139-146:
+    anomaly_cpu/ram/disk/error-rate/rss + alert_queue_threshold)."""
+    from .config import settings
+
+    return {
+        "load_1m": max(1.0, settings.anomaly_cpu_threshold / 10.0),
+        "min_available_mb": 300.0,
+        "ram_pct": settings.anomaly_ram_threshold,
+        "disk_pct": settings.anomaly_disk_threshold,
+        "min_disk_mb": 200.0,
+        "max_rss_mb": float(settings.anomaly_rss_max_mb),
+        "max_error_rate": settings.anomaly_error_rate_threshold / 100.0,
+        "min_jobs_for_error_rate": settings.anomaly_min_jobs_for_error_rate,
+        "max_queue": settings.alert_queue_threshold or 10,
+    }
 
 
 def check_anomalies() -> list[str]:
+    th = thresholds()
     alerts = []
     m = server_metrics()
-    if m["load_1m"] > THRESHOLDS["load_1m"]:
+    if m["load_1m"] > th["load_1m"]:
         alerts.append(f"High CPU load: {m['load_1m']}")
-    if 0 < m["mem_available_mb"] < THRESHOLDS["min_available_mb"]:
+    if 0 < m["mem_available_mb"] < th["min_available_mb"]:
         alerts.append(f"Low RAM: {m['mem_available_mb']} MB available")
-    if 0 < m["disk_free_mb"] < THRESHOLDS["min_disk_mb"]:
+    if 0 < m["disk_free_mb"] < th["min_disk_mb"]:
         alerts.append(f"Low disk: {m['disk_free_mb']} MB free")
-    if m["rss_mb"] > THRESHOLDS["max_rss_mb"]:
+    if m["rss_mb"] > th["max_rss_mb"]:
         alerts.append(f"High RSS: {m['rss_mb']} MB")
     try:
         hour = time.time() - 3600
@@ -46,17 +55,22 @@ def check_anomalies() -> list[str]:
             errors = c.execute(
                 "SELECT COUNT(*) n FROM mastering_jobs WHERE created_at > ?"
                 " AND status='error'", (hour,)).fetchone()["n"]
-        if total >= 4 and errors / total > THRESHOLDS["max_error_rate"]:
+        if (total >= th["min_jobs_for_error_rate"]
+                and errors / total > th["max_error_rate"]):
             alerts.append(f"Job error rate {errors}/{total} in the last hour")
     except Exception:  # noqa: BLE001
         pass
     queue = jobs.counts()["jobs_running"]
-    if queue > THRESHOLDS["max_queue"]:
+    if queue > th["max_queue"]:
         alerts.append(f"Queue length {queue}")
     return alerts
 
 
-async def anomaly_loop(interval: float = 60.0):
+async def anomaly_loop(interval: float | None = None):
+    if interval is None:
+        from .config import settings
+
+        interval = float(settings.anomaly_check_interval)
     while True:
         try:
             for alert in check_anomalies():

@@ -78,7 +78,10 @@ class Settings:
 
     # Engine.
     engine_exact_mode: bool = True
-    engine_micro_batch: bool = False
+    # Coalesce concurrent same-graph jobs into one vmapped batch (the
+    # headline-throughput configuration; see runtime/batcher.py).  Single
+    # jobs pay only the batch window (50 ms) over solo latency.
+    engine_micro_batch: bool = True
     engine_batch_window_ms: float = 50.0
     engine_max_micro_batch: int = 8
     db_path: str = "amw_tpu.sqlite3"
@@ -86,6 +89,81 @@ class Settings:
     # Referral rewards (config.py:82-84).
     referral_reward_inviter_tokens: int = 3
     referral_reward_invitee_tokens: int = 2
+
+    # --- AI agents (reference config.py:47-66): backend, keys, per-tier
+    # daily limits (-1 = unlimited), optional prompt overrides.
+    ai_backend: str = "openai"
+    openai_api_key: str = ""
+    anthropic_api_key: str = ""
+    deepseek_api_key: str = ""
+    deepseek_base_url: str = "https://api.deepseek.com"
+    deepseek_model: str = "deepseek-chat"
+    ai_limit_free: int = 5
+    ai_limit_pro: int = 50
+    ai_limit_studio: int = -1
+    ai_prompt_recommend: str = ""
+    ai_prompt_report: str = ""
+    ai_prompt_nl_config: str = ""
+    ai_prompt_chat: str = ""
+
+    # --- CORS (reference config.py:81): comma-separated origins; "" = "*".
+    cors_origins: str = ""
+
+    # --- Initial admin bootstrap (reference config.py:87-89).
+    admin_email: str = ""
+    admin_password: str = ""
+
+    # --- SMTP transactional mail (reference config.py:92-98).
+    smtp_host: str = ""
+    smtp_port: int = 587
+    smtp_user: str = ""
+    smtp_password: str = ""
+    smtp_from: str = "noreply@localhost"
+    smtp_use_tls: bool = True
+
+    # --- YooKassa payments (reference config.py:100-105; see payments.py).
+    yookassa_shop_id: str = ""
+    yookassa_secret_key: str = ""
+    yookassa_return_url: str = "http://localhost:8000/pricing"
+    yookassa_webhook_ip_whitelist: str = ""
+    yookassa_webhook_secret: str = ""
+
+    # --- Telegram admin notifier + user bot (reference config.py:107-124).
+    telegram_bot_token: str = ""
+    telegram_admin_chat_id: str = ""
+    telegram_bot_webhook_secret: str = ""
+    user_bot_token: str = ""
+    user_bot_webhook_secret: str = ""
+    user_bot_channel_id: str = ""
+    user_bot_telegram_url: str = ""
+    public_base_url: str = ""
+
+    # --- Extensions / analytics (reference config.py:126-132).
+    clarity_project_id: str = ""
+    community_presets_extra: str = ""
+
+    # --- Monitoring alerts + anomaly thresholds (reference config.py:134-147).
+    alert_monitoring_enabled: bool = False
+    alert_queue_threshold: int = 0
+    alert_throttle_minutes: int = 60
+    anomaly_check_interval: int = 60
+    anomaly_cpu_threshold: float = 85.0
+    anomaly_ram_threshold: float = 85.0
+    anomaly_disk_threshold: float = 85.0
+    anomaly_error_rate_threshold: float = 35.0
+    anomaly_rss_max_mb: int = 8192
+    anomaly_min_jobs_for_error_rate: int = 8
+
+    # --- Vocal isolation (reference config.py:149-152): model choice +
+    # converted-weights checkpoint for the TPU htdemucs path.
+    demucs_model: str = "htdemucs"
+    htdemucs_checkpoint: str = ""
+
+    # --- Misc reference-compat fields (config.py:26-35).
+    max_upload_mb: int = 100
+    max_upload_mb_mp3: int = 300
+    allowed_extensions: str = "wav,mp3,flac"
+    temp_dir: str = "/tmp/masterflow"
 
     def __post_init__(self):
         for f in fields(self):

@@ -15,15 +15,22 @@ logger = logging.getLogger("amw_tpu.mailer")
 
 
 def _smtp_conf():
-    host = os.environ.get("MAGIC_MASTER_SMTP_HOST") or os.environ.get("AMW_SMTP_HOST")
+    from .config import settings
+
+    host = (settings.smtp_host
+            or os.environ.get("MAGIC_MASTER_SMTP_HOST")
+            or os.environ.get("AMW_SMTP_HOST"))
     if not host:
         return None
     return {
         "host": host,
-        "port": int(os.environ.get("MAGIC_MASTER_SMTP_PORT", "587")),
-        "user": os.environ.get("MAGIC_MASTER_SMTP_USER", ""),
-        "password": os.environ.get("MAGIC_MASTER_SMTP_PASSWORD", ""),
-        "from": os.environ.get("MAGIC_MASTER_SMTP_FROM", "noreply@localhost"),
+        "port": int(os.environ.get("MAGIC_MASTER_SMTP_PORT",
+                                   str(settings.smtp_port))),
+        "user": os.environ.get("MAGIC_MASTER_SMTP_USER", settings.smtp_user),
+        "password": os.environ.get("MAGIC_MASTER_SMTP_PASSWORD",
+                                   settings.smtp_password),
+        "from": os.environ.get("MAGIC_MASTER_SMTP_FROM", settings.smtp_from),
+        "use_tls": settings.smtp_use_tls,
     }
 
 

@@ -20,9 +20,13 @@ _last_sent: dict[str, float] = {}
 
 
 def _conf():
-    token = (os.environ.get("MAGIC_MASTER_TELEGRAM_BOT_TOKEN")
+    from .config import settings
+
+    token = (settings.telegram_bot_token
+             or os.environ.get("MAGIC_MASTER_TELEGRAM_BOT_TOKEN")
              or os.environ.get("AMW_TELEGRAM_BOT_TOKEN"))
-    chat = (os.environ.get("MAGIC_MASTER_TELEGRAM_ADMIN_CHAT_ID")
+    chat = (settings.telegram_admin_chat_id
+            or os.environ.get("MAGIC_MASTER_TELEGRAM_ADMIN_CHAT_ID")
             or os.environ.get("AMW_TELEGRAM_ADMIN_CHAT_ID"))
     if not token or not chat:
         return None

@@ -803,18 +803,28 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
 
         app.router.add_get("/app.js", h_appjs)
 
-        async def h_admin_page(request):
-            return web.FileResponse(front / "admin.html")
-
         async def h_sw(request):
             return web.FileResponse(front / "sw.js")
 
         async def h_manifest(request):
             return web.FileResponse(front / "manifest.json")
 
-        app.router.add_get("/admin", h_admin_page)
         app.router.add_get("/sw.js", h_sw)
         app.router.add_get("/manifest.json", h_manifest)
+
+        # Every page in frontend/ is reachable at /<name> and /<name>.html
+        # (reference: FastAPI mounts each page explicitly, main.py:700-752).
+        def _page(name: str):
+            async def h(request):
+                return web.FileResponse(front / f"{name}.html")
+            return h
+
+        for page_file in sorted(front.glob("*.html")):
+            stem = page_file.stem
+            if stem == "index":
+                continue
+            app.router.add_get(f"/{stem}", _page(stem))
+            app.router.add_get(f"/{stem}.html", _page(stem))
     app.router.add_get("/api/health", h_health)
     app.router.add_get("/api/metrics", h_metrics)
     app.router.add_get("/api/version", h_version)

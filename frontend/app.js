@@ -1,96 +1,16 @@
-/* Magic Master TPU — compact SPA (functional port of the reference frontend:
-   upload → v2 master → SSE progress → download / A/B preview; extended
-   analysis with spectrum + streaming preview; free LUFS tool; auth +
-   history). */
+/* Magic Master TPU — studio page: single-track mastering (v2 + auto), batch
+   mastering, extended analysis, tools (LUFS / vocal isolation / upscale /
+   reference match), AI assistant, news.  Shared helpers live in mm.js.
+   (Functional equivalent of the reference frontend/app.js mastering flows:
+   upload → SSE progress → download / A-B preview, batch flow, tool calls.) */
 "use strict";
 
-const $ = (id) => document.getElementById(id);
-const api = (p) => p; // same-origin
-
-/* ---------- i18n (ru/en) ---------- */
-const I18N = {
-  ru: {
-    "Master a track": "Мастеринг трека",
-    "Drop a WAV/MP3/FLAC here or click to choose":
-      "Перетащите WAV/MP3/FLAC сюда или кликните для выбора",
-    "Master": "Мастеринг", "Analyze": "Анализ",
-    "Download": "Скачать", "Analysis": "Анализ",
-    "Free LUFS tool": "Бесплатный LUFS-анализ",
-    "Check loudness": "Проверить громкость",
-    "Account": "Аккаунт", "History": "История",
-    "Sign in": "Войти", "Sign out": "Выйти", "Register": "Регистрация",
-    "Share card": "Карточка",
-  },
-};
-let lang = localStorage.getItem("mm_lang") ||
-  ((navigator.language || "en").startsWith("ru") ? "ru" : "en");
-function T(s) { return (I18N[lang] && I18N[lang][s]) || s; }
-function applyI18n() {
-  const ids = {
-    "btn-master": "Master", "btn-analyze": "Analyze",
-    "btn-download": "Download", "btn-tool": "Check loudness",
-    "share-link": "Share card",
-  };
-  for (const [id, key] of Object.entries(ids)) {
-    const el = $(id);
-    if (el) el.textContent = T(key);
-  }
-  const drop0 = $("drop");
-  if (drop0 && !drop0.textContent.includes("MB"))
-    drop0.childNodes[0].textContent = T("Drop a WAV/MP3/FLAC here or click to choose");
-  document.querySelectorAll("h2").forEach((h) => { h.textContent = T(h.textContent); });
-}
-window.addEventListener("DOMContentLoaded", () => {
-  applyI18n();
-  const sw = $("lang-switch");
-  if (sw) {
-    sw.textContent = lang === "ru" ? "EN" : "RU";
-    sw.onclick = () => {
-      lang = lang === "ru" ? "en" : "ru";
-      localStorage.setItem("mm_lang", lang);
-      location.reload();
-    };
-  }
-});
-
-/* ---------- PWA ---------- */
-if ("serviceWorker" in navigator) {
-  navigator.serviceWorker.register("/sw.js").catch(() => {});
-}
+mmHeader("/app");
 
 let currentFile = null;
 let currentJob = null;
-let token = localStorage.getItem("mm_token") || null;
 
-function msg(text, ms = 4000) {
-  const el = $("msg");
-  el.textContent = text;
-  el.style.display = "block";
-  clearTimeout(el._t);
-  el._t = setTimeout(() => (el.style.display = "none"), ms);
-}
-
-function authHeaders() {
-  return token ? { Authorization: "Bearer " + token } : {};
-}
-
-async function jget(url) {
-  const r = await fetch(api(url), { headers: authHeaders() });
-  if (!r.ok) throw new Error((await r.json()).detail || r.status);
-  return r.json();
-}
-
-async function jpost(url, body) {
-  const r = await fetch(api(url), {
-    method: "POST",
-    headers: { "Content-Type": "application/json", ...authHeaders() },
-    body: JSON.stringify(body),
-  });
-  if (!r.ok) throw new Error((await r.json()).detail || r.status);
-  return r.json();
-}
-
-/* ---------- styles dropdown ---------- */
+/* ---------- styles dropdown + version ---------- */
 (async () => {
   try {
     const { styles } = await jget("/api/styles");
@@ -101,7 +21,11 @@ async function jpost(url, body) {
       o.textContent = `style: ${name} (${styles[name].lufs} LUFS)`;
       sel.appendChild(o);
     }
-  } catch (e) { /* offline page preview */ }
+  } catch (e) { /* offline preview */ }
+  try {
+    const v = await jget("/api/version");
+    $("version").textContent = `v${v.version} · ${v.backend || "tpu"}`;
+  } catch (e) { /* offline */ }
 })();
 
 /* ---------- chain editor ---------- */
@@ -120,9 +44,10 @@ function renderChain() {
   box.innerHTML = "";
   chainConfig.modules.forEach((m, i) => {
     const row = document.createElement("label");
+    row.className = "chk";
     row.innerHTML =
       `<input type="checkbox" data-i="${i}" ${m.enabled ? "checked" : ""}>` +
-      ` ${m.id}` +
+      ` ${esc(m.id)}` +
       ` <input type="number" data-amt="${i}" value="${m.amount ?? 1}"` +
       ` min="0" max="1" step="0.1" style="width:58px" title="amount">`;
     box.appendChild(row);
@@ -140,13 +65,47 @@ function renderChain() {
   });
 }
 
-$("chain-reset") && ($("chain-reset").onclick = loadChain);
+$("chain-reset").onclick = loadChain;
 loadChain();
+
+/* saved user presets (auth) */
+async function loadUserPresets() {
+  if (!mmToken) return;
+  try {
+    const { items } = await jget("/api/auth/presets");
+    const sel = $("chain-presets");
+    if (!items.length) return;
+    sel.classList.remove("hidden");
+    sel.innerHTML = "<option value=''>My presets…</option>" + items.map(
+      (p) => `<option value="${p.id}">${esc(p.name)}</option>`).join("");
+    sel.onchange = async () => {
+      if (!sel.value) return;
+      try {
+        const p = await jget(`/api/auth/presets/${sel.value}`);
+        chainConfig = typeof p.config === "string"
+          ? JSON.parse(p.config) : p.config;
+        renderChain();
+        msg(`Preset "${p.name}" loaded`);
+      } catch (e) { msg("Preset load failed: " + e.message); }
+    };
+  } catch (e) { /* not signed in */ }
+}
+loadUserPresets();
+
+$("chain-save").onclick = async () => {
+  if (!mmToken) return msg(T("Sign in") + " first");
+  const name = prompt("Preset name:");
+  if (!name || !chainConfig) return;
+  try {
+    await jpost("/api/auth/presets", { name, config: chainConfig });
+    msg("Preset saved");
+    loadUserPresets();
+  } catch (e) { msg("Save failed: " + e.message); }
+};
 
 function chainConfigForSubmit() {
   if (!chainConfig) return null;
   const cfg = JSON.parse(JSON.stringify(chainConfig));
-  // keep target/style in sync with the selectors
   for (const m of cfg.modules) {
     if (m.id === "style_eq") m.style = $("style").value || "standard";
   }
@@ -168,20 +127,13 @@ $("file").addEventListener("change", (e) => {
 
 function setFile(f) {
   currentFile = f;
-  drop.textContent = `${f.name} (${(f.size / 1048576).toFixed(1)} MB)`;
-  $("btn-master").disabled = false;
-  $("btn-analyze").disabled = false;
+  drop.textContent = `${f.name} (${fmtBytes(f.size)})`;
+  for (const id of ["btn-master", "btn-analyze", "btn-auto"])
+    $(id).disabled = false;
 }
 
 /* ---------- mastering ---------- */
-$("btn-master").addEventListener("click", async () => {
-  if (!currentFile) return;
-  const fd = new FormData();
-  fd.append("file", currentFile);
-  fd.append("preset", $("preset").value);
-  fd.append("style", $("style").value || "standard");
-  fd.append("out_format", $("format").value);
-  fd.append("dither_type", $("dither").value);
+function proFields(fd) {
   if ($("p-rumble").checked) fd.append("rumble_enabled", "true");
   if ($("p-deesser").checked) fd.append("deesser_enabled", "true");
   if ($("p-dyneq").checked) fd.append("dynamic_eq_enabled", "true");
@@ -190,59 +142,94 @@ $("btn-master").addEventListener("click", async () => {
   if (Math.abs(ta - 1) > 0.02) fd.append("transient_attack", ta);
   const pm = parseFloat($("p-pm").value);
   if (pm > 0) fd.append("parallel_mix", pm);
-  const cfg = chainConfigForSubmit();
-  if (cfg) fd.append("config", JSON.stringify(cfg));
+}
 
+async function submitMaster(url, extra) {
+  if (!currentFile) return;
+  const fd = new FormData();
+  fd.append("file", currentFile);
+  fd.append("preset", $("preset").value);
+  fd.append("style", $("style").value || "standard");
+  fd.append("out_format", $("format").value);
+  fd.append("dither_type", $("dither").value);
+  proFields(fd);
+  if (extra !== "auto") {
+    const cfg = chainConfigForSubmit();
+    if (cfg) fd.append("config", JSON.stringify(cfg));
+  }
   $("btn-master").disabled = true;
+  $("btn-auto").disabled = true;
   try {
-    const r = await fetch(api("/api/v2/master"), {
-      method: "POST", body: fd, headers: authHeaders(),
-    });
-    if (!r.ok) throw new Error((await r.json()).detail || r.status);
-    const { job_id } = await r.json();
-    currentJob = job_id;
+    const r = await jupload(url, fd);
+    const d = await r.json();
+    currentJob = d.job_id;
+    if (d.recommendation)
+      msg(`AI: ${d.recommendation.style || "standard"} @ ` +
+          `${d.recommendation.target_lufs ?? d.target_lufs} LUFS`);
     $("job").classList.remove("hidden");
     $("done-row").classList.add("hidden");
-    watchProgress(job_id);
+    watchProgress(d.job_id);
   } catch (e) {
     msg("Error: " + e.message);
     $("btn-master").disabled = false;
+    $("btn-auto").disabled = false;
   }
-});
+}
 
-function watchProgress(jobId) {
+$("btn-master").addEventListener("click", () => submitMaster("/api/v2/master"));
+$("btn-auto").addEventListener("click", () => submitMaster("/api/v2/master/auto", "auto"));
+
+function watchProgress(jobId, onDone) {
   const es = new EventSource(api(`/api/master/progress/${jobId}`));
   es.onmessage = (ev) => {
     const d = JSON.parse(ev.data);
-    $("bar").style.width = (d.progress || 0) + "%";
-    $("status").textContent = d.message || d.status;
+    if (!onDone) {
+      $("bar").style.width = (d.progress || 0) + "%";
+      $("status").textContent = d.message || d.status;
+    }
     if (d.status === "done") {
       es.close();
+      if (onDone) return onDone(null, d);
       $("bar").style.width = "100%";
       $("done-row").classList.remove("hidden");
       $("btn-master").disabled = false;
+      $("btn-auto").disabled = false;
       $("share-link").href = api(`/api/master/share/${jobId}`);
       if (d.before_lufs != null && d.after_lufs != null)
         $("lufs-delta").textContent =
           `${d.before_lufs} LUFS → ${d.after_lufs} LUFS`;
     } else if (d.status === "error") {
       es.close();
+      if (onDone) return onDone(d.error || "unknown", d);
       msg("Mastering failed: " + (d.error || "unknown"), 8000);
       $("btn-master").disabled = false;
-    }
+      $("btn-auto").disabled = false;
+    } else if (onDone) onDone.progress && onDone.progress(d);
   };
-  es.onerror = () => { es.close(); pollProgress(jobId); };
+  es.onerror = () => { es.close(); pollProgress(jobId, onDone); };
 }
 
-async function pollProgress(jobId) {
+async function pollProgress(jobId, onDone) {
   try {
     const d = await jget(`/api/master/status/${jobId}`);
-    $("bar").style.width = (d.progress || 0) + "%";
-    $("status").textContent = d.message || d.status;
-    if (d.status === "done") { $("done-row").classList.remove("hidden"); $("btn-master").disabled = false; return; }
-    if (d.status === "error") { msg("Failed: " + d.error, 8000); $("btn-master").disabled = false; return; }
-    setTimeout(() => pollProgress(jobId), 700);
-  } catch (e) { msg("Lost job: " + e.message); }
+    if (!onDone) {
+      $("bar").style.width = (d.progress || 0) + "%";
+      $("status").textContent = d.message || d.status;
+    }
+    if (d.status === "done") {
+      if (onDone) return onDone(null, d);
+      $("done-row").classList.remove("hidden");
+      $("btn-master").disabled = false;
+      return;
+    }
+    if (d.status === "error") {
+      if (onDone) return onDone(d.error || "unknown", d);
+      msg("Failed: " + d.error, 8000);
+      $("btn-master").disabled = false;
+      return;
+    }
+    setTimeout(() => pollProgress(jobId, onDone), 700);
+  } catch (e) { if (onDone) onDone(e.message, null); else msg("Lost job: " + e.message); }
 }
 
 $("btn-download").addEventListener("click", () => {
@@ -258,6 +245,86 @@ function playPreview(src) {
 $("btn-ab-orig").addEventListener("click", () => playPreview("original"));
 $("btn-ab-mastered").addEventListener("click", () => playPreview("mastered"));
 
+/* ---------- batch mastering ---------- */
+let batchFiles = [];
+const bdrop = $("batch-drop");
+bdrop.addEventListener("click", () => $("batch-files").click());
+bdrop.addEventListener("dragover", (e) => { e.preventDefault(); bdrop.classList.add("active"); });
+bdrop.addEventListener("dragleave", () => bdrop.classList.remove("active"));
+bdrop.addEventListener("drop", (e) => {
+  e.preventDefault(); bdrop.classList.remove("active");
+  addBatchFiles(e.dataTransfer.files);
+});
+$("batch-files").addEventListener("change", (e) => addBatchFiles(e.target.files));
+
+function addBatchFiles(list) {
+  for (const f of list) batchFiles.push(f);
+  $("batch-count").textContent =
+    `${batchFiles.length} files · ${fmtBytes(batchFiles.reduce((s, f) => s + f.size, 0))}`;
+  $("btn-batch").disabled = batchFiles.length === 0;
+  $("btn-batch-clear").classList.toggle("hidden", batchFiles.length === 0);
+  renderBatchTable();
+}
+
+$("btn-batch-clear").onclick = () => {
+  batchFiles = [];
+  addBatchFiles([]);
+  $("batch-table").classList.add("hidden");
+};
+
+function renderBatchTable(status) {
+  const t = $("batch-table");
+  if (!batchFiles.length) { t.classList.add("hidden"); return; }
+  t.classList.remove("hidden");
+  t.innerHTML = "<tr><th>File</th><th>Size</th><th>Status</th><th></th></tr>" +
+    batchFiles.map((f, i) => {
+      const st = (status && status[i]) || {};
+      const pct = st.progress != null ? ` ${st.progress}%` : "";
+      const link = st.done
+        ? `<a class="btn small sec" href="/api/master/result/${st.job}">↓</a>` : "";
+      return `<tr><td>${esc(f.name)}</td><td>${fmtBytes(f.size)}</td>` +
+        `<td class="${st.error ? "bad" : st.done ? "ok" : ""}">` +
+        `${esc(st.error || st.msg || "queued")}${pct}</td><td>${link}</td></tr>`;
+    }).join("");
+}
+
+$("btn-batch").addEventListener("click", async () => {
+  if (!batchFiles.length) return;
+  const fd = new FormData();
+  for (const f of batchFiles) fd.append("files", f);
+  fd.append("preset", $("preset").value);
+  fd.append("style", $("style").value || "standard");
+  fd.append("out_format", $("format").value);
+  $("btn-batch").disabled = true;
+  let jobIds;
+  try {
+    const r = await jupload("/api/v2/batch", fd);
+    jobIds = (await r.json()).job_ids;
+  } catch (e) {
+    msg("Batch failed: " + e.message, 8000);
+    $("btn-batch").disabled = false;
+    return;
+  }
+  const status = batchFiles.map((_, i) => ({ job: jobIds[i] }));
+  renderBatchTable(status);
+  let open = 0;
+  jobIds.forEach((jobId, i) => {
+    open++;
+    const onDone = (err, d) => {
+      if (err) status[i].error = err;
+      else { status[i].done = true; status[i].msg = "done"; }
+      renderBatchTable(status);
+      if (--open === 0) $("btn-batch").disabled = false;
+    };
+    onDone.progress = (d) => {
+      status[i].msg = d.message || d.status;
+      status[i].progress = d.progress;
+      renderBatchTable(status);
+    };
+    watchProgress(jobId, onDone);
+  });
+});
+
 /* ---------- analysis ---------- */
 $("btn-analyze").addEventListener("click", async () => {
   if (!currentFile) return;
@@ -266,8 +333,7 @@ $("btn-analyze").addEventListener("click", async () => {
   fd.append("extended", "true");
   $("btn-analyze").disabled = true;
   try {
-    const r = await fetch(api("/api/v2/analyze"), { method: "POST", body: fd, headers: authHeaders() });
-    if (!r.ok) throw new Error((await r.json()).detail || r.status);
+    const r = await jupload("/api/v2/analyze", fd);
     renderAnalysis(await r.json());
   } catch (e) { msg("Analyze failed: " + e.message); }
   $("btn-analyze").disabled = false;
@@ -289,78 +355,142 @@ function renderAnalysis(a) {
   const t = $("streaming");
   t.innerHTML = "<tr><th>Platform</th><th>Target</th><th>Penalty</th><th>Status</th></tr>";
   for (const [name, p] of Object.entries(a.streaming_preview || {})) {
-    t.innerHTML += `<tr><td>${name}</td><td>${p.target_lufs}</td>` +
-      `<td>${p.penalty_db} dB</td><td class="${p.status === "optimal" ? "ok" : ""}">${p.status}</td></tr>`;
+    t.innerHTML += `<tr><td>${esc(name)}</td><td>${p.target_lufs}</td>` +
+      `<td>${p.penalty_db} dB</td><td class="${p.status === "optimal" ? "ok" : ""}">${esc(p.status)}</td></tr>`;
   }
 }
 
-/* ---------- LUFS tool ---------- */
-$("btn-tool").addEventListener("click", async () => {
+/* ---------- tools ---------- */
+function toolFile() {
   const f = $("tool-file").files[0];
-  if (!f) return msg("Choose a file first");
+  if (!f) { msg("Choose a file first"); return null; }
+  return f;
+}
+
+async function downloadResponse(r, fallback) {
+  const blob = await r.blob();
+  const cd = r.headers.get("Content-Disposition") || "";
+  const m = cd.match(/filename="([^"]+)"/);
+  const a = document.createElement("a");
+  a.href = URL.createObjectURL(blob);
+  a.download = m ? m[1] : fallback;
+  a.click();
+  URL.revokeObjectURL(a.href);
+}
+
+$("btn-tool").addEventListener("click", async () => {
+  const f = toolFile();
+  if (!f) return;
   const fd = new FormData();
   fd.append("file", f);
   try {
-    const r = await fetch(api("/api/tools/lufs-analyze"), { method: "POST", body: fd });
-    if (!r.ok) throw new Error((await r.json()).detail || r.status);
+    const r = await jupload("/api/tools/lufs-analyze", fd);
     const d = await r.json();
     $("tool-out").innerHTML =
       `<b>${d.integrated_lufs} LUFS</b> · true peak ${d.true_peak_dbfs} dBTP · ` +
       `LRA ${d.loudness_range_lu} LU<br>` +
       `Spotify ${d.spotify_ready ? "✅" : "✖"} · Apple ${d.apple_ready ? "✅" : "✖"} · ` +
       `YouTube ${d.youtube_ready ? "✅" : "✖"}<br>` +
-      d.recommendations.map((x) => "• " + x).join("<br>");
+      d.recommendations.map((x) => "• " + esc(x)).join("<br>");
   } catch (e) { msg("Tool failed: " + e.message); }
 });
 
-/* ---------- auth ---------- */
-const dlg = $("auth-dialog");
-$("btn-auth").addEventListener("click", () => {
-  if (token) { logout(); } else dlg.showModal();
+$("btn-vocal").addEventListener("click", async () => {
+  const f = toolFile();
+  if (!f) return;
+  const fd = new FormData();
+  fd.append("file", f);
+  $("tool-out").textContent = "Separating vocals (htdemucs)…";
+  try {
+    const r = await jupload("/api/v2/isolate-vocal", fd);
+    await downloadResponse(r, "vocals.wav");
+    $("tool-out").textContent = "Vocals ready — downloaded.";
+  } catch (e) { $("tool-out").textContent = ""; msg("Vocal isolation failed: " + e.message, 8000); }
 });
-$("btn-close").addEventListener("click", () => dlg.close());
-$("btn-login").addEventListener("click", () => doAuth("/api/auth/login"));
-$("btn-register").addEventListener("click", () => doAuth("/api/auth/register"));
 
-async function doAuth(url) {
+$("btn-upscale").addEventListener("click", async () => {
+  const f = toolFile();
+  if (!f) return;
+  const fd = new FormData();
+  fd.append("file", f);
+  fd.append("target_sr", "48000");
+  $("tool-out").textContent = "Upscaling to 48 kHz…";
   try {
-    const d = await jpost(url, { email: $("auth-email").value, password: $("auth-pass").value });
-    token = d.access_token;
-    localStorage.setItem("mm_token", token);
-    dlg.close();
-    refreshUser();
-  } catch (e) { msg("Auth failed: " + e.message); }
-}
+    const r = await jupload("/api/v2/upscale", fd);
+    await downloadResponse(r, "upscaled_48k.wav");
+    $("tool-out").textContent = "48 kHz version downloaded.";
+  } catch (e) { $("tool-out").textContent = ""; msg("Upscale failed: " + e.message); }
+});
 
-function logout() {
-  token = null;
-  localStorage.removeItem("mm_token");
-  refreshUser();
-}
-
-async function refreshUser() {
-  if (!token) {
-    $("whoami").textContent = "";
-    $("btn-auth").textContent = "Sign in";
-    $("account").classList.add("hidden");
-    return;
-  }
+$("btn-refmatch").addEventListener("click", async () => {
+  const f = toolFile();
+  const ref = $("ref-file").files[0];
+  if (!f) return;
+  if (!ref) return msg("Choose a reference track");
+  const fd = new FormData();
+  fd.append("file", f);
+  fd.append("reference", ref);
+  fd.append("strength", $("ref-strength").value || "0.8");
+  $("tool-out").textContent = "Matching the reference tonality…";
   try {
-    const me = await jget("/api/auth/me");
-    $("whoami").textContent = `${me.email} · ${me.tier}`;
-    $("btn-auth").textContent = "Sign out";
-    $("account").classList.remove("hidden");
-    const prof = await jget("/api/auth/profile");
-    $("acct-info").textContent =
-      `tier ${prof.tier} · ${prof.tokens} tokens · ` +
-      `${prof.stats.masterings_total} masterings`;
-    const h = await jget("/api/auth/history");
-    const t = $("history");
-    t.innerHTML = "<tr><th>File</th><th>Style</th><th>Target</th><th>Result</th></tr>";
-    for (const r of h.items.slice(0, 20)) {
-      t.innerHTML += `<tr><td>${r.filename || ""}</td><td>${r.style || ""}</td>` +
-        `<td>${r.target_lufs ?? ""}</td><td>${r.after_lufs ?? ""} LUFS</td></tr>`;
-    }
-  } catch (e) { logout(); }
-}
-refreshUser();
+    const r = await jupload("/api/v2/reference-match", fd);
+    await downloadResponse(r, "matched.wav");
+    $("tool-out").textContent = "Reference-matched master downloaded.";
+  } catch (e) { $("tool-out").textContent = ""; msg("Reference match failed: " + e.message, 8000); }
+});
+
+/* ---------- AI assistant ---------- */
+$("btn-ai-chat").addEventListener("click", async () => {
+  const q = $("ai-q").value.trim();
+  if (!q) return;
+  $("ai-out").textContent = "…";
+  try {
+    const d = await jpost("/api/ai/chat", { message: q });
+    $("ai-out").textContent = d.reply || JSON.stringify(d);
+  } catch (e) { $("ai-out").textContent = ""; msg("AI failed: " + e.message); }
+});
+
+$("btn-ai-config").addEventListener("click", async () => {
+  const q = $("ai-q").value.trim();
+  if (!q) return msg("Describe the sound you want first");
+  $("ai-out").textContent = "…";
+  try {
+    const d = await jpost("/api/ai/nl-config", { text: q });
+    if (d.config) {
+      chainConfig = d.config;
+      renderChain();
+      $("ai-out").textContent =
+        "Chain config applied — see the chain editor above.\n" +
+        (d.explanation || "");
+    } else $("ai-out").textContent = JSON.stringify(d, null, 2);
+  } catch (e) { $("ai-out").textContent = ""; msg("AI failed: " + e.message); }
+});
+
+$("btn-ai-recommend").addEventListener("click", async () => {
+  if (!currentFile) return msg("Choose a track first (top card)");
+  const fd = new FormData();
+  fd.append("file", currentFile);
+  fd.append("extended", "true");
+  $("ai-out").textContent = "Analyzing…";
+  try {
+    const r = await jupload("/api/v2/analyze", fd);
+    const analysis = await r.json();
+    const d = await jpost("/api/ai/recommend", { analysis });
+    $("ai-out").textContent =
+      `Preset: ${d.preset || d.style || "standard"} @ ` +
+      `${d.target_lufs ?? "-14"} LUFS\n${d.reason || d.explanation || ""}`;
+    if (d.style) $("style").value = d.style;
+  } catch (e) { $("ai-out").textContent = ""; msg("AI failed: " + e.message); }
+});
+
+/* ---------- news ---------- */
+(async () => {
+  try {
+    const { items } = await jget("/api/news");
+    if (!items || !items.length) return;
+    $("news-card").classList.remove("hidden");
+    $("news-list").innerHTML = items.slice(0, 5).map((n) =>
+      `<h3>${esc(n.title)}</h3><p class="muted">${esc(n.body || n.content || "")}</p>`
+    ).join("");
+  } catch (e) { /* none */ }
+})();

@@ -1,0 +1,160 @@
+/* Magic Master TPU — shared page runtime: API helpers, auth/session state,
+   i18n (en/ru), nav injection, toasts.  Every page loads this before its own
+   script.  (Reference analog: frontend/i18n.js + duplicated helpers in
+   app.js / admin.html / dashboard.html.) */
+"use strict";
+
+const $ = (id) => document.getElementById(id);
+const api = (p) => p; // same-origin
+
+/* ---------- session ---------- */
+let mmToken = localStorage.getItem("mm_token") || null;
+
+function authHeaders() {
+  return mmToken ? { Authorization: "Bearer " + mmToken } : {};
+}
+
+function setToken(t) {
+  mmToken = t;
+  if (t) localStorage.setItem("mm_token", t);
+  else localStorage.removeItem("mm_token");
+}
+
+async function jget(url) {
+  const r = await fetch(api(url), { headers: authHeaders() });
+  if (!r.ok) throw new Error(await errDetail(r));
+  return r.json();
+}
+
+async function jpost(url, body, method = "POST") {
+  const r = await fetch(api(url), {
+    method,
+    headers: { "Content-Type": "application/json", ...authHeaders() },
+    body: body === undefined ? undefined : JSON.stringify(body),
+  });
+  if (!r.ok) throw new Error(await errDetail(r));
+  return r.json();
+}
+
+const jpatch = (url, body) => jpost(url, body, "PATCH");
+const jdelete = (url) => jpost(url, undefined, "DELETE");
+
+async function jupload(url, formData) {
+  const r = await fetch(api(url), {
+    method: "POST", body: formData, headers: authHeaders(),
+  });
+  if (!r.ok) throw new Error(await errDetail(r));
+  return r;
+}
+
+async function errDetail(r) {
+  try { return (await r.json()).detail || String(r.status); }
+  catch (e) { return String(r.status); }
+}
+
+function msg(text, ms = 4500) {
+  let el = $("msg");
+  if (!el) {
+    el = document.createElement("div");
+    el.id = "msg";
+    document.body.appendChild(el);
+  }
+  el.textContent = text;
+  el.style.display = "block";
+  clearTimeout(el._t);
+  el._t = setTimeout(() => (el.style.display = "none"), ms);
+}
+
+function fmtBytes(b) {
+  return b > 1048576 ? (b / 1048576).toFixed(1) + " MB"
+    : (b / 1024).toFixed(0) + " KB";
+}
+
+function fmtDate(ts) {
+  if (!ts) return "";
+  return new Date(ts * 1000).toISOString().slice(0, 16).replace("T", " ");
+}
+
+function esc(s) {
+  const d = document.createElement("div");
+  d.textContent = s == null ? "" : String(s);
+  return d.innerHTML;
+}
+
+/* ---------- i18n ---------- */
+let mmLang = localStorage.getItem("mm_lang") ||
+  ((navigator.language || "en").startsWith("ru") ? "ru" : "en");
+let mmDict = {};
+
+function T(key) { return mmDict[key] || key; }
+
+async function loadLocale() {
+  if (mmLang === "en") { mmDict = {}; return; }
+  try {
+    const r = await fetch(`/static/locales/${mmLang}.json`);
+    if (r.ok) mmDict = await r.json();
+  } catch (e) { mmDict = {}; }
+}
+
+function applyI18n(root = document) {
+  root.querySelectorAll("[data-i18n]").forEach((el) => {
+    el.textContent = T(el.dataset.i18n || el.textContent);
+  });
+  root.querySelectorAll("[data-i18n-ph]").forEach((el) => {
+    el.placeholder = T(el.dataset.i18nPh);
+  });
+}
+
+function toggleLang() {
+  mmLang = mmLang === "ru" ? "en" : "ru";
+  localStorage.setItem("mm_lang", mmLang);
+  location.reload();
+}
+
+/* ---------- shared nav ---------- */
+const MM_NAV = [
+  ["/app", "Studio"],
+  ["/dashboard", "Dashboard"],
+  ["/lufs-analyzer", "LUFS tool"],
+  ["/pricing", "Pricing"],
+  ["/referral", "Referral"],
+  ["/blog", "Blog"],
+];
+
+async function mmHeader(active) {
+  await loadLocale();
+  const host = document.querySelector("header.mm");
+  if (!host) { applyI18n(); return; }
+  const here = active || location.pathname;
+  const links = MM_NAV.map(([href, label]) =>
+    `<a href="${href}" class="${here === href ? "active" : ""}"` +
+    ` data-i18n="${label}">${label}</a>`).join("");
+  host.innerHTML =
+    `<h1><a href="/">🎛 Magic <span>Master</span>` +
+    ` <span class="muted">TPU</span></a></h1>` +
+    `<nav class="mm">${links}` +
+    `<button class="sec small" id="mm-lang">${mmLang === "ru" ? "EN" : "RU"}</button>` +
+    `<button class="sec small" id="mm-auth" data-i18n="Sign in">Sign in</button></nav>`;
+  $("mm-lang").onclick = toggleLang;
+  $("mm-auth").onclick = () => {
+    if (mmToken) { setToken(null); location.reload(); }
+    else location.href = "/login?next=" + encodeURIComponent(location.pathname);
+  };
+  applyI18n();
+  refreshWho();
+}
+
+async function refreshWho() {
+  if (!mmToken) return null;
+  try {
+    const me = await jget("/api/auth/me");
+    const b = $("mm-auth");
+    if (b) b.textContent = `${me.email.split("@")[0]} · ${T("Sign out")}`;
+    return me;
+  } catch (e) { setToken(null); return null; }
+}
+
+/* ---------- PWA ---------- */
+if ("serviceWorker" in navigator) {
+  navigator.serviceWorker.register("/sw.js").catch(() => {});
+}

@@ -341,6 +341,13 @@ def test_admin_page_and_pwa_assets(app_factory):
         r = await client.get("/manifest.json")
         assert (await r.json())["short_name"] == "MagicMaster"
         r = await client.get("/sw.js")
-        assert "CACHE" in await r.text()
+        body = await r.text()
+        assert "caches.open" in body and "install" in body
+        # full page set is served at clean URLs
+        for page in ("dashboard", "login", "pricing", "lufs-analyzer",
+                     "status", "landing"):
+            r = await client.get(f"/{page}")
+            assert r.status == 200, page
+            assert "mm.css" in await r.text(), page
 
     _client_test(app_factory, fn)

@@ -21,6 +21,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh2d(dp: int, sp: int, axes: tuple[str, str] = ("dp", "sp")) -> Mesh:
+    """2-D mesh for batched long-track mastering: outer ``dp`` axis carries
+    the batch (one track per row), inner ``sp`` axis time-shards each track.
+    Keep ``sp`` on the ICI-adjacent (last, fastest-varying) dimension so the
+    halo ``ppermute`` and gating ``psum`` ride ICI neighbors."""
+    devs = jax.devices()[: dp * sp]
+    if len(devs) < dp * sp:
+        raise ValueError(f"need {dp * sp} devices, have {len(devs)}")
+    return Mesh(np.array(devs).reshape(dp, sp), axes)
+
+
 def shard_batch(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Sharding for [B, C, N] batches: batch axis over the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -121,6 +121,7 @@ def build_sp_master(
     chain_config: dict | None = None,
     pro: dict | None = None,
     halo: int = DEFAULT_HALO,
+    batch: bool = False,
 ):
     """Compile a time-sharded mastering step with the engine's (config, pro)
     surface.
@@ -328,12 +329,28 @@ def build_sp_master(
 
     from jax import shard_map
 
-    mapped = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(None, axis), {"stages": P(), "Hk": P(), "target": P()}),
-        out_specs=P(None, axis),
-        check_vma=False,
-    )
+    pspec = {"stages": P(), "Hk": P(), "target": P()}
+    if batch:
+        # 2-D (dp × sp) composition: a batch of long tracks, each row of
+        # the mesh owning one track's time shards.  The sp collectives
+        # (psum/pmax/ppermute over ``axis``) act within a row; vmap carries
+        # the per-row local batch.  This is the v5e-pod layout for "many DJ
+        # sets at once": dp rides the outer mesh dim, sp the ICI-adjacent
+        # inner dim.
+        dp_axis = mesh.axis_names[0]
+        mapped = shard_map(
+            jax.vmap(shard_fn, in_axes=(0, None)), mesh=mesh,
+            in_specs=(P(dp_axis, None, axis), pspec),
+            out_specs=P(dp_axis, None, axis),
+            check_vma=False,
+        )
+    else:
+        mapped = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(None, axis), pspec),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )
     fn = jax.jit(mapped)
     params_dev = jax.device_put(
         jax.tree_util.tree_map(np.asarray, params),
@@ -348,5 +365,20 @@ def sp_master(x: np.ndarray, sr: int, mesh: Mesh, **kw) -> np.ndarray:
     C, n = x.shape
     fn, params, n_pad = build_sp_master(sr, n, C, mesh, **kw)
     xp = np.pad(x, ((0, 0), (0, n_pad - n)))
+    out = np.asarray(fn(xp, params))
+    return out[..., :n]
+
+
+def sp_batch_master(xb: np.ndarray, sr: int, mesh: Mesh, **kw) -> np.ndarray:
+    """Master a batch of long [B, C, N] tracks over a 2-D ``(dp, sp)`` mesh:
+    the batch is data-parallel over the first mesh axis while each track is
+    time-sharded over the second.  ``B`` must divide by the dp size."""
+    xb = np.asarray(xb, np.float32)
+    B, C, n = xb.shape
+    dp = mesh.shape[mesh.axis_names[0]]
+    if B % dp:
+        raise ValueError(f"batch {B} not divisible by dp axis {dp}")
+    fn, params, n_pad = build_sp_master(sr, n, C, mesh, batch=True, **kw)
+    xp = np.pad(xb, ((0, 0), (0, 0), (0, n_pad - n)))
     out = np.asarray(fn(xp, params))
     return out[..., :n]

@@ -131,3 +131,22 @@ def test_sp_master_loudness_gate(track):
     got = sp_master(track, SR, mesh, target_lufs=-11.0, halo=HALO)
     lufs = refimpl.integrated_lufs(got, SR)
     assert abs(lufs - (-11.0)) < 1.0, lufs
+
+
+def test_sp_dp_batch_2d_mesh(track):
+    """2-D (dp × sp) composition: a batch of long tracks, each row of the
+    mesh time-sharding one track.  Every track must match its own
+    single-chip output on the interior."""
+    from amw_tpu.parallel.mesh import make_mesh2d
+    from amw_tpu.parallel.timeshard import sp_batch_master
+
+    mesh = make_mesh2d(2, 4)
+    xb = np.stack([track, np.roll(track, 1000, axis=-1) * 0.8])
+    got = sp_batch_master(xb, SR, mesh, target_lufs=-14.0, style="standard",
+                          halo=HALO)
+    assert got.shape == xb.shape
+    for i in range(2):
+        want = _single_chip_v2(xb[i], {})
+        err = _interior_err(got[i], want)
+        assert 20 * np.log10(max(err, 1e-12)) < -90.0, (i, err)
+        assert np.all(np.isfinite(got[i]))

@@ -413,7 +413,15 @@ def resample_fft(x: jax.Array, n_out: int, plan=None) -> jax.Array:
     if plan is None:
         return _resample_1d(x, n_out, None)
     rows = x.reshape((-1, n_in))
-    if rows.shape[0] == 1:
+    R = rows.shape[0]
+    if R <= 4:
         return _resample_1d(x, n_out, plan)
-    y = jax.lax.map(lambda r: _resample_1d(r, n_out, plan), rows)
+    # Largest row-chunk <= 4 dividing R: the chunk is vmapped (parallel on
+    # device), chunks run sequentially under lax.map to bound peak memory.
+    chunk = next(c for c in (4, 3, 2, 1) if R % c == 0)
+    if chunk == 1:
+        y = jax.lax.map(lambda r: _resample_1d(r, n_out, plan), rows)
+    else:
+        y = jax.lax.map(lambda rc: _resample_1d(rc, n_out, plan),
+                        rows.reshape(R // chunk, chunk, n_in))
     return y.reshape(x.shape[:-1] + (n_out,))

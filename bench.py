@@ -6,6 +6,11 @@ Workload = BASELINE config #1: 3-minute stereo 44.1 kHz track -> -14 LUFS
 into one jitted graph and vmapped over a batch.  Prints ONE JSON line with
 the realtime factor per chip plus parity/latency extras.
 
+Section order is gate-first: headline throughput and oracle parity run
+before the slower-compiling extras (sustained masked batch, 48 kHz export,
+genre sweep), and the watchdog emits the best-so-far numbers (flagged
+``"partial"``) rather than zeros if the relay stalls late in the run.
+
 Timing notes: on the axon relay backend ``block_until_ready`` returns at
 remote enqueue, so every measurement is fenced by fetching a scalar
 reduction of the output (forces full execution), with the relay round-trip
@@ -20,15 +25,29 @@ import time
 
 import numpy as np
 
-WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "1500"))
+WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "2100"))
+
+RESULTS = {
+    "metric": "realtime_factor_v1_chain",
+    "value": 0.0,
+    "unit": "x_realtime_per_chip",
+    "vs_baseline": 0.0,
+}
+
+
+def emit(extra=None):
+    out = dict(RESULTS)
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
 
 
 def _watchdog(signum, frame):
-    print(json.dumps({"metric": "realtime_factor_v1_chain", "value": 0.0,
-                      "unit": "x_realtime_per_chip", "vs_baseline": 0.0,
-                      "error": f"watchdog: no result in {WATCHDOG_SEC}s "
-                               "(TPU relay unresponsive?)"}), flush=True)
-    os._exit(2)
+    emit({"partial": True,
+          "error": f"watchdog at {WATCHDOG_SEC}s — sections after the last "
+                   "reported one did not finish (slow remote compile or "
+                   "relay stall)"})
+    os._exit(0 if RESULTS["value"] else 2)
 
 
 def log(*a):
@@ -91,6 +110,7 @@ def main():
         fence(jnp.sum(ready))
     relay = (time.perf_counter() - t0) / 4
     log(f"relay round-trip: {relay*1e3:.0f} ms")
+    RESULTS["relay_rtt_ms"] = round(relay * 1e3, 1)
 
     # Find the largest micro-batch that compiles (remote compiler limits).
     # B=16 at 180 s hits an XLA TPU bounds-check failure (an N x N operand
@@ -115,9 +135,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"micro-batch={trial} failed: {type(e).__name__}: {str(e)[:160]}")
     if step is None:
-        print(json.dumps({"metric": "realtime_factor_v1_chain", "value": 0.0,
-                          "unit": "x_realtime_per_chip", "vs_baseline": 0.0,
-                          "error": "no batch size compiled"}))
+        emit({"error": "no batch size compiled"})
         return
 
     # Steady-state throughput (amortize the fence over several dispatches).
@@ -130,6 +148,7 @@ def main():
     dt = (time.perf_counter() - t0 - relay) / reps
     rtf = micro * dur / dt
     log(f"throughput: {dt:.3f}s per batch of {micro} -> {rtf:.0f}x realtime")
+    RESULTS.update({"value": round(rtf, 1), "batch": micro})
 
     # Single-track p50 latency (its own compiled graph).
     step1 = batched(1)
@@ -142,14 +161,49 @@ def main():
         lats.append(time.perf_counter() - t0 - relay)
     p50 = float(np.median(lats))
     log(f"p50 single-track latency: {p50*1e3:.0f} ms")
+    RESULTS["p50_latency_ms"] = round(p50 * 1e3, 1)
+
+    # CPU oracle baseline + parity on a shorter probe (the quality gate —
+    # run it before the slow-compiling extras).
+    try:
+        probe_dur = 20.0
+        probe = make_track(sr, probe_dur, seed=99)
+        t0 = time.perf_counter()
+        want = refimpl.v1_pipeline(probe, sr, target_lufs=-14.0,
+                                   style="standard")
+        cpu_dt = time.perf_counter() - t0
+        cpu_rtf = probe_dur / cpu_dt
+        log(f"CPU oracle: {cpu_dt:.1f}s for {probe_dur}s -> "
+            f"{cpu_rtf:.2f}x realtime")
+
+        pspec = GraphSpec(sr=sr, n=int(sr * probe_dur), channels=2, exact=True)
+        pparams, pfn, _ = build_v1_pipeline(pspec, target_lufs=-14.0,
+                                            style="standard", jit=True)
+        got = np.asarray(pfn(probe, jax.device_put(pparams)))
+        err = float(np.max(np.abs(got.astype(np.float64) - want)))
+        err_dbfs = 20 * np.log10(max(err, 1e-12))
+        lu_delta = abs(refimpl.integrated_lufs(got, sr)
+                       - refimpl.integrated_lufs(want, sr))
+        out_lufs = refimpl.integrated_lufs(got, sr)
+        tp = refimpl.true_peak_dbfs(got, sr)
+        log(f"parity: max err {err_dbfs:.1f} dBFS, LU delta {lu_delta:.4f}, "
+            f"out LUFS {out_lufs:.2f}, TP {tp:.2f} dBTP")
+        RESULTS.update({
+            "vs_baseline": round(rtf / cpu_rtf, 1),
+            "cpu_oracle_rtf": round(cpu_rtf, 2),
+            "parity_max_err_dbfs": round(err_dbfs, 1),
+            "parity_lu_delta": round(lu_delta, 4),
+            "out_lufs": round(out_lufs, 2),
+            "out_true_peak_dbtp": round(tp, 2),
+        })
+    except Exception as e:  # noqa: BLE001
+        log(f"parity section failed: {type(e).__name__}: {str(e)[:200]}")
 
     # Sustained batch throughput (BASELINE config #4): stream 256 tracks of
     # MIXED valid lengths through the bucketed, valid-length-masked v2 path
     # in micro-batch chunks, dispatches pipelined, one fence at the end.
     # Device buffers are reused across dispatches so this measures sustained
     # compute throughput (production overlaps host I/O with device work).
-    sus_tpm = None
-    sus_rtf = None
     try:
         from amw_tpu.models.v2_job import build_v2_job_graph
 
@@ -180,41 +234,47 @@ def main():
         log(f"sustained (BASELINE #4): {done} tracks in {sus_dt:.1f}s -> "
             f"{sus_tpm:.0f} tracks/min, {sus_rtf:.0f}x realtime, "
             f"recompiles: 0 (single cached executable)")
+        RESULTS.update({"sustained_tracks_per_min": round(sus_tpm, 1),
+                        "sustained_rtf": round(sus_rtf, 1)})
     except Exception as e:  # noqa: BLE001
         log(f"sustained bench failed: {type(e).__name__}: {str(e)[:200]}")
 
     # Export path (BASELINE config #3): resample 44.1k -> 48k, TPDF dither,
     # 16-bit quantize — all on device; host WAV writing excluded (I/O).
-    from amw_tpu.ops import dither as dither_ops
-    from amw_tpu.ops.fdfilter import resample_fft, resample_plan
+    try:
+        from amw_tpu.ops import dither as dither_ops
+        from amw_tpu.ops.fdfilter import resample_fft, resample_plan
 
-    key = jax.random.PRNGKey(0)
-    out_batch_shape = (micro, 2, n)
-    n48 = int(round(n * 48000 / sr))
-    # Bluestein tables as runtime args: 180 s at 44.1/48 kHz is not a native
-    # TPU FFT size (a bare jnp.fft there materializes an f32[n, n] DFT).
-    rplan = jax.device_put(resample_plan(n, n48))
+        key = jax.random.PRNGKey(0)
+        out_batch_shape = (micro, 2, n)
+        n48 = int(round(n * 48000 / sr))
+        # Bluestein tables as runtime args: 180 s at 44.1/48 kHz is not a
+        # native TPU FFT size (a bare jnp.fft there materializes an
+        # f32[n, n] DFT).
+        rplan = jax.device_put(resample_plan(n, n48))
 
-    def export_step(y, k, plan):
-        y48 = resample_fft(y, n48, plan)
-        noise = dither_ops.dither_noise(k, y48.shape, "tpdf")
-        return jnp.sum(dither_ops.quantize16(y48, noise).astype(jnp.int32))
+        def export_step(y, k, plan):
+            y48 = resample_fft(y, n48, plan)
+            noise = dither_ops.dither_noise(k, y48.shape, "tpdf")
+            return jnp.sum(dither_ops.quantize16(y48, noise).astype(jnp.int32))
 
-    exp_jit = jax.jit(export_step)
-    y_dev = jax.device_put(np.zeros(out_batch_shape, np.float32))
-    fence(exp_jit(y_dev, key, rplan))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        acc = exp_jit(y_dev, key, rplan)
-    fence(acc)
-    exp_dt = (time.perf_counter() - t0 - relay) / reps
-    exp_rtf = micro * dur / max(exp_dt, 1e-9)
-    log(f"export path (48k resample + TPDF dither + int16): "
-        f"{exp_dt:.3f}s -> {exp_rtf:.0f}x")
+        exp_jit = jax.jit(export_step)
+        y_dev = jax.device_put(np.zeros(out_batch_shape, np.float32))
+        fence(exp_jit(y_dev, key, rplan))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            acc = exp_jit(y_dev, key, rplan)
+        fence(acc)
+        exp_dt = (time.perf_counter() - t0 - relay) / reps
+        exp_rtf = micro * dur / max(exp_dt, 1e-9)
+        log(f"export path (48k resample + TPDF dither + int16): "
+            f"{exp_dt:.3f}s -> {exp_rtf:.0f}x")
+        RESULTS["export_path_rtf"] = round(exp_rtf, 1)
+    except Exception as e:  # noqa: BLE001
+        log(f"export bench failed: {type(e).__name__}: {str(e)[:200]}")
 
     # Genre sweep (BASELINE config #2): club -9 with the edm style graph
     # (adds exciter + imager + parallel compression stages).
-    sweep_rtf = None
     try:
         params2, raw2, _ = build_v1_pipeline(
             spec, target_lufs=-9.0, style="edm", jit=False)
@@ -230,48 +290,11 @@ def main():
         dt2 = (time.perf_counter() - t0 - relay) / reps
         sweep_rtf = micro * dur / dt2
         log(f"genre sweep (edm, -9 LUFS): {dt2:.3f}s -> {sweep_rtf:.0f}x")
+        RESULTS["genre_sweep_rtf"] = round(sweep_rtf, 1)
     except Exception as e:  # noqa: BLE001
         log(f"genre sweep failed: {type(e).__name__}: {str(e)[:160]}")
 
-    # CPU oracle baseline + parity on a shorter probe.
-    probe_dur = 20.0
-    probe = make_track(sr, probe_dur, seed=99)
-    t0 = time.perf_counter()
-    want = refimpl.v1_pipeline(probe, sr, target_lufs=-14.0, style="standard")
-    cpu_dt = time.perf_counter() - t0
-    cpu_rtf = probe_dur / cpu_dt
-    log(f"CPU oracle: {cpu_dt:.1f}s for {probe_dur}s -> {cpu_rtf:.2f}x realtime")
-
-    pspec = GraphSpec(sr=sr, n=int(sr * probe_dur), channels=2, exact=True)
-    pparams, pfn, _ = build_v1_pipeline(pspec, target_lufs=-14.0,
-                                        style="standard", jit=True)
-    got = np.asarray(pfn(probe, jax.device_put(pparams)))
-    err = float(np.max(np.abs(got.astype(np.float64) - want)))
-    err_dbfs = 20 * np.log10(max(err, 1e-12))
-    lu_delta = abs(refimpl.integrated_lufs(got, sr) - refimpl.integrated_lufs(want, sr))
-    out_lufs = refimpl.integrated_lufs(got, sr)
-    tp = refimpl.true_peak_dbfs(got, sr)
-    log(f"parity: max err {err_dbfs:.1f} dBFS, LU delta {lu_delta:.4f}, "
-        f"out LUFS {out_lufs:.2f}, TP {tp:.2f} dBTP")
-
-    print(json.dumps({
-        "metric": "realtime_factor_v1_chain",
-        "value": round(rtf, 1),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / cpu_rtf, 1),
-        "batch": micro,
-        "p50_latency_ms": round(p50 * 1e3, 1),
-        "relay_rtt_ms": round(relay * 1e3, 1),
-        "cpu_oracle_rtf": round(cpu_rtf, 2),
-        "parity_max_err_dbfs": round(err_dbfs, 1),
-        "parity_lu_delta": round(lu_delta, 4),
-        "out_lufs": round(out_lufs, 2),
-        "out_true_peak_dbtp": round(tp, 2),
-        "export_path_rtf": round(exp_rtf, 1),
-        "genre_sweep_rtf": round(sweep_rtf, 1) if sweep_rtf else None,
-        "sustained_tracks_per_min": round(sus_tpm, 1) if sus_tpm else None,
-        "sustained_rtf": round(sus_rtf, 1) if sus_rtf else None,
-    }))
+    emit()
 
 
 if __name__ == "__main__":

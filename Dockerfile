@@ -11,9 +11,15 @@ COPY requirements.txt ./
 RUN pip install --no-cache-dir -r requirements.txt
 
 COPY amw_tpu ./amw_tpu
+COPY frontend ./frontend
 COPY scripts ./scripts
 COPY deploy ./deploy
+COPY tests ./tests
 COPY bench.py ./
+
+# Codec round-trips (MP3/FLAC/OPUS/AAC) run here, where ffmpeg exists —
+# the dev image has no ffmpeg and auto-skips them.
+RUN python -m pytest tests/test_codecs_ffmpeg.py -q || true
 
 # Build the native PCM codec.
 RUN python -m amw_tpu.native.build || true

@@ -17,9 +17,10 @@ COPY deploy ./deploy
 COPY tests ./tests
 COPY bench.py ./
 
-# Codec round-trips (MP3/FLAC/OPUS/AAC) run here, where ffmpeg exists —
-# the dev image has no ffmpeg and auto-skips them.
-RUN python -m pytest tests/test_codecs_ffmpeg.py -q || true
+# Codec round-trips (MP3/FLAC/OPUS/AAC) run here, where ffmpeg exists (the
+# dev image has none and auto-skips them) — a codec regression fails the
+# build.
+RUN python -m pytest tests/test_codecs_ffmpeg.py -q
 
 # Build the native PCM codec.
 RUN python -m amw_tpu.native.build || true

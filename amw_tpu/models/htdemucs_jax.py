@@ -463,14 +463,23 @@ def params_from_torch_state(state) -> dict:
 _CONFIG_KEY = "__config__"
 _CONFIG_FIELDS = ("channels", "nfft", "bottom_channels", "t_layers",
                   "t_heads", "depth", "samplerate")
+_CONFIG_FLOAT_FIELDS = ("segment",)  # float64 vec holds ints + floats
 
 
 def _config_vec(cfg: "HTConfig") -> np.ndarray:
-    return np.asarray([getattr(cfg, f) for f in _CONFIG_FIELDS], np.int32)
+    vals = [getattr(cfg, f) for f in _CONFIG_FIELDS]
+    vals += [getattr(cfg, f) for f in _CONFIG_FLOAT_FIELDS]
+    return np.asarray(vals, np.float64)
 
 
 def _config_from_vec(v) -> "HTConfig":
-    vals = dict(zip(_CONFIG_FIELDS, (int(x) for x in np.asarray(v))))
+    v = np.asarray(v)
+    vals = dict(zip(_CONFIG_FIELDS, (int(x) for x in v)))
+    # Older checkpoints stored only the int fields; keep their defaults.
+    for i, f in enumerate(_CONFIG_FLOAT_FIELDS):
+        j = len(_CONFIG_FIELDS) + i
+        if j < v.shape[0]:
+            vals[f] = float(v[j])
     return HTConfig(**vals)
 
 

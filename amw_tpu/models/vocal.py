@@ -92,6 +92,7 @@ def is_available() -> bool:
 
 _HT_SENTINEL = object()
 _ht_cache = _HT_SENTINEL
+_ht_cache_path: str | None = None
 
 
 def htdemucs_checkpoint_path() -> str | None:
@@ -112,11 +113,14 @@ def htdemucs_checkpoint_path() -> str | None:
 
 def _htdemucs():
     """(cfg, device_params) when converted weights are configured and load,
-    else None (DSP separator remains the fallback)."""
-    global _ht_cache
-    if _ht_cache is not _HT_SENTINEL:
-        return _ht_cache
+    else None (DSP separator remains the fallback).  Keyed by the configured
+    path, so pointing 'htdemucs_checkpoint' at (new) weights at runtime
+    takes effect on the next request — only successful loads are cached."""
+    global _ht_cache, _ht_cache_path
     path = htdemucs_checkpoint_path()
+    if _ht_cache is not _HT_SENTINEL and path == _ht_cache_path \
+            and _ht_cache is not None:
+        return _ht_cache
     result = None
     if path:
         try:
@@ -127,6 +131,7 @@ def _htdemucs():
         except Exception:  # noqa: BLE001 — fall back to the DSP separator
             result = None
     _ht_cache = result
+    _ht_cache_path = path
     return result
 
 

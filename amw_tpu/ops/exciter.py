@@ -43,14 +43,29 @@ def build_harmonic_exciter(
     down_keys = list(down_plan) if down_plan else []
 
     def fn(x, params):
+        from . import validctx
+
         up = dict(zip(up_keys, params[1])) or None
         down = dict(zip(down_keys, params[2])) or None
-        work = resample_fft(x, work_n, up) if os_f > 1 else x
-        hf = zp(work, params[0])
-        excitation = (exciter_saturate(hf, sat_mode, k) - hf) * gain * exciter_mix
-        out = work + excitation
-        if os_f > 1:
-            out = resample_fft(out, spec.n, down)
-        return out
+        if os_f == 1:
+            hf = zp(x, params[0])
+            excitation = (exciter_saturate(hf, sat_mode, k) - hf) \
+                * gain * exciter_mix
+            return x + excitation
+        # Oversampled section runs in work-rate samples: rescale the traced
+        # valid length so the zero-phase filter anchors its edges at the
+        # true track end, not at nv original-rate samples into the 2x/4x
+        # buffer.  (FFT resampling of a zero-padded bucket is a periodic
+        # interpolation, so padding invariance here is approximate at the
+        # sinc-tail level rather than exact — the excitation is a low-level
+        # additive HF component.)
+        nv = validctx.n_valid()
+        with validctx.valid_length(None if nv is None else nv * os_f):
+            work = resample_fft(x, work_n, up)
+            hf = zp(work, params[0])
+            excitation = (exciter_saturate(hf, sat_mode, k) - hf) \
+                * gain * exciter_mix
+            out = work + excitation
+        return resample_fft(out, spec.n, down)
 
     return params, fn

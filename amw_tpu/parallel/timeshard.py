@@ -146,6 +146,7 @@ def build_sp_master(
     # Stage plan: ("local", name, params, fn, amount) run on the extended
     # chunk; ("dc"|"peak"|"normalize", cfg) handled with collectives.
     stages: list = []
+    norm_targets: list[float] = []  # per-normalize-stage targets, in order
 
     def add_local(name, built, amount=1.0):
         p, f = built
@@ -166,23 +167,24 @@ def build_sp_master(
             freq_hi=float(pro.get("deesser_freq_hi", 9000.0))))
 
     # --- chain modules ---
-    norm_stage = None
     for item in [dict(m) for m in config.get("modules", [])]:
         mid = item.pop("id", None)
         if not mid or not bool(item.get("enabled", True)):
             continue
         amount = float(np.clip(float(item.get("amount", 1.0)), 0.0, 1.0))
         if mid == "dc_offset":
-            stages.append(("dc", mid, None, None))
+            stages.append(("dc", amount, None, None))
             continue
         if mid == "peak_guard":
-            stages.append(("peak", float(item.get("headroom_db", 0.5)),
+            stages.append(("peak",
+                           (float(item.get("headroom_db", 0.5)), amount),
                            None, None))
             continue
         if mid == "normalize_lufs":
             tgt = float(item.get("target_lufs", target_lufs))
-            stages.append(("normalize", tgt, None, None))
-            norm_stage = tgt
+            stages.append(("normalize", (len(norm_targets), amount),
+                           None, None))
+            norm_targets.append(tgt)
             continue
         if mid == "reverb":
             from ..ops.reverb import wet_ir
@@ -231,8 +233,7 @@ def build_sp_master(
     params = {
         "stages": [p for kind, _, p, _ in stages if kind == "local"],
         "Hk": Hk,
-        "target": np.float32(norm_stage if norm_stage is not None
-                             else target_lufs),
+        "targets": np.asarray(norm_targets or [target_lufs], np.float32),
     }
 
     n_fade = max(2, min(int(round(sr * 0.006)), int(sr * 0.1)))
@@ -307,16 +308,23 @@ def build_sp_master(
             lufs = jnp.where(c2 > 0, lufs, -1e9)
             return x * meters.normalize_lufs_gain(lufs, target)
 
+        def blend(x, y, a):
+            return y if a >= 1.0 else x * (1.0 - a) + y * a
+
         li = 0
         for kind, name in stage_kinds:
             if kind == "dc":
                 s = jax.lax.psum(
                     jnp.sum(jnp.where(valid, x, 0.0), axis=-1), axis)
-                x = jnp.where(valid, x - (s / n_total)[..., None], 0.0)
+                y = jnp.where(valid, x - (s / n_total)[..., None], 0.0)
+                x = blend(x, y, name)  # name carries amount
             elif kind == "peak":
-                x = global_peak_guard(x, name)  # name carries headroom_db
+                headroom_db, a = name
+                x = blend(x, global_peak_guard(x, headroom_db), a)
             elif kind == "normalize":
-                x = global_normalize(x, params["target"])
+                norm_i, a = name
+                x = blend(x, global_normalize(
+                    x, params["targets"][norm_i]), a)
             else:
                 x = with_halo(local_fns[li][1], x, params["stages"][li])
                 li += 1
@@ -329,7 +337,7 @@ def build_sp_master(
 
     from jax import shard_map
 
-    pspec = {"stages": P(), "Hk": P(), "target": P()}
+    pspec = {"stages": P(), "Hk": P(), "targets": P()}
     if batch:
         # 2-D (dp × sp) composition: a batch of long tracks, each row of
         # the mesh owning one track's time shards.  The sp collectives

@@ -42,8 +42,16 @@ def check_anomalies() -> list[str]:
         alerts.append(f"High CPU load: {m['load_1m']}")
     if 0 < m["mem_available_mb"] < th["min_available_mb"]:
         alerts.append(f"Low RAM: {m['mem_available_mb']} MB available")
+    if m.get("mem_total_mb", 0) > 0:
+        ram_pct = 100.0 * (1.0 - m["mem_available_mb"] / m["mem_total_mb"])
+        if ram_pct > th["ram_pct"]:
+            alerts.append(f"RAM usage {ram_pct:.0f}% > {th['ram_pct']:.0f}%")
     if 0 < m["disk_free_mb"] < th["min_disk_mb"]:
         alerts.append(f"Low disk: {m['disk_free_mb']} MB free")
+    if m.get("disk_total_mb", 0) > 0:
+        disk_pct = 100.0 * (1.0 - m["disk_free_mb"] / m["disk_total_mb"])
+        if disk_pct > th["disk_pct"]:
+            alerts.append(f"Disk usage {disk_pct:.0f}% > {th['disk_pct']:.0f}%")
     if m["rss_mb"] > th["max_rss_mb"]:
         alerts.append(f"High RSS: {m['rss_mb']} MB")
     try:

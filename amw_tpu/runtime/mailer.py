@@ -46,7 +46,8 @@ def send_email(to: str, subject: str, body: str) -> bool:
         msg["Subject"] = subject
         msg.set_content(body)
         with smtplib.SMTP(conf["host"], conf["port"], timeout=20) as s:
-            s.starttls()
+            if conf["use_tls"]:
+                s.starttls()
             if conf["user"]:
                 s.login(conf["user"], conf["password"])
             s.send_message(msg)

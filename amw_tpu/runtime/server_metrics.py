@@ -47,6 +47,13 @@ def disk_free_mb(path: str = "/") -> float:
         return 0.0
 
 
+def disk_total_mb(path: str = "/") -> float:
+    try:
+        return shutil.disk_usage(path).total / (1 << 20)
+    except OSError:
+        return 0.0
+
+
 def server_metrics() -> dict:
     load1, load5, load15 = cpu_load()
     total, avail = mem_info_mb()
@@ -57,6 +64,7 @@ def server_metrics() -> dict:
         "mem_available_mb": round(avail),
         "rss_mb": round(rss_mb()),
         "disk_free_mb": round(disk_free_mb()),
+        "disk_total_mb": round(disk_total_mb()),
     }
 
 

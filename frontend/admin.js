@@ -76,6 +76,8 @@ async function loadUsers() {
   } catch (e) { guard(e); }
 }
 
+$("u-csv").onclick = () =>
+  downloadAuth("/api/admin/users/export.csv", "users.csv").catch(guard);
 $("u-search").onclick = () => { uOffset = 0; loadUsers(); };
 $("u-q").addEventListener("keydown", (e) => { if (e.key === "Enter") { uOffset = 0; loadUsers(); } });
 $("u-prev").onclick = () => { uOffset = Math.max(0, uOffset - 25); loadUsers(); };
@@ -162,6 +164,9 @@ async function loadTx() {
   } catch (e) { guard(e); }
 }
 
+$("tx-csv").onclick = () =>
+  downloadAuth("/api/admin/transactions/export.csv", "transactions.csv")
+    .catch(guard);
 $("tx-new").onclick = async () => {
   const user_id = prompt("user id:");
   if (!user_id) return;
@@ -366,6 +371,8 @@ async function loadTools() {
   } catch (e) { $("t-health").textContent = "health check failed: " + e.message; }
 }
 
+$("t-backup").onclick = () =>
+  downloadAuth("/api/admin/backup/db", "amw_tpu_backup.sqlite3").catch(guard);
 $("t-llm").onclick = async () => {
   try { $("t-out").textContent = JSON.stringify(await jpost("/api/admin/llm/test"), null, 2); }
   catch (e) { $("t-out").textContent = "LLM test failed: " + e.message; }

@@ -370,7 +370,7 @@ function toolFile() {
 async function downloadResponse(r, fallback) {
   const blob = await r.blob();
   const cd = r.headers.get("Content-Disposition") || "";
-  const m = cd.match(/filename="([^"]+)"/);
+  const m = cd.match(new RegExp('filename="([^"]+)"'));
   const a = document.createElement("a");
   a.href = URL.createObjectURL(blob);
   a.download = m ? m[1] : fallback;

@@ -76,9 +76,30 @@ function fmtDate(ts) {
 }
 
 function esc(s) {
-  const d = document.createElement("div");
-  d.textContent = s == null ? "" : String(s);
-  return d.innerHTML;
+  // Safe for text nodes AND double/single-quoted attribute values.
+  return String(s == null ? "" : s)
+    .split("&").join("&amp;").split("<").join("&lt;").split(">").join("&gt;")
+    .split('"').join("&quot;").split("'").join("&#39;");
+}
+
+async function downloadAuth(url, fallbackName) {
+  // Plain <a href> loses the Authorization header — fetch + blob instead.
+  const r = await fetch(api(url), { headers: authHeaders() });
+  if (!r.ok) throw new Error(await errDetail(r));
+  const blob = await r.blob();
+  const cd = r.headers.get("Content-Disposition") || "";
+  const m = cd.match(new RegExp('filename="?([^";]+)"?'));
+  const a = document.createElement("a");
+  a.href = URL.createObjectURL(blob);
+  a.download = m ? m[1] : fallbackName;
+  a.click();
+  URL.revokeObjectURL(a.href);
+}
+
+function safeNext(raw, fallback) {
+  // Same-origin path only: forbid absolute URLs and protocol-relative //.
+  return raw && raw.startsWith("/") && !raw.startsWith("//")
+    ? raw : fallback;
 }
 
 /* ---------- i18n ---------- */

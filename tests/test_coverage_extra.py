@@ -98,3 +98,19 @@ def test_tpdf_dither_range():
     assert abs(noise.mean()) < 0.01
     # triangular PDF: std = 1/sqrt(6)
     assert abs(noise.std() - 1 / np.sqrt(6)) < 0.01
+
+
+def test_anomaly_pct_thresholds(monkeypatch):
+    """anomaly_ram/disk_threshold settings actually gate percentage usage
+    (regression: the pct keys were computed but never consulted)."""
+    from amw_tpu.runtime import anomaly
+
+    monkeypatch.setattr(anomaly, "server_metrics", lambda: {
+        "load_1m": 0.1, "load_5m": 0.1,
+        "mem_total_mb": 100000, "mem_available_mb": 4000,   # 96% used
+        "rss_mb": 100,
+        "disk_free_mb": 5000, "disk_total_mb": 100000,      # 95% used
+    })
+    alerts = anomaly.check_anomalies()
+    assert any("RAM usage" in a for a in alerts), alerts
+    assert any("Disk usage" in a for a in alerts), alerts

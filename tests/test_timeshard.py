@@ -150,3 +150,26 @@ def test_sp_dp_batch_2d_mesh(track):
         err = _interior_err(got[i], want)
         assert 20 * np.log10(max(err, 1e-12)) < -90.0, (i, err)
         assert np.all(np.isfinite(got[i]))
+
+
+def test_sp_two_normalize_stages(track):
+    """Two normalize_lufs modules at DIFFERENT targets: SP must apply each
+    stage's own target (regression: all stages used to read the last one)."""
+    config = {"modules": [
+        {"id": "dc_offset", "enabled": True, "amount": 1.0},
+        {"id": "normalize_lufs", "enabled": True, "target_lufs": -18.0,
+         "amount": 1.0},
+        {"id": "style_eq", "enabled": True, "style": "standard", "amount": 1.0},
+        {"id": "normalize_lufs", "enabled": True, "target_lufs": -14.0,
+         "amount": 1.0},
+        {"id": "peak_guard", "enabled": True, "headroom_db": 0.5,
+         "amount": 0.6},
+    ]}
+    mesh = make_mesh(8, axis="sp")
+    got = sp_master(track, SR, mesh, chain_config=config, target_lufs=-14.0,
+                    halo=HALO)
+    spec = GraphSpec(sr=SR, n=track.shape[-1], channels=2, exact=True)
+    params, fn, _ = build_v2_job_graph(spec, config, {}, -14.0, "standard")
+    want = np.asarray(fn(jnp.asarray(track), jax.device_put(params))["out"])
+    err = _interior_err(got, want)
+    assert 20 * np.log10(max(err, 1e-12)) < -90.0, err

@@ -165,3 +165,19 @@ def test_reference_match_masked_envelope():
                                      np.int32(n)))[..., :n]
     err = float(np.abs(oe - op).max())
     assert 20 * np.log10(max(err, 1e-12)) < -90.0
+
+
+def test_exciter_oversample_masked():
+    """Exciter with oversample>1 on a padded bucket: the oversampled section
+    rescales the valid-length context (a raw n_valid against the 2x buffer
+    used to silence the second half of the track).  FFT resampling of the
+    padded bucket is periodic interpolation, so parity is approximate at the
+    sinc-leakage level rather than exact — gate at -60 dBFS."""
+    from amw_tpu.models.chain import default_chain_config
+
+    cfg = default_chain_config(target_lufs=-14.0, style="standard")
+    for m in cfg["modules"]:
+        if m["id"] == "exciter":
+            m.update(enabled=True, exciter_db=2.0, oversample=2)
+    re, rp, n = _run_pair(SR * 5 + 311, {}, config=cfg)
+    _assert_parity(re, rp, n, tol_dbfs=-60.0, tol_lu=0.02)

@@ -115,8 +115,11 @@ def build_v1_pipeline(
                                        np.int32(i), ordered=True)
         return basic.finalize_clip(x)
 
+    fn.stage_fns = fns  # per-stage callables (stage-timing/diagnostics aid)
     if jit:
-        fn = jax.jit(fn)
+        jfn = jax.jit(fn)
+        jfn.stage_fns = fns
+        fn = jfn
     return params, fn, names
 
 

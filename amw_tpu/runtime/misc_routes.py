@@ -100,6 +100,7 @@ async def h_extensions(request):
         "native_pcm": native.available(),
         "vocal_isolation": settings.vocal_isolation_enabled,
         "ai_llm": settings_store.get_setting_str("ai_api_key", None) is not None,
+        "telegram_bot_url": settings.user_bot_telegram_url or None,
         "backend": "jax-tpu",
     })
 

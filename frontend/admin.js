@@ -86,10 +86,10 @@ $("u-next").onclick = () => { if (uOffset + 25 < uTotal) { uOffset += 25; loadUs
 $("u-bulk-go").onclick = async () => {
   const action = $("u-bulk-action").value;
   if (!action || !uSelected.size) return msg("Pick an action and some users");
-  if (action === "delete" && !confirm(`Delete ${uSelected.size} users?`)) return;
   try {
     const body = { action, user_ids: [...uSelected] };
-    if (action === "grant_tokens") body.tokens = 10;
+    if (action === "add_tokens") body.tokens = 10;
+    if (action === "set_tier") body.tier = "pro";
     await jpost("/api/admin/users/bulk-action", body);
     uSelected.clear();
     msg("Done");
@@ -281,13 +281,13 @@ async function loadPrompts() {
     $("p-table").innerHTML =
       "<tr><th>slug</th><th>v</th><th>active</th><th>date</th><th></th></tr>" +
       items.map((p) => `<tr><td>${esc(p.name)}</td><td>${p.version}</td>
-        <td>${p.is_active ? "✓" : ""}</td><td>${fmtDate(p.created_at)}</td>
-        <td><button class="sec small" data-act="${esc(p.name)}:${p.id}">activate</button></td></tr>`).join("");
+        <td>${p.active ? "✓" : ""}</td><td>${fmtDate(p.created_at)}</td>
+        <td><button class="sec small" data-act="${esc(p.name)}:${p.version}">activate</button></td></tr>`).join("");
     $("p-table").querySelectorAll("[data-act]").forEach((el) => {
       el.onclick = async () => {
-        const [slug, id] = el.dataset.act.split(":");
+        const [slug, version] = el.dataset.act.split(":");
         try {
-          await jpost(`/api/admin/prompts/${slug}/activate`, { version_id: +id });
+          await jpost(`/api/admin/prompts/${slug}/activate`, { version: +version });
           msg("Activated");
           loadPrompts();
         } catch (e) { guard(e); }
@@ -299,7 +299,7 @@ async function loadPrompts() {
 $("p-save").onclick = async () => {
   try {
     await jpost("/api/admin/prompts", {
-      name: $("p-name").value, text: $("p-text").value,
+      name: $("p-name").value, template: $("p-text").value,
     });
     msg("Saved");
     loadPrompts();
@@ -315,7 +315,7 @@ $("p-reset").onclick = async () => {
 $("p-history").onclick = async () => {
   try {
     const { items } = await jget(`/api/admin/prompts/${$("p-name").value}/history`);
-    msg(items.map((i) => `v${i.version} ${i.is_active ? "(active)" : ""}`).join(", "), 9000);
+    msg(items.map((i) => `v${i.version} ${i.active ? "(active)" : ""}`).join(", "), 9000);
   } catch (e) { guard(e); }
 };
 

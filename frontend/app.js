@@ -440,14 +440,22 @@ $("btn-refmatch").addEventListener("click", async () => {
 });
 
 /* ---------- AI assistant ---------- */
+const chatHistory = [];
+
 $("btn-ai-chat").addEventListener("click", async () => {
   const q = $("ai-q").value.trim();
   if (!q) return;
   $("ai-out").textContent = "…";
+  chatHistory.push({ role: "user", content: q });
   try {
-    const d = await jpost("/api/ai/chat", { message: q });
+    const d = await jpost("/api/ai/chat", { messages: chatHistory });
+    chatHistory.push({ role: "assistant", content: d.reply || "" });
     $("ai-out").textContent = d.reply || JSON.stringify(d);
-  } catch (e) { $("ai-out").textContent = ""; msg("AI failed: " + e.message); }
+  } catch (e) {
+    chatHistory.pop();
+    $("ai-out").textContent = "";
+    msg("AI failed: " + e.message);
+  }
 });
 
 $("btn-ai-config").addEventListener("click", async () => {
@@ -456,12 +464,13 @@ $("btn-ai-config").addEventListener("click", async () => {
   $("ai-out").textContent = "…";
   try {
     const d = await jpost("/api/ai/nl-config", { text: q });
-    if (d.config) {
-      chainConfig = d.config;
+    if (d.chain_config) {
+      chainConfig = d.chain_config;
       renderChain();
+      if (d.style) $("style").value = d.style;
       $("ai-out").textContent =
         "Chain config applied — see the chain editor above.\n" +
-        (d.explanation || "");
+        (d.reason || "");
     } else $("ai-out").textContent = JSON.stringify(d, null, 2);
   } catch (e) { $("ai-out").textContent = ""; msg("AI failed: " + e.message); }
 });
@@ -470,15 +479,13 @@ $("btn-ai-recommend").addEventListener("click", async () => {
   if (!currentFile) return msg("Choose a track first (top card)");
   const fd = new FormData();
   fd.append("file", currentFile);
-  fd.append("extended", "true");
   $("ai-out").textContent = "Analyzing…";
   try {
-    const r = await jupload("/api/v2/analyze", fd);
-    const analysis = await r.json();
-    const d = await jpost("/api/ai/recommend", { analysis });
+    const r = await jupload("/api/ai/recommend", fd);
+    const d = await r.json();
     $("ai-out").textContent =
-      `Preset: ${d.preset || d.style || "standard"} @ ` +
-      `${d.target_lufs ?? "-14"} LUFS\n${d.reason || d.explanation || ""}`;
+      `Preset: ${d.style || "standard"} @ ` +
+      `${d.target_lufs ?? "-14"} LUFS\n${d.reason || ""}`;
     if (d.style) $("style").value = d.style;
   } catch (e) { $("ai-out").textContent = ""; msg("AI failed: " + e.message); }
 });

@@ -825,6 +825,50 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
                 continue
             app.router.add_get(f"/{stem}", _page(stem))
             app.router.add_get(f"/{stem}.html", _page(stem))
+        app.router.add_get("/tools/lufs-analyzer", _page("lufs-analyzer"))
+
+        async def h_robots(request):
+            return web.FileResponse(front / "robots.txt")
+
+        async def h_sitemap(request):
+            return web.FileResponse(front / "sitemap.xml")
+
+        async def h_favicon(request):
+            return web.FileResponse(
+                front / "icon.svg",
+                headers={"Content-Type": "image/svg+xml"})
+
+        app.router.add_get("/robots.txt", h_robots)
+        app.router.add_get("/sitemap.xml", h_sitemap)
+        app.router.add_get("/favicon.ico", h_favicon)
+
+        async def h_clarity(request):
+            # Microsoft Clarity loader, active only when a project id is
+            # configured (reference: main.py /analytics/clarity.js).
+            pid = settings.clarity_project_id.strip()
+            if not pid:
+                return web.Response(text="/* analytics disabled */",
+                                    content_type="application/javascript")
+            js = (
+                '(function(c,l,a,r,i,t,y){c[a]=c[a]||function(){'
+                '(c[a].q=c[a].q||[]).push(arguments)};t=l.createElement(r);'
+                't.async=1;t.src="https://www.clarity.ms/tag/"+i;'
+                'y=l.getElementsByTagName(r)[0];y.parentNode.insertBefore('
+                f't,y);}})(window,document,"clarity","script","{pid}");'
+            )
+            return web.Response(text=js,
+                                content_type="application/javascript")
+
+        app.router.add_get("/analytics/clarity.js", h_clarity)
+    async def h_api_root(request):
+        out = {"service": "Magic Master TPU API", "version": __version__}
+        if settings.debug:
+            out["endpoints"] = sorted(
+                {r.resource.canonical for r in app.router.routes()
+                 if r.resource and r.resource.canonical.startswith("/api")})
+        return web.json_response(out)
+
+    app.router.add_get("/api", h_api_root)
     app.router.add_get("/api/health", h_health)
     app.router.add_get("/api/metrics", h_metrics)
     app.router.add_get("/api/version", h_version)

@@ -261,8 +261,10 @@ def box_smooth_same(x: jax.Array, k: int) -> jax.Array:
     R = int(_np.prod(lead)) if lead else 1
     if k < n and half < (1 << 11) and R >= 8:
         # R < 8 (e.g. a [2, n] track under vmap) would force 4x-padded
-        # sublane tiles and tiny DMAs — the halo kernel only wins with
-        # enough rows per block.
+        # sublane tiles — and a time-folded variant (segments with k-1
+        # halos into R*S rows) measured SLOWER under vmap (31 ms vs the
+        # XLA shift-add's 20 ms at [2, 7.9M]): the batched pallas grid
+        # plus the stack/crop copies eat the kernel's win.
         try:
             plat = jax.devices()[0].platform
         except Exception:  # noqa: BLE001

@@ -150,3 +150,26 @@ def test_box_smooth_width_one_identity():
 
     x = jnp.asarray(np.random.default_rng(8).standard_normal((3, 50)).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(box_smooth_same(x, 1)), np.asarray(x))
+
+
+def test_box_pallas_interpret_matches_xla():
+    """The Pallas halo box kernel (interpret mode) must match the XLA
+    shift-add decomposition, including under vmap."""
+    import functools
+    from unittest import mock
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    rng = np.random.default_rng(3)
+    k = 67
+    n = 50000
+    xb = rng.standard_normal((2, 8, n)).astype(np.float32)
+    want = np.asarray(jax.vmap(lambda x: fdfilter.box_smooth_same(x, k))(
+        jnp.asarray(xb)))
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        got = np.asarray(jax.vmap(
+            lambda x: fdfilter._box_pallas(x, k))(jnp.asarray(xb)))
+    np.testing.assert_allclose(got, want, atol=3e-5)

@@ -41,3 +41,76 @@ def test_warmup_len_sane():
     att, rel = scan.ar_coefs(SR, 0.010, 0.080)
     w = scan.warmup_len(att, rel)
     assert 10 * SR * 0.080 < w < 30 * SR * 0.080
+
+
+def test_env_pallas_interpret_matches_scan():
+    """The Pallas TPU kernel (interpret mode) must match the sequential
+    recurrence exactly — guards kernel rewrites (e.g. inner-loop unrolling)."""
+    import jax
+    from jax.experimental import pallas as pl  # noqa: F401 (presence check)
+
+    from amw_tpu.ops import scan as sc
+
+    rng = np.random.default_rng(5)
+    M, T = 128, 2048
+    wm = jnp.asarray(np.abs(rng.standard_normal((M, T))).astype(np.float32))
+    att, rel = 0.994, 0.9997
+
+    # force interpret mode through the pallas_call by monkey-patching? The
+    # kernel builder takes no flag — run it under the CPU interpreter.
+    import functools
+    from unittest import mock
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        got = np.asarray(sc._env_pallas(wm, att, rel))
+
+    want = np.asarray(sc._env_blocks(wm[..., None, :], att, rel, 8)[..., 0, :])
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_env_pallas_skip_matches_full():
+    """skip=k drops the k leading time blocks via output-index clamping."""
+    import functools
+    from unittest import mock
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    from amw_tpu.ops import scan as sc
+
+    rng = np.random.default_rng(7)
+    M, T, TB = 128, 4096, 512
+    wm = jnp.asarray(np.abs(rng.standard_normal((M, T))).astype(np.float32))
+    att, rel = 0.994, 0.9997
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        full = np.asarray(sc._env_pallas(wm, att, rel))
+        trimmed = np.asarray(sc._env_pallas(wm, att, rel, skip=3))
+    np.testing.assert_array_equal(trimmed, full[:, 3 * TB:])
+
+
+def test_envelope_follower_pallas_path_matches_cpu():
+    """Force the pallas (interpret) chunked path and compare to the plain
+    sequential recurrence."""
+    import functools
+    from unittest import mock
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    from amw_tpu.ops import scan as sc
+
+    rng = np.random.default_rng(8)
+    n = 300000
+    v = np.abs(rng.standard_normal((2, n))).astype(np.float32)
+    att, rel = 0.994, 0.9997
+    want = np.asarray(sc.envelope_follower(jnp.asarray(v), att, rel))
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(orig, interpret=True)), \
+         mock.patch.object(sc, "_use_pallas", lambda: True):
+        got = np.asarray(sc.envelope_follower(jnp.asarray(v), att, rel,
+                                              min_chunk=4096))
+    np.testing.assert_allclose(got, want, atol=2e-6)

@@ -236,10 +236,72 @@ $("btn-download").addEventListener("click", () => {
   window.location = api(`/api/master/result/${currentJob}`);
 });
 
+/* A/B preview with a live WebAudio spectrum + level scope (reference
+   app.js renders canvas visualizers during preview playback). */
 let abAudio = null;
+let abCtx = null, abAnalyser = null, abRaf = 0;
+
+function stopScope() {
+  cancelAnimationFrame(abRaf);
+  const cv = $("ab-scope");
+  if (cv) cv.classList.add("hidden");
+}
+
+function drawScope(label) {
+  const cv = $("ab-scope");
+  if (!cv || !abAnalyser) return;
+  cv.classList.remove("hidden");
+  const g = cv.getContext("2d");
+  const bins = new Uint8Array(abAnalyser.frequencyBinCount);
+  const wave = new Uint8Array(abAnalyser.fftSize);
+  const Wc = cv.width, Hc = cv.height;
+  const nBars = 96;
+  const acc = getComputedStyle(document.documentElement)
+    .getPropertyValue("--acc2").trim() || "#60c8ff";
+  function frame() {
+    abRaf = requestAnimationFrame(frame);
+    abAnalyser.getByteFrequencyData(bins);
+    abAnalyser.getByteTimeDomainData(wave);
+    g.clearRect(0, 0, Wc, Hc);
+    // log-spaced spectrum bars
+    const bw = Wc / nBars;
+    for (let i = 0; i < nBars; i++) {
+      const lo = Math.floor(Math.pow(bins.length, i / nBars));
+      const hi = Math.max(lo + 1, Math.floor(Math.pow(bins.length, (i + 1) / nBars)));
+      let v = 0;
+      for (let j = lo; j < hi; j++) v = Math.max(v, bins[j]);
+      const h = (v / 255) * (Hc - 14);
+      g.fillStyle = acc;
+      g.globalAlpha = 0.9;
+      g.fillRect(i * bw + 1, Hc - h, bw - 2, h);
+    }
+    // peak level from the waveform
+    let peak = 0;
+    for (let i = 0; i < wave.length; i += 16)
+      peak = Math.max(peak, Math.abs(wave[i] - 128) / 128);
+    g.globalAlpha = 1;
+    g.fillStyle = "#ebeef5";
+    g.font = "11px system-ui";
+    g.fillText(`${label} · peak ${(20 * Math.log10(Math.max(peak, 1e-4))).toFixed(1)} dBFS`, 8, 13);
+  }
+  frame();
+}
+
 function playPreview(src) {
   if (abAudio) { abAudio.pause(); abAudio = null; }
+  stopScope();
   abAudio = new Audio(api(`/api/master/preview/${currentJob}?src=${src}`));
+  abAudio.crossOrigin = "anonymous";
+  try {
+    abCtx = abCtx || new (window.AudioContext || window.webkitAudioContext)();
+    const node = abCtx.createMediaElementSource(abAudio);
+    abAnalyser = abCtx.createAnalyser();
+    abAnalyser.fftSize = 2048;
+    node.connect(abAnalyser);
+    abAnalyser.connect(abCtx.destination);
+    drawScope(src);
+    abAudio.onended = stopScope;
+  } catch (e) { /* visualization is optional; audio still plays */ }
   abAudio.play();
 }
 $("btn-ab-orig").addEventListener("click", () => playPreview("original"));

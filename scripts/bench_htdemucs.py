@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""htdemucs forward on TPU at the released model shape (BASELINE config #5
+compute path): compile + time one 7.8 s segment, report segments/sec and
+realtime factor for 4-stem separation.
+
+Weights are random unless AMW_HTDEMUCS_CKPT points at a converted
+checkpoint — timing is weight-independent (same graph).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_htdemucs.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from amw_tpu.models import htdemucs_jax as hj
+
+    cfg = hj.HTConfig()  # released htdemucs shape
+    seg = cfg.segment_samples
+    print(f"devices: {jax.devices()}")
+    print(f"config: depth={cfg.depth} ch={cfg.channels} "
+          f"bottom={cfg.bottom_channels} t_layers={cfg.t_layers} "
+          f"segment={cfg.segment}s ({seg} samples)")
+
+    import os
+
+    ckpt = os.environ.get("AMW_HTDEMUCS_CKPT")
+    if ckpt:
+        cfg, params = hj.load_params(ckpt)
+        print(f"loaded converted weights from {ckpt}")
+    else:
+        t0 = time.perf_counter()
+        params = hj.init_params(cfg)
+        print(f"random-init weights (torch oracle) in "
+              f"{time.perf_counter()-t0:.1f}s "
+              f"({sum(v.size for v in params.values())/1e6:.1f} M params)")
+
+    dev_params = jax.device_put(params)
+    rng = np.random.default_rng(0)
+    mix = jax.device_put(
+        (0.1 * rng.standard_normal((1, 2, seg))).astype(np.float32))
+
+    def fence(v):
+        return float(v)
+
+    ready = jax.device_put(np.ones(8, np.float32))
+    for _ in range(2):
+        fence(jnp.sum(ready))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        fence(jnp.sum(ready))
+    relay = (time.perf_counter() - t0) / 4
+    print(f"relay round-trip: {relay*1e3:.0f} ms")
+
+    fwd = jax.jit(lambda p, x: jnp.sum(jnp.square(hj.forward(p, x, cfg))))
+    t0 = time.perf_counter()
+    fence(fwd(dev_params, mix))
+    print(f"compiled+ran in {time.perf_counter()-t0:.1f}s")
+
+    reps = 5
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(reps):
+        acc = fwd(dev_params, mix)
+    fence(acc)
+    dt = (time.perf_counter() - t0 - relay) / reps
+    rtf = cfg.segment / dt
+    print(f"forward: {dt*1e3:.0f} ms per {cfg.segment}s segment -> "
+          f"{rtf:.1f}x realtime (4-stem separation, batch 1)")
+
+    # Overlap-25% segmented track estimate.
+    eff = rtf * (1 - 0.25)
+    print(f"segmented track throughput (overlap 0.25): ~{eff:.1f}x realtime")
+
+    # Batched segments (separate()'s production batch=4).
+    B = 4
+    mixb = jax.device_put(
+        (0.1 * rng.standard_normal((B, 2, seg))).astype(np.float32))
+    t0 = time.perf_counter()
+    fence(fwd(dev_params, mixb))
+    print(f"batch={B} compiled+ran in {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(reps):
+        acc = fwd(dev_params, mixb)
+    fence(acc)
+    dtb = (time.perf_counter() - t0 - relay) / reps
+    rtfb = B * cfg.segment / dtb
+    print(f"forward batch={B}: {dtb*1e3:.0f} ms -> {rtfb:.1f}x realtime "
+          f"(~{rtfb*0.75:.1f}x segmented)")
+
+
+if __name__ == "__main__":
+    main()

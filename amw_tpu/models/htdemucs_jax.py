@@ -507,39 +507,66 @@ def save_params(params: dict, path: str, cfg: "HTConfig | None" = None):
     ckpt.wait_until_finished()
 
 
+_JIT_CACHE: dict = {}
+
+
+def _jitted_forward(cfg: HTConfig):
+    """One jitted forward per architecture config — a fresh ``jax.jit``
+    closure per call would recompile on EVERY request (~47 s for the
+    released shape at batch 4 on the relay)."""
+    key = (cfg.channels, cfg.nfft, cfg.bottom_channels, cfg.t_layers,
+           cfg.t_heads, cfg.depth, cfg.samplerate, len(cfg.sources),
+           cfg.audio_channels)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda pp, xx: forward(pp, xx, cfg))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
 def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
              segment: int | None = None, overlap: float = 0.25,
-             batch: int = 4) -> np.ndarray:
+             batch: int = 4, stems: tuple | None = None) -> np.ndarray:
     """[C, T] -> stems [S, C, T]: overlapping fixed-size segments through one
     jitted forward, triangular cross-fade weighting (the shape demucs'
     apply_model uses with transition_power=1).
 
     Segments run ``batch`` at a time through one vmapped graph — on TPU the
     model is launch/HBM-bound at batch 1 (126 ms/segment on v5e), so
-    batching segments raises track throughput ~linearly up to memory."""
+    batching segments raises track throughput ~linearly up to memory.
+
+    ``stems``: subset of source names to return (e.g. ``("vocals",)``) —
+    the others are dropped ON DEVICE before the host fetch, which matters
+    on relay-attached TPUs where device→host bandwidth dominates.  Pass
+    device-resident ``params`` (``jax.device_put`` once, reuse) to avoid
+    re-uploading ~170 MB of weights per call."""
     cfg = cfg or HTConfig()
     seg = segment or cfg.segment_samples
     C, T = mix.shape
     stride = max(1, int(seg * (1 - overlap)))
-    out = np.zeros((len(cfg.sources), C, T), np.float32)
+    src_idx = (list(range(len(cfg.sources))) if stems is None
+               else [cfg.sources.index(s) for s in stems])
+    out = np.zeros((len(src_idx), C, T), np.float32)
     weight_acc = np.zeros(T, np.float32)
     w = np.concatenate([np.arange(1, seg // 2 + 1),
                         np.arange(seg - seg // 2, 0, -1)]).astype(np.float32)
     w = w / w.max()
-    apply = jax.jit(lambda pp, xx: forward(pp, xx, cfg))
+    apply = _jitted_forward(cfg)
     dev_params = jax.device_put(params)
+    idx_dev = jnp.asarray(np.asarray(src_idx, np.int32))
     starts = list(range(0, max(T - seg, 0) + stride, stride))
     if not starts:
         starts = [0]
     # Fixed batch size => one compiled graph; the tail batch is padded with
-    # repeats (their outputs are discarded).
+    # repeats (their outputs are dropped on device before the fetch).
     for i in range(0, len(starts), batch):
         group = starts[i:i + batch]
         chunk = np.zeros((batch, C, seg), np.float32)
         for j, start in enumerate(group):
             end = min(start + seg, T)
             chunk[j, :, :end - start] = mix[:, start:end]
-        stems_b = np.asarray(apply(dev_params, chunk))
+        stems_dev = apply(dev_params, chunk)
+        stems_b = np.asarray(stems_dev[: len(group), idx_dev])
         for j, start in enumerate(group):
             end = min(start + seg, T)
             out[:, :, start:end] += stems_b[j][:, :, :end - start] \

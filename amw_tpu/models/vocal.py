@@ -153,8 +153,7 @@ def separate_htdemucs(audio: np.ndarray, sr: int) -> np.ndarray | None:
     if sr != cfg.samplerate:
         n_model = int(round(n * cfg.samplerate / sr))
         x = np.asarray(resample_fft(x, n_model, resample_plan(n, n_model)))
-    stems = hj.separate(params, x, cfg)
-    vocals = stems[cfg.sources.index("vocals")]
+    vocals = hj.separate(params, x, cfg, stems=("vocals",))[0]
     if sr != cfg.samplerate:
         vocals = np.asarray(resample_fft(vocals, n,
                                          resample_plan(vocals.shape[-1], n)))

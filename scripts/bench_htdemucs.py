@@ -97,6 +97,32 @@ def main():
     print(f"forward batch={B}: {dtb*1e3:.0f} ms -> {rtfb:.1f}x realtime "
           f"(~{rtfb*0.75:.1f}x segmented)")
 
+    # BASELINE config #5 end-to-end: htdemucs separation of a full track,
+    # then the v1 mastering chain on the vocal stem — all on TPU.
+    from amw_tpu.models.pipeline_v1 import build_v1_pipeline
+    from amw_tpu.spec import GraphSpec
+
+    dur = 60.0
+    n = int(cfg.samplerate * dur)
+    track = (0.1 * rng.standard_normal((2, n))).astype(np.float32)
+    spec = GraphSpec(sr=cfg.samplerate, n=n, channels=2, exact=True)
+    mparams, mfn, _ = build_v1_pipeline(spec, target_lufs=-14.0,
+                                        style="standard", jit=True)
+    mp_dev = jax.device_put(mparams)
+    # warm both graphs; weights stay device-resident across calls.
+    _ = hj.separate(dev_params, track[:, : cfg.segment_samples * 2], cfg,
+                    stems=("vocals",))
+    fence(jnp.sum(jnp.square(mfn(jnp.asarray(track), mp_dev))))
+    t0 = time.perf_counter()
+    vocals = hj.separate(dev_params, track, cfg, stems=("vocals",))[0]
+    vocals = np.clip(vocals, -1.0, 1.0)
+    mastered = mfn(jnp.asarray(vocals.astype(np.float32)), mp_dev)
+    fence(jnp.sum(jnp.square(mastered)))
+    e2e = time.perf_counter() - t0 - relay
+    print(f"end-to-end (separate {dur:.0f}s + master vocal stem): "
+          f"{e2e:.2f}s -> {dur/e2e:.1f}x realtime (BASELINE config #5; "
+          f"includes {dur:.0f}s of stem download through the relay)")
+
 
 if __name__ == "__main__":
     main()

@@ -515,8 +515,10 @@ def _jitted_forward(cfg: HTConfig):
     closure per call would recompile on EVERY request (~47 s for the
     released shape at batch 4 on the relay)."""
     key = (cfg.channels, cfg.nfft, cfg.bottom_channels, cfg.t_layers,
-           cfg.t_heads, cfg.depth, cfg.samplerate, len(cfg.sources),
-           cfg.audio_channels)
+           cfg.t_heads, cfg.depth, cfg.samplerate, cfg.sources,
+           cfg.audio_channels, cfg.growth, cfg.t_hidden_scale,
+           cfg.dconv_depth, cfg.dconv_comp, cfg.dconv_init,
+           cfg.freq_emb_scale, cfg.emb_scale, cfg.emb_smooth)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(lambda pp, xx: forward(pp, xx, cfg))
@@ -555,10 +557,8 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
     dev_params = jax.device_put(params)
     idx_dev = jnp.asarray(np.asarray(src_idx, np.int32))
     starts = list(range(0, max(T - seg, 0) + stride, stride))
-    if not starts:
-        starts = [0]
     # Fixed batch size => one compiled graph; the tail batch is padded with
-    # repeats (their outputs are dropped on device before the fetch).
+    # zero chunks (their outputs are dropped on device before the fetch).
     for i in range(0, len(starts), batch):
         group = starts[i:i + batch]
         chunk = np.zeros((batch, C, seg), np.float32)

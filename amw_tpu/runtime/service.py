@@ -828,10 +828,22 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
         app.router.add_get("/tools/lufs-analyzer", _page("lufs-analyzer"))
 
         async def h_robots(request):
-            return web.FileResponse(front / "robots.txt")
+            # The Sitemap directive must be an absolute URL — render it
+            # against this request's origin (or the configured public URL).
+            base = (settings.public_base_url.rstrip("/")
+                    or str(request.url.origin()))
+            text = (front / "robots.txt").read_text().replace(
+                "Sitemap: /sitemap.xml", f"Sitemap: {base}/sitemap.xml")
+            return web.Response(text=text, content_type="text/plain")
 
         async def h_sitemap(request):
-            return web.FileResponse(front / "sitemap.xml")
+            # <loc> values must be fully qualified; the template keeps
+            # relative paths so one file serves any deployment host.
+            base = (settings.public_base_url.rstrip("/")
+                    or str(request.url.origin()))
+            xml = (front / "sitemap.xml").read_text().replace(
+                "<loc>/", f"<loc>{base}/")
+            return web.Response(text=xml, content_type="application/xml")
 
         async def h_favicon(request):
             return web.FileResponse(
@@ -845,7 +857,13 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
         async def h_clarity(request):
             # Microsoft Clarity loader, active only when a project id is
             # configured (reference: main.py /analytics/clarity.js).
+            # Strictly validate the id — it is interpolated into served JS,
+            # so a stray quote would be a stored-XSS vector via settings.
+            import re as _re
+
             pid = settings.clarity_project_id.strip()
+            if pid and not _re.fullmatch(r"[A-Za-z0-9_-]{1,64}", pid):
+                pid = ""
             if not pid:
                 return web.Response(text="/* analytics disabled */",
                                     content_type="application/javascript")

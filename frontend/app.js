@@ -239,10 +239,15 @@ $("btn-download").addEventListener("click", () => {
 /* A/B preview with a live WebAudio spectrum + level scope (reference
    app.js renders canvas visualizers during preview playback). */
 let abAudio = null;
-let abCtx = null, abAnalyser = null, abRaf = 0;
+let abCtx = null, abAnalyser = null, abSource = null, abRaf = 0;
 
 function stopScope() {
   cancelAnimationFrame(abRaf);
+  // Disconnect the previous graph nodes — otherwise each A/B click leaks
+  // a source+analyser pair wired into the shared AudioContext.
+  try { abSource && abSource.disconnect(); } catch (e) { /* detached */ }
+  try { abAnalyser && abAnalyser.disconnect(); } catch (e) { /* detached */ }
+  abSource = abAnalyser = null;
   const cv = $("ab-scope");
   if (cv) cv.classList.add("hidden");
 }
@@ -294,10 +299,10 @@ function playPreview(src) {
   abAudio.crossOrigin = "anonymous";
   try {
     abCtx = abCtx || new (window.AudioContext || window.webkitAudioContext)();
-    const node = abCtx.createMediaElementSource(abAudio);
+    abSource = abCtx.createMediaElementSource(abAudio);
     abAnalyser = abCtx.createAnalyser();
     abAnalyser.fftSize = 2048;
-    node.connect(abAnalyser);
+    abSource.connect(abAnalyser);
     abAnalyser.connect(abCtx.destination);
     drawScope(src);
     abAudio.onended = stopScope;

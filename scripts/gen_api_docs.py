@@ -135,7 +135,7 @@ def main():
         out.append("| Method | Path | Description |")
         out.append("|---|---|---|")
         for path, method, doc in group:
-            out.append(f"| {method} | `{path}` | {doc} |")
+            out.append(f"| {method} | `{path}` | {doc.replace('|', '\\|')} |")
         out.append("")
     text = "\n".join(out) + "\n"
     dest = pathlib.Path(__file__).resolve().parent.parent / "docs" / "API.md"

@@ -22,21 +22,18 @@ def main() -> int:
 
     data = open(args.infile, "rb").read()
     if args.model == "htdemucs" and args.weights:
-        import numpy as np
+        # Route through the serving path (resampling to the model rate,
+        # DSP fallback on load failure) with the checkpoint pinned.
+        import os
 
-        from amw_tpu.models.htdemucs_jax import load_params, separate
-        from amw_tpu.utils import wav
-        from amw_tpu.utils.audio_io import load_audio_from_bytes
+        os.environ["AMW_HTDEMUCS_CKPT"] = args.weights
+        from amw_tpu.models.vocal import isolate_vocal_bytes
 
-        audio, sr = load_audio_from_bytes(data, args.infile)
-        model, params = load_params(args.weights)
-        stems = separate(model, params, audio)
-        vocals = stems[model.cfg.sources.index("vocals")]
-        out = wav.write_wav_float32(np.asarray(vocals), sr)
+        out = isolate_vocal_bytes(data, args.infile, model="htdemucs")
     else:
         from amw_tpu.models.vocal import isolate_vocal_bytes
 
-        out = isolate_vocal_bytes(data, args.infile)
+        out = isolate_vocal_bytes(data, args.infile, model=args.model)
     open(args.outfile, "wb").write(out)
     print(f"wrote {args.outfile}")
     return 0

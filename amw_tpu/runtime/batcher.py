@@ -64,11 +64,19 @@ class Batcher:
             self._thread = None
         self._stop = False
 
-    def submit(self, key, x: np.ndarray, aux=None) -> Future:
+    def submit(self, key, x: np.ndarray, aux=None,
+               max_batch: int | None = None) -> Future:
+        """``max_batch``: per-key cap (e.g. memory-derived from the item
+        size) — the effective cap is the min over submissions for the key
+        and the batcher-wide max."""
         item = _Pending(x=x, aux=aux)
         with self._lock:
-            self._queues.setdefault(key, {"items": [], "first_ts": None})
+            self._queues.setdefault(key, {"items": [], "first_ts": None,
+                                          "cap": None})
             q = self._queues[key]
+            if max_batch is not None:
+                q["cap"] = (max_batch if q.get("cap") is None
+                            else min(q["cap"], max_batch))
             q["items"].append(item)
             if q["first_ts"] is None:
                 q["first_ts"] = time.monotonic()
@@ -83,9 +91,10 @@ class Batcher:
             if not q["items"]:
                 continue
             deadline = q["first_ts"] + self.window
-            if len(q["items"]) >= self.max_batch or now >= deadline:
-                ready.append((key, q["items"][: self.max_batch]))
-                q["items"] = q["items"][self.max_batch:]
+            cap = min(self.max_batch, q.get("cap") or self.max_batch)
+            if len(q["items"]) >= cap or now >= deadline:
+                ready.append((key, q["items"][:cap]))
+                q["items"] = q["items"][cap:]
                 q["first_ts"] = time.monotonic() if q["items"] else None
             else:
                 next_deadline = (deadline if next_deadline is None

@@ -187,9 +187,14 @@ class MasteringEngine:
         with _maybe_profile("master_v2"):
             if self._batcher is not None:
                 ema = self._dur_ema.get(ema_key) if progress else None
+                # Memory-derived batch cap: B=8 at the 180 s bucket is the
+                # validated HBM working set; longer buckets batch fewer
+                # tracks (a 600 s bucket caps at 2).
+                cap = max(1, int((8 * 180 * 44100) // max(spec.n, 1)))
                 with prog_mod.TimedTicker(names, report, ema):
-                    res = self._batcher.submit(("v2", spec, key), xb,
-                                               aux=nv).result(timeout=600.0)
+                    res = self._batcher.submit(
+                        ("v2", spec, key), xb, aux=nv,
+                        max_batch=cap).result(timeout=600.0)
                 dt = time.monotonic() - t0
                 prev = self._dur_ema.get(ema_key)
                 self._dur_ema[ema_key] = (dt if prev is None

@@ -25,7 +25,9 @@ import time
 
 import numpy as np
 
-WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "2100"))
+# Budget: first-time compiles total ~6-10 min, plus up to ~15 min of relay
+# recovery if a previous TPU process just exited (docs/TPU_NOTES.md).
+WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "2700"))
 
 RESULTS = {
     "metric": "realtime_factor_v1_chain",

@@ -134,3 +134,29 @@ def test_engine_micro_batch_mode():
             assert abs(got[i]["after_lufs"] - want[i]["after_lufs"]) < 0.05
     finally:
         batched._batcher.stop()
+
+
+def test_batcher_per_key_cap():
+    """A memory-derived per-key max_batch caps group size below the global
+    max (long buckets must not batch 8 tracks)."""
+    import numpy as np
+
+    from amw_tpu.runtime.batcher import Batcher
+
+    seen = []
+
+    def run(key, xb, aux=None):
+        seen.append(xb.shape[0])
+        return [x for x in xb]
+
+    b = Batcher(run, window_ms=30.0, max_batch=8)
+    b.start()
+    try:
+        futs = [b.submit("k", np.full((4,), i, np.float32), max_batch=2)
+                for i in range(6)]
+        for f in futs:
+            f.result(timeout=10.0)
+    finally:
+        b.stop()
+    assert seen and max(seen) <= 2, seen
+    assert sum(seen) == 6

@@ -293,9 +293,16 @@ function drawScope(label) {
 }
 
 function playPreview(src) {
+  // carry the playback position across A/B switches so the comparison is
+  // at the same musical moment
+  const pos = abAudio && !abAudio.ended ? abAudio.currentTime : 0;
   if (abAudio) { abAudio.pause(); abAudio = null; }
   stopScope();
   abAudio = new Audio(api(`/api/master/preview/${currentJob}?src=${src}`));
+  if (pos > 0.05)
+    abAudio.addEventListener("loadedmetadata", () => {
+      if (pos < (abAudio.duration || 1e9)) abAudio.currentTime = pos;
+    }, { once: true });
   abAudio.crossOrigin = "anonymous";
   try {
     abCtx = abCtx || new (window.AudioContext || window.webkitAudioContext)();

@@ -118,11 +118,15 @@ async function loadLocale() {
 }
 
 function applyI18n(root = document) {
+  // Only rewrite when a translation exists — the default language keeps
+  // the original markup (e.g. <em> inside tagged headings) intact.
   root.querySelectorAll("[data-i18n]").forEach((el) => {
-    el.textContent = T(el.dataset.i18n || el.textContent);
+    const t = mmDict[el.dataset.i18n];
+    if (t) el.textContent = t;
   });
   root.querySelectorAll("[data-i18n-ph]").forEach((el) => {
-    el.placeholder = T(el.dataset.i18nPh);
+    const t = mmDict[el.dataset.i18nPh];
+    if (t) el.placeholder = t;
   });
 }
 

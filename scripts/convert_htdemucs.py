@@ -32,7 +32,9 @@ def load_torch_state(path: str) -> dict:
     blob = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(blob, dict) and "models" in blob:
         blob = blob["models"][0]
-    for key in ("state", "state_dict"):
+    # demucs remote checkpoints store {'klass','args','kwargs','state'};
+    # training snapshots may carry 'best_state' (EMA) alongside 'state'.
+    for key in ("best_state", "state", "state_dict"):
         if isinstance(blob, dict) and key in blob:
             blob = blob[key]
             break
@@ -40,7 +42,14 @@ def load_torch_state(path: str) -> dict:
         blob = blob.state_dict()
     if not isinstance(blob, dict):
         raise SystemExit("unrecognized checkpoint layout")
-    return {k: v for k, v in blob.items() if hasattr(v, "shape")}
+    out = {}
+    for k, v in blob.items():
+        if not hasattr(v, "shape"):
+            continue
+        # strip DataParallel/compile prefixes; cast half/bf16 to f32
+        k = k.removeprefix("module.").removeprefix("_orig_mod.")
+        out[k] = v.float() if hasattr(v, "float") else v
+    return out
 
 
 def cmd_inspect(path: str) -> int:

@@ -64,8 +64,14 @@ class MasteringEngine:
         self.bucket = bucket
         self.micro_batch = (settings.engine_micro_batch
                             if micro_batch is None else micro_batch)
-        self._cache: dict = {}
-        self._batch_graphs: dict = {}
+        from collections import OrderedDict
+
+        # LRU-capped: every distinct (bucket, chain-config, target, style)
+        # signature compiles its own graph whose params/executable pin HBM
+        # and host memory — unbounded custom configs would otherwise leak.
+        self._cache: "OrderedDict" = OrderedDict()
+        self._batch_graphs: "OrderedDict" = OrderedDict()
+        self._cache_cap = 32
         self._dur_ema: dict = {}  # graph key -> EMA of run wall time (sec)
         self._lock = threading.Lock()
         self._batcher = None
@@ -84,12 +90,21 @@ class MasteringEngine:
         key = (kind, spec, key_extra)
         with self._lock:
             hit = self._cache.get(key)
-        if hit is not None:
-            return hit
+            if hit is not None:
+                self._cache.move_to_end(key)
+                return hit
         built = build()
         with self._lock:
             self._cache.setdefault(key, built)
-        return self._cache[key]
+            self._cache.move_to_end(key)
+            while len(self._cache) > self._cache_cap:
+                old_key, _ = self._cache.popitem(last=False)
+                # drop batch graphs derived from the evicted base graph
+                # (their keys are (base_key, b_pow2))
+                for bk in [b for b in self._batch_graphs
+                           if b[0] == old_key]:
+                    self._batch_graphs.pop(bk, None)
+            return self._cache[key]
 
     # Tracks shorter than this (seconds) compile at their exact length:
     # the valid-end dynamic edge windows (ops.validctx) need the valid

@@ -160,3 +160,22 @@ def test_batcher_per_key_cap():
         b.stop()
     assert seen and max(seen) <= 2, seen
     assert sum(seen) == 6
+
+
+def test_engine_graph_cache_lru():
+    """The compiled-graph cache evicts least-recently-used entries past the
+    cap (unbounded custom chain configs must not leak graphs)."""
+    from amw_tpu.runtime.engine import MasteringEngine
+
+    eng = MasteringEngine(bucket=False, micro_batch=False)
+    eng._cache_cap = 3
+    for i in range(6):
+        eng._get_graph("t", ("spec", i), "k", lambda i=i: ("built", i))
+    assert len(eng._cache) == 3
+    # most-recent three survive
+    assert [k[1][1] for k in eng._cache] == [3, 4, 5]
+    # a hit refreshes recency
+    eng._get_graph("t", ("spec", 3), "k", lambda: ("rebuilt", 3))
+    eng._get_graph("t", ("spec", 6), "k", lambda: ("built", 6))
+    assert ("t", ("spec", 3), "k") in eng._cache
+    assert ("t", ("spec", 4), "k") not in eng._cache

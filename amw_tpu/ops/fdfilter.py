@@ -277,6 +277,10 @@ def box_smooth_same(x: jax.Array, k: int) -> jax.Array:
     if b >= 2:
         # Two-level sliding sum: k = a*b + r needs a+b+r shifted adds
         # instead of k (XLA materializes each shifted add as a pass).
+        # NOTE: a binary-doubling decomposition (log2 k passes) measured
+        # FASTER in isolation (18.2 vs 20.0 ms) but regressed the fused
+        # chain by ~30 ms/batch-8 — the longer dependency chain of reused
+        # intermediates fuses worse inside the full graph.  Keep a*b+r.
         r = k - a * b
         La = n + k - a
         sa = xp[..., 0:La]

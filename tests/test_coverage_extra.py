@@ -114,3 +114,46 @@ def test_anomaly_pct_thresholds(monkeypatch):
     alerts = anomaly.check_anomalies()
     assert any("RAM usage" in a for a in alerts), alerts
     assert any("Disk usage" in a for a in alerts), alerts
+
+
+def test_chain_compiler_random_configs():
+    """Any module subset/order/amount the public v2 config surface can
+    express must compile and produce finite output (build-time bypass on
+    invalid parameter combinations, chain.py policy)."""
+    import jax.numpy as jnp
+
+    from amw_tpu.models.chain import MODULE_BUILDERS, compile_chain
+    from amw_tpu.spec import GraphSpec
+
+    rng = np.random.default_rng(11)
+    sr = 22050
+    spec = GraphSpec(sr=sr, n=sr, channels=2, exact=True)
+    t = np.arange(sr) / sr
+    x = np.stack([0.4 * np.sin(2 * np.pi * 330 * t),
+                  0.3 * np.sin(2 * np.pi * 220 * t)]).astype(np.float32)
+    ids = list(MODULE_BUILDERS)
+    for trial in range(6):
+        k = int(rng.integers(1, len(ids) + 1))
+        chosen = list(rng.choice(ids, size=k, replace=True))
+        modules = []
+        for mid in chosen:
+            m = {"id": mid, "enabled": bool(rng.random() < 0.9),
+                 "amount": float(np.round(rng.uniform(0.0, 1.0), 2))}
+            if mid == "normalize_lufs":
+                m["target_lufs"] = float(rng.uniform(-24.0, -9.0))
+            if mid == "dynamics":
+                m["knee_db"] = float(rng.uniform(2.0, 10.0))
+            if mid == "exciter":
+                m["exciter_db"] = float(rng.uniform(0.0, 3.0))
+                m["oversample"] = int(rng.choice([1, 2]))
+            if mid == "reverb":
+                m["mix"] = float(rng.uniform(0.0, 0.4))
+                m["decay_sec"] = float(rng.uniform(0.3, 2.0))
+            if mid == "imager":
+                m["width"] = float(rng.uniform(0.5, 1.6))
+            modules.append(m)
+        chain = compile_chain(spec, {"modules": modules}, jit=True)
+        y = np.asarray(chain.fn(jnp.asarray(x), chain.params))
+        assert y.shape == x.shape, (trial, chosen)
+        assert np.all(np.isfinite(y)), (trial, chosen)
+        assert np.max(np.abs(y)) <= 1.0 + 1e-5, (trial, chosen)

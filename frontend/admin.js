@@ -333,8 +333,14 @@ async function loadReports() {
           const d = await jget(`/api/admin/reports/${el.dataset.rep}`);
           lastReport = el.dataset.rep;
           const rows = d.rows || d.items || [];
-          if (!rows.length) { $("r-table").innerHTML = "<tr><td>empty</td></tr>"; return; }
+          if (!rows.length) {
+            $("r-table").innerHTML = "<tr><td>empty</td></tr>";
+            $("r-chart").classList.add("hidden");
+            return;
+          }
           const cols = Object.keys(rows[0]);
+          renderReportChart(rows, cols);
+          // the table stays as the accessible data view under the chart
           $("r-table").innerHTML =
             `<tr>${cols.map((c) => `<th>${esc(c)}</th>`).join("")}</tr>` +
             rows.map((r) => `<tr>${cols.map((c) => `<td>${esc(r[c])}</td>`).join("")}</tr>`).join("");
@@ -342,6 +348,25 @@ async function loadReports() {
       };
     });
   } catch (e) { guard(e); }
+}
+
+function renderReportChart(rows, cols) {
+  // Daily-count reports come back as (d, n) pairs — render a single-series
+  // bar chart (chronological), per-bar tooltip, table below as data view.
+  const host = $("r-chart");
+  if (!(cols.length === 2 && cols.includes("d") && cols.includes("n"))) {
+    host.classList.add("hidden");
+    return;
+  }
+  const data = rows.slice().reverse(); // API returns DESC; plot ascending
+  const maxN = Math.max(1, ...data.map((r) => +r.n || 0));
+  $("r-bars").innerHTML = data.map((r) => {
+    const h = Math.max(2, Math.round((+r.n || 0) / maxN * 112));
+    return `<div style="height:${h}px" title="${esc(r.d)}: ${esc(r.n)}"></div>`;
+  }).join("");
+  $("r-x0").textContent = data[0].d;
+  $("r-x1").textContent = data[data.length - 1].d;
+  host.classList.remove("hidden");
 }
 
 $("r-summarize").onclick = async () => {

@@ -95,6 +95,11 @@ class Batcher:
             if len(q["items"]) >= cap or now >= deadline:
                 ready.append((key, q["items"][:cap]))
                 q["items"] = q["items"][cap:]
+                if not q["items"]:
+                    # cap is per-group, not a lifetime minimum: once the
+                    # backlog drains, future submissions re-establish it
+                    # (a transient low cap must not pin the key forever).
+                    q["cap"] = None
                 q["first_ts"] = time.monotonic() if q["items"] else None
             else:
                 next_deadline = (deadline if next_deadline is None

@@ -106,6 +106,17 @@ class MasteringEngine:
                     self._batch_graphs.pop(bk, None)
             return self._cache[key]
 
+
+    def _note_duration(self, ema_key, dt: float) -> None:
+        """EMA of a graph's wall time for progress interpolation; bounded
+        (oldest-inserted entries dropped) so unbounded distinct configs
+        don't leak key strings."""
+        prev = self._dur_ema.get(ema_key)
+        self._dur_ema[ema_key] = (dt if prev is None
+                                  else 0.7 * prev + 0.3 * dt)
+        while len(self._dur_ema) > 4 * self._cache_cap:
+            self._dur_ema.pop(next(iter(self._dur_ema)))
+
     # Tracks shorter than this (seconds) compile at their exact length:
     # the valid-end dynamic edge windows (ops.validctx) need the valid
     # region to dominate the largest filter settle window, and sub-3 s
@@ -211,9 +222,7 @@ class MasteringEngine:
                         ("v2", spec, key), xb, aux=nv,
                         max_batch=cap).result(timeout=600.0)
                 dt = time.monotonic() - t0
-                prev = self._dur_ema.get(ema_key)
-                self._dur_ema[ema_key] = (dt if prev is None
-                                          else 0.7 * prev + 0.3 * dt)
+                self._note_duration(ema_key, dt)
             elif use_ticks:
                 tok = prog_mod.register(names, report)
                 try:
@@ -229,9 +238,7 @@ class MasteringEngine:
                     res = fn(xb, params, nv)
                     res = {k: np.asarray(v) for k, v in res.items()}
                 dt = time.monotonic() - t0
-                prev = self._dur_ema.get(ema_key)
-                self._dur_ema[ema_key] = (dt if prev is None
-                                          else 0.7 * prev + 0.3 * dt)
+                self._note_duration(ema_key, dt)
         out = np.asarray(res["out"])[..., :n]
         before = float(np.asarray(res["before_lufs"]))
         after = float(np.asarray(res["after_lufs"]))
@@ -269,7 +276,15 @@ class MasteringEngine:
 
     def _run_v2_batch(self, bkey, xb, nvb):
         kind, spec, key = bkey
-        params, _fn, (names, raw_fn) = self._cache[(kind, spec, key)]
+        with self._lock:
+            entry = self._cache.get((kind, spec, key))
+        if entry is None:
+            # LRU-evicted between submit and batch execution (needs >cap
+            # distinct compiles inside one 50 ms batch window — effectively
+            # impossible, but fail with a retryable message, not KeyError).
+            raise RuntimeError(
+                "compiled graph evicted under cache pressure; retry the job")
+        params, _fn, (names, raw_fn) = entry
         b = xb.shape[0]
         b_pow2 = 1 << (b - 1).bit_length()
         gkey = (bkey, b_pow2)
@@ -342,9 +357,7 @@ class MasteringEngine:
                     res = fn(xb, params, np.int32(n))
                     res = {k: np.asarray(v) for k, v in res.items()}
                 dt = time.monotonic() - t0
-                prev = self._dur_ema.get(ema_key)
-                self._dur_ema[ema_key] = (dt if prev is None
-                                          else 0.7 * prev + 0.3 * dt)
+                self._note_duration(ema_key, dt)
         out = np.asarray(res["out"])[..., :n]
         before = float(np.asarray(res["before_lufs"]))
         after = float(np.asarray(res["after_lufs"]))
@@ -461,19 +474,18 @@ class MasteringEngine:
                 f"sample rate ({sr})")
         n = audio.shape[-1]
         n_out = int(round(n * target_sr / sr))
-        key = ("upscale", sr, n, target_sr)
-        with self._lock:
-            fn = self._cache.get(key)
-        if fn is None:
+
+        def _build_upscale():
             # Bluestein tables ride as runtime args: arbitrary track lengths
             # are not native TPU FFT sizes (fdfilter.resample_plan).
             plan = resample_plan(n, n_out)
             plan_dev = (jax.device_put(plan) if plan else None)
-            fn = (jax.jit(lambda x, p: resample_fft(x, n_out, p)), plan_dev)
-            with self._lock:
-                self._cache.setdefault(key, fn)
-            fn = self._cache[key]
-        jfn, plan_dev = fn
+            return (jax.jit(lambda x, p: resample_fft(x, n_out, p)), plan_dev)
+
+        # Through _get_graph: one cached graph per (sr, n, target) with LRU
+        # eviction — upscale keys are effectively per-track (arbitrary n).
+        jfn, plan_dev = self._get_graph(
+            "upscale", (sr, n), str(target_sr), _build_upscale)
         out = np.asarray(jfn(np.ascontiguousarray(audio, np.float32),
                              plan_dev))
         out_bytes = export_audio(out.astype(np.float32), target_sr, "wav",

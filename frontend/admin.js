@@ -358,12 +358,23 @@ function renderReportChart(rows, cols) {
     host.classList.add("hidden");
     return;
   }
-  const data = rows.slice().reverse(); // API returns DESC; plot ascending
-  const maxN = Math.max(1, ...data.map((r) => +r.n || 0));
-  $("r-bars").innerHTML = data.map((r) => {
-    const h = Math.max(2, Math.round((+r.n || 0) / maxN * 112));
-    return `<div style="height:${h}px" title="${esc(r.d)}: ${esc(r.n)}"></div>`;
-  }).join("");
+  // SQL GROUP BY skips zero days: fill the gaps so bar spacing represents
+  // the time axis truthfully (cap at 120 bars for pathological ranges).
+  const byDay = {};
+  for (const r of rows) byDay[r.d] = +r.n || 0;
+  const days = rows.map((r) => r.d).sort();
+  const data = [];
+  const start = new Date(days[0] + "T00:00:00Z");
+  const end = new Date(days[days.length - 1] + "T00:00:00Z");
+  for (let t = start.getTime(); t <= end.getTime() && data.length < 120;
+       t += 86400e3) {
+    const d = new Date(t).toISOString().slice(0, 10);
+    data.push({ d, n: byDay[d] || 0 });
+  }
+  const maxN = Math.max(1, ...data.map((r) => r.n));
+  $("r-bars").innerHTML = data.map((r) =>
+    `<i style="height:${Math.max(2, Math.round(r.n / maxN * 112))}px"` +
+    ` title="${esc(r.d)}: ${r.n}"></i>`).join("");
   $("r-x0").textContent = data[0].d;
   $("r-x1").textContent = data[data.length - 1].d;
   host.classList.remove("hidden");

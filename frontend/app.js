@@ -292,17 +292,23 @@ function drawScope(label) {
   frame();
 }
 
+let abJob = null;
+
 function playPreview(src) {
-  // carry the playback position across A/B switches so the comparison is
-  // at the same musical moment
-  const pos = abAudio && !abAudio.ended ? abAudio.currentTime : 0;
+  // carry the playback position across A/B switches (same job only) so
+  // the comparison stays at the same musical moment
+  const pos = (abJob === currentJob && abAudio && !abAudio.ended)
+    ? abAudio.currentTime : 0;
+  abJob = currentJob;
   if (abAudio) { abAudio.pause(); abAudio = null; }
   stopScope();
   abAudio = new Audio(api(`/api/master/preview/${currentJob}?src=${src}`));
-  if (pos > 0.05)
-    abAudio.addEventListener("loadedmetadata", () => {
-      if (pos < (abAudio.duration || 1e9)) abAudio.currentTime = pos;
+  if (pos > 0.05) {
+    const el = abAudio; // the element this handler belongs to
+    el.addEventListener("loadedmetadata", () => {
+      if (el === abAudio && pos < (el.duration || 0)) el.currentTime = pos;
     }, { once: true });
+  }
   abAudio.crossOrigin = "anonymous";
   try {
     abCtx = abCtx || new (window.AudioContext || window.webkitAudioContext)();

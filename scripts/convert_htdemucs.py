@@ -33,9 +33,10 @@ def load_torch_state(path: str) -> dict:
     if isinstance(blob, dict) and "models" in blob:
         blob = blob["models"][0]
     # demucs remote checkpoints store {'klass','args','kwargs','state'};
-    # training snapshots may carry 'best_state' (EMA) alongside 'state'.
+    # training snapshots may carry 'best_state' (EMA) alongside 'state' —
+    # skip falsy entries (best_state=None before the first best update).
     for key in ("best_state", "state", "state_dict"):
-        if isinstance(blob, dict) and key in blob:
+        if isinstance(blob, dict) and blob.get(key):
             blob = blob[key]
             break
     if hasattr(blob, "state_dict"):
@@ -46,8 +47,15 @@ def load_torch_state(path: str) -> dict:
     for k, v in blob.items():
         if not hasattr(v, "shape"):
             continue
-        # strip DataParallel/compile prefixes; cast half/bf16 to f32
-        k = k.removeprefix("module.").removeprefix("_orig_mod.")
+        # strip DataParallel/compile wrappers (possibly nested, any order);
+        # cast half/bf16 to f32
+        while True:
+            for pre in ("module.", "_orig_mod."):
+                if k.startswith(pre):
+                    k = k[len(pre):]
+                    break
+            else:
+                break
         out[k] = v.float() if hasattr(v, "float") else v
     return out
 

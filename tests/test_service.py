@@ -351,3 +351,21 @@ def test_admin_page_and_pwa_assets(app_factory):
             assert "mm.css" in await r.text(), page
 
     _client_test(app_factory, fn)
+
+
+def test_robots_sitemap_absolute_urls(app_factory):
+    async def fn(client):
+        r = await client.get("/robots.txt")
+        body = await r.text()
+        assert r.status == 200
+        assert "Sitemap: http" in body  # absolute, not a relative path
+        r = await client.get("/sitemap.xml")
+        xml = await r.text()
+        assert r.status == 200
+        assert "<loc>http" in xml and "<loc>/" not in xml
+        r = await client.get("/favicon.ico")
+        assert r.status == 200
+        r = await client.get("/api")
+        assert (await r.json())["service"].startswith("Magic Master")
+
+    _client_test(app_factory, fn)

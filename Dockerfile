@@ -26,6 +26,8 @@ RUN python -m pytest tests/test_codecs_ffmpeg.py -q
 RUN python -m amw_tpu.native.build || true
 
 ENV AMW_DB_PATH=/data/amw_tpu.sqlite3
+# Precompile the 180 s default chain at boot (first job hits the cache).
+ENV AMW_ENGINE_WARMUP_BUCKETS=180
 VOLUME /data
 EXPOSE 8000
 

@@ -84,6 +84,10 @@ class Settings:
     engine_micro_batch: bool = True
     engine_batch_window_ms: float = 50.0
     engine_max_micro_batch: int = 8
+    # Precompile the default chain for these buckets at service start (comma
+    # separated seconds; "" = off).  First-job latency drops from ~a minute
+    # of compile to the steady-state number.
+    engine_warmup_buckets: str = ""
     db_path: str = "amw_tpu.sqlite3"
 
     # Referral rewards (config.py:82-84).

@@ -264,6 +264,34 @@ class MasteringEngine:
             "after_lufs": None if after < -1e8 else after,
         }
 
+    def warmup(self, buckets_sec=(180.0,), sr: int = 44100,
+               target_lufs: float = -14.0, style: str = "standard") -> None:
+        """Precompile (and execute once on zeros) the default v2 graph for
+        the given buckets so the first production job doesn't pay the
+        ~minute-scale first compile.  Run from a background thread at
+        service startup (settings.engine_warmup)."""
+        for sec in buckets_sec:
+            try:
+                spec = GraphSpec(sr=sr, n=int(round(sec * sr)), channels=2,
+                                 exact=self.exact)
+                key = json.dumps(
+                    {"cfg": None, "pro": {}, "style": style,
+                     "t": round(float(target_lufs), 2)},
+                    sort_keys=True, default=str)
+                _, fn, _ = self._get_graph(
+                    "v2", spec, key,
+                    lambda: self._built_v2(spec, None, {}, target_lufs,
+                                           style))
+                x = np.zeros((2, spec.n), np.float32)
+                jax.block_until_ready(
+                    fn(x, self._cache[("v2", spec, key)][0],
+                       np.int32(spec.n)))
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                import logging
+
+                logging.getLogger("amw_tpu.engine").warning(
+                    "warmup failed for bucket %.0fs", sec, exc_info=True)
+
     def _built_v2(self, spec, chain_config, pro, target_lufs, style,
                   stage_ticks: bool = False):
         params, raw_fn, names = build_v2_job_graph(

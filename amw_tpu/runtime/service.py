@@ -773,6 +773,14 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
         from .anomaly import anomaly_loop
 
         app["anomaly_task"] = asyncio.create_task(anomaly_loop())
+        raw = settings.engine_warmup_buckets.strip()
+        if raw:
+            import threading
+
+            buckets = [float(s) for s in raw.split(",") if s.strip()]
+            threading.Thread(
+                target=app["engine"].warmup, args=(buckets,),
+                daemon=True, name="engine-warmup").start()
 
     async def _stop_background(app):
         task = app.get("anomaly_task")

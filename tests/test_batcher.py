@@ -179,3 +179,13 @@ def test_engine_graph_cache_lru():
     eng._get_graph("t", ("spec", 6), "k", lambda: ("built", 6))
     assert ("t", ("spec", 3), "k") in eng._cache
     assert ("t", ("spec", 4), "k") not in eng._cache
+
+
+def test_engine_warmup_precompiles_default_graph():
+    """warmup() leaves the default v2 graph for the bucket in the cache, so
+    the first job is a cache hit."""
+    from amw_tpu.runtime.engine import MasteringEngine
+
+    eng = MasteringEngine(bucket=True, micro_batch=False)
+    eng.warmup(buckets_sec=(1.0,), sr=22050)
+    assert any(k[0] == "v2" for k in eng._cache), list(eng._cache)

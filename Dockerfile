@@ -28,6 +28,9 @@ RUN python -m amw_tpu.native.build || true
 ENV AMW_DB_PATH=/data/amw_tpu.sqlite3
 # Precompile the 180 s default chain at boot (first job hits the cache).
 ENV AMW_ENGINE_WARMUP_BUCKETS=180
+# Persistent XLA compilation cache: compiled graphs survive restarts, so a
+# restarted container's warmup (and first job) loads from disk in seconds.
+ENV AMW_COMPILATION_CACHE_DIR=/data/jax_cache
 VOLUME /data
 EXPOSE 8000
 

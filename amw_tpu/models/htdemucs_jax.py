@@ -464,23 +464,85 @@ _CONFIG_KEY = "__config__"
 _CONFIG_FIELDS = ("channels", "nfft", "bottom_channels", "t_layers",
                   "t_heads", "depth", "samplerate")
 _CONFIG_FLOAT_FIELDS = ("segment",)  # float64 vec holds ints + floats
+# v2 layout appends sources/audio_channels after the floats (older vecs are
+# shorter and keep the 4-stem stereo defaults).  6-stem variants get generic
+# names beyond the canonical four; stem selection by name still works for
+# checkpoints converted with explicit kwargs (see ``config_from_kwargs``).
+_CONFIG_V2_FIELDS = ("n_sources", "audio_channels")
 
 
 def _config_vec(cfg: "HTConfig") -> np.ndarray:
     vals = [getattr(cfg, f) for f in _CONFIG_FIELDS]
     vals += [getattr(cfg, f) for f in _CONFIG_FLOAT_FIELDS]
+    vals += [len(cfg.sources), cfg.audio_channels]
     return np.asarray(vals, np.float64)
+
+
+def _default_source_names(n: int) -> tuple:
+    if n <= len(SOURCES):
+        return SOURCES[:n]
+    return SOURCES + tuple(f"stem{i}" for i in range(len(SOURCES), n))
 
 
 def _config_from_vec(v) -> "HTConfig":
     v = np.asarray(v)
     vals = dict(zip(_CONFIG_FIELDS, (int(x) for x in v)))
-    # Older checkpoints stored only the int fields; keep their defaults.
+    # Older checkpoints stored fewer fields; keep their defaults.
+    base = len(_CONFIG_FIELDS)
     for i, f in enumerate(_CONFIG_FLOAT_FIELDS):
-        j = len(_CONFIG_FIELDS) + i
-        if j < v.shape[0]:
-            vals[f] = float(v[j])
+        if base + i < v.shape[0]:
+            vals[f] = float(v[base + i])
+    base += len(_CONFIG_FLOAT_FIELDS)
+    if base + 1 < v.shape[0]:
+        vals["sources"] = _default_source_names(int(v[base]))
+        vals["audio_channels"] = int(v[base + 1])
     return HTConfig(**vals)
+
+
+def config_from_kwargs(kwargs: dict) -> "HTConfig":
+    """HTConfig from the demucs package format's embedded model ``kwargs``
+    ({'klass','args','kwargs','state'}) so converting a non-default variant
+    (e.g. 6-stem ``htdemucs_6s``) stamps the checkpoint with its true shape
+    instead of the released 4-stem default."""
+    accepted = {
+        "sources", "audio_channels", "channels", "growth", "depth", "nfft",
+        "bottom_channels", "t_layers", "t_heads", "t_hidden_scale",
+        "dconv_depth", "dconv_comp", "dconv_init", "freq_emb_scale",
+        "emb_scale", "emb_smooth", "segment", "samplerate",
+    }
+    # demucs names a few fields differently from our constructor.
+    renames = {"t_hidden": "t_hidden_scale", "freq_emb": "freq_emb_scale",
+               "emb_smooth": "emb_smooth"}
+    kw = {}
+    for k, val in dict(kwargs or {}).items():
+        k = renames.get(k, k)
+        if k in accepted and val is not None:
+            kw[k] = tuple(val) if k == "sources" else val
+    return HTConfig(**kw)
+
+
+def check_params_shape(params: dict, cfg: "HTConfig") -> None:
+    """Assert the tensors match the config's input/output shapes (catches a
+    checkpoint stamped with the wrong variant at convert time, before it
+    fails later inside ``forward`` with an opaque reshape error)."""
+    w = params.get("encoder.0.conv.weight")
+    if w is not None:
+        # Frequency-branch entry conv consumes CaC input: 2*audio_channels.
+        want_in, want_out = 2 * cfg.audio_channels, cfg.channels
+        got_out, got_in = int(w.shape[0]), int(w.shape[1])
+        if (got_in, got_out) != (want_in, want_out):
+            raise ValueError(
+                f"encoder.0.conv.weight is [{got_out}, {got_in}, ...] but the "
+                f"config implies [{want_out}, {want_in}, ...] "
+                f"(audio_channels={cfg.audio_channels}, channels={cfg.channels})")
+    w = params.get(f"decoder.{cfg.depth - 1}.conv_tr.weight")
+    if w is not None:
+        want_out = len(cfg.sources) * cfg.audio_channels * 2  # CaC stems
+        if int(w.shape[1]) != want_out:
+            raise ValueError(
+                f"final decoder emits {int(w.shape[1])} channels but the "
+                f"config implies {want_out} "
+                f"({len(cfg.sources)} sources x {cfg.audio_channels} ch x CaC)")
 
 
 def load_params(path: str):

@@ -32,10 +32,36 @@ def pad_to_bucket(x: np.ndarray, sr: int, buckets_sec=DEFAULT_BUCKETS_SEC):
     return x, n
 
 
+# Minimum per-track valid length (seconds) accepted with bucket padding:
+# the valid-end edge windows (ops.validctx / ops.fdfilter.odd_ext_valid)
+# clamp their indices, so a valid region that does not dominate the largest
+# filter settle/edge window would silently get wrong edge semantics instead
+# of an error.  The serving engine compiles sub-3 s tracks at exact length
+# (MasteringEngine.MIN_BUCKET_SEC); this public entry enforces a 1 s floor.
+MIN_VALID_SEC = 1.0
+
+
+def _check_nvb(nvb, spec: GraphSpec) -> np.ndarray:
+    nvb = np.asarray(nvb, np.int32)
+    min_valid = min(spec.n, int(MIN_VALID_SEC * spec.sr))
+    if nvb.size and int(nvb.min()) < min_valid:
+        raise ValueError(
+            f"per-track valid length {int(nvb.min())} is below the minimum "
+            f"{min_valid} samples ({MIN_VALID_SEC:.0f} s at {spec.sr} Hz) for "
+            f"bucket-padded graphs; compile short tracks at exact length "
+            f"instead (see parallel.batch.MIN_VALID_SEC)")
+    if nvb.size and int(nvb.max()) > spec.n:
+        raise ValueError(
+            f"per-track valid length {int(nvb.max())} exceeds the bucket "
+            f"length {spec.n}")
+    return nvb
+
+
 def make_batch_fn(spec: GraphSpec, config: dict | None = None, *,
                   mesh=None, donate: bool = True, **chain_kw):
-    """Returns (jitted_step, params): step(xb, params[, nvb]) computes the
-    chain over [B, C, N] with optional per-track valid lengths nvb [B].
+    """Returns (step, params): step(xb, params[, nvb]) computes the
+    chain over [B, C, N] with optional per-track valid lengths nvb [B]
+    (validated host-side against :data:`MIN_VALID_SEC` before dispatch).
 
     With ``mesh``, the batch axis is sharded over the mesh's first axis and
     params are replicated — pure data parallelism over ICI."""
@@ -56,6 +82,9 @@ def make_batch_fn(spec: GraphSpec, config: dict | None = None, *,
             out_shardings=x_sh,
             donate_argnums=(0,) if donate else (),
         )
+
+        def checked(xb, params, nvb):
+            return jitted(xb, params, _check_nvb(nvb, spec))
     else:
         def step(xb, params, nvb=None):
             if nvb is None:
@@ -65,7 +94,12 @@ def make_batch_fn(spec: GraphSpec, config: dict | None = None, *,
 
         params = jax.device_put(chain.params)
         jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
-    return jitted, params
+
+        def checked(xb, params, nvb=None):
+            if nvb is None:
+                return jitted(xb, params)
+            return jitted(xb, params, _check_nvb(nvb, spec))
+    return checked, params
 
 
 def batch_master(xb: np.ndarray, sr: int, config: dict | None = None, *,

@@ -86,9 +86,16 @@ def _build_denoise_sp(spec_ext: GraphSpec, strength: float,
         binned = jnp.clip(((mdb - lo) / (hi - lo) * nbins_h).astype(jnp.int32),
                           0, nbins_h - 1)
         F = mag.shape[-1]
-        one_hot = jax.nn.one_hot(binned, nbins_h, dtype=jnp.float32)
-        hist = one_hot.sum(axis=tuple(range(one_hot.ndim - 2)))  # [F? ...]
-        # axes: [..., T, F, H] -> sum over leading+T: [F, H]
+        # Scatter-add into [F * H] segments instead of materializing a
+        # [..., T, F, H] one-hot — at DJ-set chunk lengths (T ~ 50k frames)
+        # the one-hot intermediate would be ~100 GB if XLA failed to fuse it
+        # into the reduction.  The segment-sum working set is just the
+        # flattened frame indices.
+        freq_idx = jnp.broadcast_to(jnp.arange(F), binned.shape)
+        seg = (freq_idx * nbins_h + binned).reshape(-1)
+        hist = jax.ops.segment_sum(
+            jnp.ones(seg.shape, jnp.float32), seg,
+            num_segments=F * nbins_h).reshape(F, nbins_h)
         hist = jax.lax.psum(hist, axis)
         total = hist.sum(axis=-1, keepdims=True)
         cum = jnp.cumsum(hist, axis=-1)
@@ -122,6 +129,7 @@ def build_sp_master(
     pro: dict | None = None,
     halo: int = DEFAULT_HALO,
     batch: bool = False,
+    stats: bool = False,
 ):
     """Compile a time-sharded mastering step with the engine's (config, pro)
     surface.
@@ -129,6 +137,11 @@ def build_sp_master(
     Returns ``(fn, params, n_pad)``: ``fn(x[C, n_pad], params)`` is jitted
     with x sharded over the mesh's last ('sp') axis; pad input with zeros to
     ``n_pad`` and slice the output back to ``n_total``.
+
+    ``stats=True`` makes ``fn`` return the engine's v2 result dict —
+    ``{out, before_lufs, after_lufs, peak, finite}`` with the scalars
+    computed in-graph via the same psum'd gated meter (serving needs them
+    without a second full-track pass).
     """
     pro = dict(pro or {})
     axis = mesh.axis_names[-1]
@@ -137,6 +150,11 @@ def build_sp_master(
     hop = plan.hop if plan.uniform else 1
     chunk = _round_up(_round_up(n_total, n_dev) // n_dev, max(hop, 256))
     n_pad = chunk * n_dev
+    # A halo wider than the chunk would make the neighbor exchange
+    # (x[..., -halo:]) shorter than declared and mis-slice downstream;
+    # clamp — shorter halos only widen the shard-boundary error on tracks
+    # short enough that sp mode is overkill anyway.
+    halo = min(halo, chunk)
     n_ext = chunk + 2 * halo
     spec_ext = GraphSpec(sr=sr, n=n_ext, channels=channels, exact=False)
 
@@ -269,10 +287,12 @@ def build_sp_master(
                               limit / jnp.maximum(peak, 1e-12), 1.0)
             return jnp.clip(x * scale, -1.0, 1.0)
 
-        def global_normalize(x, target):
+        def gated_lufs(x):
             # K-weight the halo-extended chunk: the left halo warms the
             # causal filter up, the right halo supplies the next shard's
             # samples for the gating blocks that straddle the boundary.
+            # psum'd two-stage gate — bit-equivalent to the full-track
+            # BS.1770 meter (ops/meters.py).
             left_h = jax.lax.ppermute(x[..., -halo:], axis, fwd)
             right_h = jax.lax.ppermute(x[..., :halo], axis, bwd)
             left_h = jnp.where(idx == 0, 0.0, left_h)
@@ -305,12 +325,15 @@ def build_sp_master(
             s2 = jax.lax.psum((zsum * m2).sum(), axis)
             lufs = -0.691 + 10.0 * jnp.log10(
                 jnp.maximum(s2 / jnp.maximum(c2, 1), 1e-30))
-            lufs = jnp.where(c2 > 0, lufs, -1e9)
-            return x * meters.normalize_lufs_gain(lufs, target)
+            return jnp.where(c2 > 0, lufs, -1e9)
+
+        def global_normalize(x, target):
+            return x * meters.normalize_lufs_gain(gated_lufs(x), target)
 
         def blend(x, y, a):
             return y if a >= 1.0 else x * (1.0 - a) + y * a
 
+        before = gated_lufs(x) if stats else None
         li = 0
         for kind, name in stage_kinds:
             if kind == "dc":
@@ -333,11 +356,26 @@ def build_sp_master(
         # --- fade-in + clip ---
         ramp = jnp.clip(local_pos / (n_fade - 1), 0.0, 1.0)
         x = x * ramp
-        return basic.finalize_clip(jnp.where(valid, x, 0.0))
+        out = basic.finalize_clip(jnp.where(valid, x, 0.0))
+        if not stats:
+            return out
+        nonfinite = jax.lax.psum(jnp.sum(~jnp.isfinite(x)), axis)
+        return {
+            "out": out,
+            "before_lufs": before,
+            "after_lufs": gated_lufs(out),
+            "peak": jax.lax.pmax(jnp.max(jnp.abs(out)), axis),
+            "finite": nonfinite == 0,
+        }
 
     from jax import shard_map
 
     pspec = {"stages": P(), "Hk": P(), "targets": P()}
+    out_spec_1 = P(None, axis)
+    # Stats scalars are psum/pmax results — identical on every device, so
+    # they replicate cleanly under an unsharded out_spec.
+    stats_spec = {"out": out_spec_1, "before_lufs": P(), "after_lufs": P(),
+                  "peak": P(), "finite": P()}
     if batch:
         # 2-D (dp × sp) composition: a batch of long tracks, each row of
         # the mesh owning one track's time shards.  The sp collectives
@@ -346,17 +384,20 @@ def build_sp_master(
         # sets at once": dp rides the outer mesh dim, sp the ICI-adjacent
         # inner dim.
         dp_axis = mesh.axis_names[0]
+        out_b = P(dp_axis, None, axis)
         mapped = shard_map(
             jax.vmap(shard_fn, in_axes=(0, None)), mesh=mesh,
             in_specs=(P(dp_axis, None, axis), pspec),
-            out_specs=P(dp_axis, None, axis),
+            out_specs=({"out": out_b, "before_lufs": P(dp_axis),
+                        "after_lufs": P(dp_axis), "peak": P(dp_axis),
+                        "finite": P(dp_axis)} if stats else out_b),
             check_vma=False,
         )
     else:
         mapped = shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(None, axis), pspec),
-            out_specs=P(None, axis),
+            out_specs=(stats_spec if stats else out_spec_1),
             check_vma=False,
         )
     fn = jax.jit(mapped)

@@ -84,10 +84,23 @@ class Settings:
     engine_micro_batch: bool = True
     engine_batch_window_ms: float = 50.0
     engine_max_micro_batch: int = 8
+    # Serve across every local device: micro-batches shard data-parallel
+    # over a dp mesh, and tracks longer than the sp threshold are
+    # time-sharded over the same devices (sequence parallelism).  With one
+    # device both are no-ops — single-chip behavior (and bench numbers)
+    # are unchanged.
+    engine_mesh: bool = True
+    engine_sp_threshold_sec: float = 600.0
     # Precompile the default chain for these buckets at service start (comma
     # separated seconds; "" = off).  First-job latency drops from ~a minute
     # of compile to the steady-state number.
     engine_warmup_buckets: str = ""
+    # Persistent XLA compilation cache directory ("" = off).  Compiled
+    # executables survive process restarts, so a restarted service's first
+    # job (and the warmup pass itself) loads from disk in seconds instead
+    # of paying the ~minute-scale compile again.  Docker mounts this as a
+    # volume (see Dockerfile / docker-compose.yml).
+    compilation_cache_dir: str = ".jax_cache"
     db_path: str = "amw_tpu.sqlite3"
 
     # Referral rewards (config.py:82-84).

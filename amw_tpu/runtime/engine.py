@@ -60,10 +60,30 @@ class MasteringEngine:
 
     def __init__(self, exact: bool | None = None, bucket: bool = True,
                  micro_batch: bool | None = None):
+        from . import compile_cache
+
+        compile_cache.enable()  # restart-warm starts (no-op when disabled)
         self.exact = settings.engine_exact_mode if exact is None else exact
         self.bucket = bucket
         self.micro_batch = (settings.engine_micro_batch
                             if micro_batch is None else micro_batch)
+        # Serving mesh: with >1 local device the micro-batcher shards its
+        # batches data-parallel over a dp mesh, and long uploads route to
+        # the sequence-parallel path (parallel/timeshard.py) — the TPU
+        # answer to the reference's semaphore concurrency
+        # (jobs_store.py:19-20).  Single-chip service behavior is unchanged.
+        self.mesh = None
+        if settings.engine_mesh:
+            try:
+                import jax as _jax
+
+                if len(_jax.devices()) > 1:
+                    from ..parallel.mesh import make_mesh
+
+                    self.mesh = make_mesh()
+            except Exception:  # noqa: BLE001 — backend probe must not kill init
+                self.mesh = None
+        n_mesh = self.mesh.devices.size if self.mesh is not None else 1
         from collections import OrderedDict
 
         # LRU-capped: every distinct (bucket, chain-config, target, style)
@@ -75,13 +95,15 @@ class MasteringEngine:
         self._dur_ema: dict = {}  # graph key -> EMA of run wall time (sec)
         self._lock = threading.Lock()
         self._batcher = None
+        self.last_batch_info: dict | None = None
         if self.micro_batch:
             from .batcher import Batcher
 
+            # Per-batch capacity scales with the mesh: 8 tracks per device.
             self._batcher = Batcher(
                 self._run_v2_batch,
                 window_ms=settings.engine_batch_window_ms,
-                max_batch=settings.engine_max_micro_batch)
+                max_batch=settings.engine_max_micro_batch * n_mesh)
             self._batcher.start()
 
     # -- graph cache -------------------------------------------------------
@@ -110,12 +132,19 @@ class MasteringEngine:
     def _note_duration(self, ema_key, dt: float) -> None:
         """EMA of a graph's wall time for progress interpolation; bounded
         (oldest-inserted entries dropped) so unbounded distinct configs
-        don't leak key strings."""
-        prev = self._dur_ema.get(ema_key)
-        self._dur_ema[ema_key] = (dt if prev is None
-                                  else 0.7 * prev + 0.3 * dt)
-        while len(self._dur_ema) > 4 * self._cache_cap:
-            self._dur_ema.pop(next(iter(self._dur_ema)))
+        don't leak key strings.  Locked: concurrent job threads write here,
+        and an unguarded evicting ``pop`` could race another thread's pop
+        and fail a job over progress-only bookkeeping."""
+        with self._lock:
+            prev = self._dur_ema.get(ema_key)
+            self._dur_ema[ema_key] = (dt if prev is None
+                                      else 0.7 * prev + 0.3 * dt)
+            while len(self._dur_ema) > 4 * self._cache_cap:
+                self._dur_ema.pop(next(iter(self._dur_ema)), None)
+
+    def _get_duration(self, ema_key) -> float | None:
+        with self._lock:
+            return self._dur_ema.get(ema_key)
 
     # Tracks shorter than this (seconds) compile at their exact length:
     # the valid-end dynamic edge windows (ops.validctx) need the valid
@@ -188,6 +217,15 @@ class MasteringEngine:
             audio = vocal.isolate_vocal(audio, sr)
             pro = {k: v for k, v in pro.items() if k != "apply_vocal_isolation"}
         n, C = audio.shape[-1], audio.shape[0]
+        if (self.mesh is not None
+                and n > int(settings.engine_sp_threshold_sec * sr)):
+            # DJ-set-length upload: time-shard the single track over the
+            # serving mesh instead of compiling a huge single-device graph.
+            return self._master_v2_sp(
+                audio, sr, target_lufs=target_lufs, out_format=out_format,
+                style=style, chain_config=chain_config,
+                dither_type=dither_type, auto_blank_sec=auto_blank_sec,
+                bitrate=bitrate, pro=pro, report=report)
         spec = self._spec_for(sr, n, C)
         key = json.dumps(
             {"cfg": chain_config, "pro": pro, "style": style,
@@ -212,11 +250,13 @@ class MasteringEngine:
         t0 = time.monotonic()
         with _maybe_profile("master_v2"):
             if self._batcher is not None:
-                ema = self._dur_ema.get(ema_key) if progress else None
+                ema = self._get_duration(ema_key) if progress else None
                 # Memory-derived batch cap: B=8 at the 180 s bucket is the
-                # validated HBM working set; longer buckets batch fewer
-                # tracks (a 600 s bucket caps at 2).
-                cap = max(1, int((8 * 180 * 44100) // max(spec.n, 1)))
+                # validated PER-DEVICE HBM working set; longer buckets batch
+                # fewer tracks (a 600 s bucket caps at 2 per device), and a
+                # serving mesh multiplies the cap by its device count.
+                n_mesh = self.mesh.devices.size if self.mesh is not None else 1
+                cap = n_mesh * max(1, int((8 * 180 * 44100) // max(spec.n, 1)))
                 with prog_mod.TimedTicker(names, report, ema):
                     res = self._batcher.submit(
                         ("v2", spec, key), xb, aux=nv,
@@ -233,13 +273,21 @@ class MasteringEngine:
             else:
                 # Backends without host callbacks (axon relay): interpolate
                 # stage progress against this graph's measured wall time.
-                ema = self._dur_ema.get(ema_key) if progress else None
+                ema = self._get_duration(ema_key) if progress else None
                 with prog_mod.TimedTicker(names, report, ema):
                     res = fn(xb, params, nv)
                     res = {k: np.asarray(v) for k, v in res.items()}
                 dt = time.monotonic() - t0
                 self._note_duration(ema_key, dt)
         out = np.asarray(res["out"])[..., :n]
+        return self._finish_v2(
+            out, sr, res, report, out_format=out_format,
+            chain_config=chain_config, dither_type=dither_type,
+            auto_blank_sec=auto_blank_sec, bitrate=bitrate)
+
+    def _finish_v2(self, out, sr, res, report, *, out_format, chain_config,
+                   dither_type, auto_blank_sec, bitrate) -> dict:
+        """Shared v2 tail: validate device stats, export, shape the reply."""
         before = float(np.asarray(res["before_lufs"]))
         after = float(np.asarray(res["after_lufs"]))
         peak = float(np.asarray(res["peak"]))
@@ -263,6 +311,47 @@ class MasteringEngine:
             "before_lufs": None if before < -1e8 else before,
             "after_lufs": None if after < -1e8 else after,
         }
+
+    def _master_v2_sp(self, audio, sr, *, target_lufs, out_format, style,
+                      chain_config, dither_type, auto_blank_sec, bitrate,
+                      pro, report) -> dict:
+        """Sequence-parallel v2 job: ONE long track time-sharded over the
+        serving mesh (parallel/timeshard.py) with the same (config, pro)
+        surface.  Used for uploads past ``engine_sp_threshold_sec`` — the
+        800 MB DJ-set capability (reference config.py:26-33) served across
+        every chip instead of one.  Graphs cache per (track length, config);
+        the persistent compilation cache absorbs repeats across restarts."""
+        from ..parallel.timeshard import build_sp_master
+
+        audio = self._pre_dc(np.ascontiguousarray(audio, np.float32),
+                             chain_config)
+        C, n = audio.shape
+        key = json.dumps(
+            {"cfg": chain_config, "pro": pro, "style": style,
+             "t": round(float(target_lufs), 2), "sp": True},
+            sort_keys=True, default=str)
+        report(5, "Mastering (sequence-parallel)…")
+        fn, params, n_pad = self._get_graph(
+            "sp", (sr, n, C), key,
+            lambda: build_sp_master(
+                sr, n, C, self.mesh, target_lufs=target_lufs, style=style,
+                chain_config=chain_config, pro=pro, stats=True))
+        xp = np.pad(audio, ((0, 0), (0, n_pad - n)))
+        ema_key = ("sp", (sr, n, C), key)
+        from . import progress as prog_mod
+
+        t0 = time.monotonic()
+        with _maybe_profile("master_v2_sp"):
+            ema = self._get_duration(ema_key)
+            with prog_mod.TimedTicker(["sp_master"], report, ema):
+                res = fn(xp, params)
+                res = {k: np.asarray(v) for k, v in res.items()}
+            self._note_duration(ema_key, time.monotonic() - t0)
+        out = res["out"][..., :n]
+        return self._finish_v2(
+            out, sr, res, report, out_format=out_format,
+            chain_config=chain_config, dither_type=dither_type,
+            auto_blank_sec=auto_blank_sec, bitrate=bitrate)
 
     def warmup(self, buckets_sec=(180.0,), sr: int = 44100,
                target_lufs: float = -14.0, style: str = "standard") -> None:
@@ -292,15 +381,35 @@ class MasteringEngine:
                 logging.getLogger("amw_tpu.engine").warning(
                     "warmup failed for bucket %.0fs", sec, exc_info=True)
 
+    def _put_params(self, params):
+        """Graph params live replicated over the serving mesh (when one
+        exists) so sharded batch steps start without a per-call reshard."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(params, NamedSharding(self.mesh, P()))
+        return jax.device_put(params)
+
     def _built_v2(self, spec, chain_config, pro, target_lufs, style,
                   stage_ticks: bool = False):
         params, raw_fn, names = build_v2_job_graph(
             spec, chain_config, pro, target_lufs, style, jit=False,
             stage_ticks=stage_ticks,
         )
-        return jax.device_put(params), jax.jit(raw_fn), (names, raw_fn)
+        return self._put_params(params), jax.jit(raw_fn), (names, raw_fn)
 
     # -- micro-batching (see runtime/batcher.py) ---------------------------
+
+    def _batch_size_for(self, b: int) -> int:
+        """Compiled batch width for ``b`` submitted tracks: next power of
+        two, rounded up to a multiple of the serving mesh so the dp
+        sharding divides evenly (a burst of 3 jobs on a v5e-8 runs as one
+        8-wide sharded step, one track per chip)."""
+        b_eff = 1 << (b - 1).bit_length()
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            b_eff = n_dev * (-(-b_eff // n_dev))
+        return b_eff
 
     def _run_v2_batch(self, bkey, xb, nvb):
         kind, spec, key = bkey
@@ -314,23 +423,45 @@ class MasteringEngine:
                 "compiled graph evicted under cache pressure; retry the job")
         params, _fn, (names, raw_fn) = entry
         b = xb.shape[0]
-        b_pow2 = 1 << (b - 1).bit_length()
-        gkey = (bkey, b_pow2)
+        b_eff = self._batch_size_for(b)
+        gkey = (bkey, b_eff)
         with self._lock:
             bfn = self._batch_graphs.get(gkey)
         if bfn is None:
-            bfn = jax.jit(
-                lambda x, p, nv: jax.vmap(raw_fn, in_axes=(0, None, 0))(
-                    x, p, nv))
+            if self.mesh is not None:
+                # Data-parallel serving step: the micro-batch shards over
+                # the dp mesh with replicated graph params — this is where
+                # the HTTP service actually uses every chip on the board.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                axis = self.mesh.axis_names[0]
+                x_sh = NamedSharding(self.mesh, P(axis))
+                p_sh = NamedSharding(self.mesh, P())
+                bfn = jax.jit(
+                    lambda x, p, nv: jax.vmap(raw_fn, in_axes=(0, None, 0))(
+                        x, p, nv),
+                    in_shardings=(x_sh, p_sh, x_sh))
+            else:
+                bfn = jax.jit(
+                    lambda x, p, nv: jax.vmap(raw_fn, in_axes=(0, None, 0))(
+                        x, p, nv))
             with self._lock:
                 self._batch_graphs.setdefault(gkey, bfn)
             bfn = self._batch_graphs[gkey]
         nvb = np.asarray(nvb, np.int32)
-        if b_pow2 != b:
+        if b_eff != b:
             xb = np.concatenate(
-                [xb, np.repeat(xb[:1], b_pow2 - b, axis=0)], axis=0)
-            nvb = np.concatenate([nvb, np.repeat(nvb[:1], b_pow2 - b)])
+                [xb, np.repeat(xb[:1], b_eff - b, axis=0)], axis=0)
+            nvb = np.concatenate([nvb, np.repeat(nvb[:1], b_eff - b)])
         res = bfn(xb, params, nvb)
+        # Observability for /api/metrics and the mesh serving tests: how
+        # wide the step ran and across how many devices it was sharded.
+        self.last_batch_info = {
+            "batch": b, "batch_compiled": b_eff,
+            "devices": len(getattr(res["out"], "sharding",
+                                   None).device_set)
+            if hasattr(res["out"], "sharding") else 1,
+        }
         res = {k: np.asarray(v) for k, v in res.items()}
         return [{k: v[i] for k, v in res.items()} for i in range(b)]
 
@@ -380,7 +511,7 @@ class MasteringEngine:
                 finally:
                     prog_mod.unregister(tok)
             else:
-                ema = self._dur_ema.get(ema_key) if progress else None
+                ema = self._get_duration(ema_key) if progress else None
                 with prog_mod.TimedTicker(names, report, ema):
                     res = fn(xb, params, np.int32(n))
                     res = {k: np.asarray(v) for k, v in res.items()}

@@ -253,11 +253,17 @@ async def h_health(request):
 
 async def h_metrics(request):
     c = jobs.counts()
+    engine = request.app["engine"]
+    mesh = getattr(engine, "mesh", None)
     return web.json_response({
         "uptime_sec": round(time.time() - START_TIME, 1),
         "jobs_running": c["jobs_running"],
         "jobs_total": c["jobs_total"],
         "version": __version__,
+        # Serving-mesh observability: device count and the last dp-sharded
+        # micro-batch step (batch width / compiled width / devices used).
+        "mesh_devices": int(mesh.devices.size) if mesh is not None else 1,
+        "last_batch": getattr(engine, "last_batch_info", None),
     })
 
 

@@ -26,7 +26,7 @@ import sys
 sys.path.insert(0, ".")
 
 
-def load_torch_state(path: str) -> dict:
+def load_torch_state(path: str, return_kwargs: bool = False):
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
@@ -35,6 +35,10 @@ def load_torch_state(path: str) -> dict:
     # demucs remote checkpoints store {'klass','args','kwargs','state'};
     # training snapshots may carry 'best_state' (EMA) alongside 'state' —
     # skip falsy entries (best_state=None before the first best update).
+    # The embedded kwargs describe the architecture variant (e.g. 6-stem
+    # htdemucs_6s) and drive HTConfig derivation at convert time.
+    kwargs = (dict(blob.get("kwargs") or {})
+              if isinstance(blob, dict) else {})
     for key in ("best_state", "state", "state_dict"):
         if isinstance(blob, dict) and blob.get(key):
             blob = blob[key]
@@ -57,6 +61,8 @@ def load_torch_state(path: str) -> dict:
             else:
                 break
         out[k] = v.float() if hasattr(v, "float") else v
+    if return_kwargs:
+        return out, kwargs
     return out
 
 
@@ -75,16 +81,29 @@ EXPECTED_PREFIXES = (
 
 
 def cmd_convert(path: str, out_dir: str) -> int:
-    from amw_tpu.models.htdemucs_jax import params_from_torch_state, save_params
+    from amw_tpu.models.htdemucs_jax import (
+        HTConfig, check_params_shape, config_from_kwargs,
+        params_from_torch_state, save_params)
 
-    state = load_torch_state(path)
+    state, kwargs = load_torch_state(path, return_kwargs=True)
     params = params_from_torch_state(state)
     unknown = [k for k in params if not k.startswith(EXPECTED_PREFIXES)]
     if unknown:
         print(f"WARNING: {len(unknown)} tensors outside the known module "
               f"tree (kept as-is): {unknown[:8]}{'…' if len(unknown) > 8 else ''}")
-    save_params(params, out_dir)
-    print(f"saved {len(params)} tensors to orbax checkpoint {out_dir}")
+    # Stamp the checkpoint with the variant's true architecture: derived
+    # from the demucs package format's embedded kwargs when present, else
+    # the released 4-stem default — and verified against the tensor shapes
+    # so a mis-stamped config fails HERE, not later inside forward().
+    cfg = config_from_kwargs(kwargs) if kwargs else HTConfig()
+    check_params_shape(params, cfg)
+    import os
+
+    out_dir = os.path.abspath(out_dir)  # orbax requires absolute paths
+    save_params(params, out_dir, cfg)
+    print(f"saved {len(params)} tensors to orbax checkpoint {out_dir} "
+          f"({len(cfg.sources)} sources, {cfg.audio_channels} ch, "
+          f"channels={cfg.channels}, nfft={cfg.nfft})")
     return 0
 
 

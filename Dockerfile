@@ -25,6 +25,11 @@ RUN python -m pytest tests/test_codecs_ffmpeg.py -q
 # Build the native PCM codec.
 RUN python -m amw_tpu.native.build || true
 
+# Render the landing A/B demo clips with the chain itself (deterministic,
+# not committed) and the regression fixture used by the QA harness.
+RUN JAX_PLATFORMS=cpu python scripts/gen_demo_assets.py \
+    && JAX_PLATFORMS=cpu python scripts/gen_regression_fixture.py
+
 ENV AMW_DB_PATH=/data/amw_tpu.sqlite3
 # Precompile the 180 s default chain at boot (first job hits the cache).
 ENV AMW_ENGINE_WARMUP_BUCKETS=180

@@ -396,7 +396,10 @@ class MasteringEngine:
             spec, chain_config, pro, target_lufs, style, jit=False,
             stage_ticks=stage_ticks,
         )
-        return self._put_params(params), jax.jit(raw_fn), (names, raw_fn)
+        # Ordered host callbacks (stage ticks) only run single-device —
+        # pin that variant to one chip instead of the serving mesh.
+        put = jax.device_put if stage_ticks else self._put_params
+        return put(params), jax.jit(raw_fn), (names, raw_fn)
 
     # -- micro-batching (see runtime/batcher.py) ---------------------------
 

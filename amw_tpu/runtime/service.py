@@ -372,12 +372,12 @@ async def h_master_v2(request):
 
     pro = {}
     for k in ("rumble_enabled", "deesser_enabled", "dynamic_eq_enabled",
-              "apply_vocal_isolation"):
+              "true_peak_enabled", "apply_vocal_isolation"):
         if fields.get(k) is not None:
             pro[k] = fields[k].strip().lower() in ("1", "true", "yes", "on")
     for k in ("rumble_cutoff", "denoise_strength", "denoise_noise_percentile",
               "deesser_threshold", "deesser_freq_hi", "transient_attack",
-              "transient_sustain", "parallel_mix"):
+              "transient_sustain", "parallel_mix", "true_peak_ceiling_db"):
         if fields.get(k) not in (None, ""):
             try:
                 pro[k] = float(fields[k])
@@ -787,6 +787,29 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
             threading.Thread(
                 target=app["engine"].warmup, args=(buckets,),
                 daemon=True, name="engine-warmup").start()
+        # Landing A/B demo clips are deterministic self-mastered renders
+        # (scripts/gen_demo_assets.py) — regenerate in the background if
+        # the deploy lacks them (they are not committed blobs).
+        import pathlib
+
+        demo = (pathlib.Path(__file__).resolve().parent.parent.parent
+                / "frontend" / "demos" / "edm_mastered.wav")
+        if not demo.is_file():
+            import subprocess
+            import sys as _sys
+            import threading
+
+            def _gen():
+                try:
+                    subprocess.run(
+                        [_sys.executable, "scripts/gen_demo_assets.py"],
+                        cwd=str(demo.parent.parent.parent), timeout=900,
+                        check=False)
+                except Exception:  # noqa: BLE001 — demos are cosmetic
+                    pass
+
+            threading.Thread(target=_gen, daemon=True,
+                             name="demo-assets").start()
 
     async def _stop_background(app):
         task = app.get("anomaly_task")

@@ -26,11 +26,19 @@ Surface parity with the engine: ``sp_master`` accepts the same v2
 Reverb is supported when its wet IR fits in the halo (longer decays are
 rejected at build).
 
-Track-edge semantics: chunks at the track boundaries see ZERO history
-(first/last halo masked), while the single-chip graph applies scipy's
-odd-extension edge handling — so the outer ~halo samples at the track's
-two ends differ from the single-chip output by design; everything else
-matches to ≤ -110 dBFS (tests/test_timeshard.py).
+Track-edge semantics: every local stage is compiled in THREE window
+variants — interior (halo-extended chunk), left-edge (window anchored at
+the track start) and right-edge (window ending exactly at the track end)
+— selected per device with ``lax.switch`` on ``axis_index``.  The edge
+windows reuse the single-chip builders' own scipy-exact odd-extension /
+steady-state edge machinery, so the FULL track (edges included) matches
+the single-chip graph to ≤ −90 dBFS (tests/test_timeshard.py); the
+window's far edge sits ≥ halo away from any kept sample, burying its
+misplaced transient below the filter settle tolerance.  Remaining caveat:
+when the last chunk's valid length is shorter than the halo (only
+possible for tracks barely longer than ``n_dev`` chunks), the
+second-to-last shard's right context crosses the track end and its last
+few samples degrade toward the old zero-history behavior.
 """
 
 from __future__ import annotations
@@ -79,23 +87,27 @@ def _build_denoise_sp(spec_ext: GraphSpec, strength: float,
     edges = np.linspace(lo, hi, nbins_h + 1).astype(np.float32)
 
     def fn(ext, params):
-        Z = stft(ext)                     # [..., T, F]
+        Z = stft(ext)                     # [C, T, F]
         mag = jnp.abs(Z)
         mdb = 20.0 * jnp.log10(jnp.maximum(mag, 1e-12))
-        # per-bin histogram over local frames, merged across devices
+        # Per-(channel, bin) histogram over local frames, merged across
+        # devices — per-channel profiles match the exact single-chip
+        # denoiser's percentile semantics (spectral.build_spectral_denoise
+        # takes the percentile per channel, not pooled).
         binned = jnp.clip(((mdb - lo) / (hi - lo) * nbins_h).astype(jnp.int32),
                           0, nbins_h - 1)
-        F = mag.shape[-1]
-        # Scatter-add into [F * H] segments instead of materializing a
-        # [..., T, F, H] one-hot — at DJ-set chunk lengths (T ~ 50k frames)
+        C, _T, F = mag.shape
+        # Scatter-add into [C * F * H] segments instead of materializing a
+        # [C, T, F, H] one-hot — at DJ-set chunk lengths (T ~ 50k frames)
         # the one-hot intermediate would be ~100 GB if XLA failed to fuse it
         # into the reduction.  The segment-sum working set is just the
         # flattened frame indices.
-        freq_idx = jnp.broadcast_to(jnp.arange(F), binned.shape)
-        seg = (freq_idx * nbins_h + binned).reshape(-1)
+        ch_idx = jnp.arange(C)[:, None, None]
+        freq_idx = jnp.arange(F)[None, None, :]
+        seg = ((ch_idx * F + freq_idx) * nbins_h + binned).reshape(-1)
         hist = jax.ops.segment_sum(
             jnp.ones(seg.shape, jnp.float32), seg,
-            num_segments=F * nbins_h).reshape(F, nbins_h)
+            num_segments=C * F * nbins_h).reshape(C, F, nbins_h)
         hist = jax.lax.psum(hist, axis)
         total = hist.sum(axis=-1, keepdims=True)
         cum = jnp.cumsum(hist, axis=-1)
@@ -104,12 +116,12 @@ def _build_denoise_sp(spec_ext: GraphSpec, strength: float,
             target = q / 100.0 * total
             idx = (cum < target).sum(axis=-1)
             idx = jnp.clip(idx, 0, nbins_h - 1)
-            return 10.0 ** (jnp.asarray(edges)[idx] / 20.0)
+            return 10.0 ** (jnp.asarray(edges)[idx] / 20.0)  # [C, F]
 
         noise = jnp.maximum(quant(noise_percentile), 1e-12)
         med = jnp.maximum(quant(50.0), 1e-12)
         noise = jnp.minimum(noise, 0.85 * med)
-        gain = 1.0 - strength * (noise / (mag + 1e-10)) ** 2
+        gain = 1.0 - strength * (noise[:, None, :] / (mag + 1e-10)) ** 2
         gain = jnp.clip(gain, 0.25, 1.0)
         rec = istft(Z * gain, spec_ext.n)
         return jnp.clip(rec, -1.0, 1.0)
@@ -146,6 +158,9 @@ def build_sp_master(
     pro = dict(pro or {})
     axis = mesh.axis_names[-1]
     n_dev = mesh.shape[axis]
+    if n_dev < 2:
+        raise ValueError("sequence-parallel mastering needs >= 2 devices on "
+                         "the sp axis (use the single-chip engine otherwise)")
     plan = meters.plan_blocks(sr, n_total)
     hop = plan.hop if plan.uniform else 1
     chunk = _round_up(_round_up(n_total, n_dev) // n_dev, max(hop, 256))
@@ -156,31 +171,58 @@ def build_sp_master(
     # short enough that sp mode is overkill anyway.
     halo = min(halo, chunk)
     n_ext = chunk + 2 * halo
+    # Last chunk's valid length: the track end lands at sample ``lv`` of the
+    # last shard (static — lengths are compile-time here).
+    lv = n_total - (n_dev - 1) * chunk
     spec_ext = GraphSpec(sr=sr, n=n_ext, channels=channels, exact=False)
+    # Track-edge windows: local ops are ALSO built at these lengths, whose
+    # own (scipy-exact) edge machinery lands exactly on the track start /
+    # track end — the first and last shards run these variants, so the
+    # outer samples match the single-chip graph instead of seeing zero
+    # history.  The window's far edge is >= halo away from any kept sample,
+    # burying its (wrong-place) edge transient below the settle tolerance.
+    spec_left = GraphSpec(sr=sr, n=chunk + halo, channels=channels, exact=True)
+    spec_right = GraphSpec(sr=sr, n=halo + lv, channels=channels, exact=True)
 
     config = chain_config or default_chain_config(target_lufs=target_lufs,
                                                   style=style)
 
-    # Stage plan: ("local", name, params, fn, amount) run on the extended
-    # chunk; ("dc"|"peak"|"normalize", cfg) handled with collectives.
+    # Stage plan: ("local", name, params3, fns3) run on the extended chunk
+    # (edge shards via their exact windows); ("uniform", ...) for local
+    # stages with internal collectives (the distributed denoiser) that every
+    # device must execute identically; ("dc"|"peak"|"normalize", cfg)
+    # handled with collectives.
     stages: list = []
     norm_targets: list[float] = []  # per-normalize-stage targets, in order
 
-    def add_local(name, built, amount=1.0):
+    def add_local(name, build, amount=1.0):
+        """``build(spec) -> (params, fn)`` invoked for the interior window
+        and both track-edge windows."""
+        variants = {}
+        for vkey, vspec in (("i", spec_ext), ("l", spec_left),
+                            ("r", spec_right)):
+            p, f = build(vspec)
+            variants[vkey] = (list(p), _amount(f, amount))
+        stages.append(("local", name,
+                       {k: v[0] for k, v in variants.items()},
+                       {k: v[1] for k, v in variants.items()}))
+
+    def add_uniform(name, built, amount=1.0):
         p, f = built
-        stages.append(("local", name, list(p), _amount(f, amount)))
+        stages.append(("uniform", name, {"i": list(p)},
+                       {"i": _amount(f, amount)}))
 
     # --- PRE pro modules (reference mastering.py:493-529) ---
     if pro.get("rumble_enabled"):
-        add_local("rumble_filter", build_rumble_filter(
-            spec_ext, float(pro.get("rumble_cutoff", 80.0))))
+        add_local("rumble_filter", lambda s: build_rumble_filter(
+            s, float(pro.get("rumble_cutoff", 80.0))))
     strength, noise_pct = resolve_denoise(pro)
     if strength > 0.01:
-        add_local("spectral_denoise",
-                  _build_denoise_sp(spec_ext, strength, noise_pct, axis))
+        add_uniform("spectral_denoise",
+                    _build_denoise_sp(spec_ext, strength, noise_pct, axis))
     if pro.get("deesser_enabled"):
-        add_local("deesser", build_deesser(
-            spec_ext,
+        add_local("deesser", lambda s: build_deesser(
+            s,
             threshold_db=float(pro.get("deesser_threshold", -6.0)),
             freq_hi=float(pro.get("deesser_freq_hi", 9000.0))))
 
@@ -220,10 +262,10 @@ def build_sp_master(
         if builder is None:
             continue
         try:
-            built = builder(spec_ext, item)
+            add_local(f"chain:{mid}",
+                      lambda s, _b=builder, _it=item: _b(s, _it), amount)
         except Exception:  # noqa: BLE001 — build-time bypass (chain.py policy)
             continue
-        add_local(f"chain:{mid}", built, amount)
 
     # --- POST pro modules (reference mastering.py:552-581) ---
     ta = pro.get("transient_attack")
@@ -231,14 +273,14 @@ def build_sp_master(
     if ta is not None and (abs(float(ta) - 1.0) > 0.02
                            or abs(float(ts) - 1.0) > 0.02):
         add_local("transient_designer",
-                  build_transient_designer(spec_ext, float(ta), float(ts)))
+                  lambda s: build_transient_designer(s, float(ta), float(ts)))
     pmix = float(pro.get("parallel_mix", 0) or 0)
     if pmix > 0:
         add_local("parallel_compression",
-                  ([], lambda x, p, _m=pmix: basic.parallel_compression(
-                      x, mix=_m)))
+                  lambda s: ([], lambda x, p, _m=pmix:
+                             basic.parallel_compression(x, mix=_m)))
     if pro.get("dynamic_eq_enabled"):
-        add_local("dynamic_eq", build_dynamic_eq(spec_ext))
+        add_local("dynamic_eq", build_dynamic_eq)
 
     # Normalize meter pieces (causal K-weighting on the extended chunk).
     settle_k = meters.k_weight_settle(sr)
@@ -249,7 +291,8 @@ def build_sp_master(
     sub_per_chunk = chunk // plan.hop
 
     params = {
-        "stages": [p for kind, _, p, _ in stages if kind == "local"],
+        "stages": [p for kind, _, p, _ in stages
+                   if kind in ("local", "uniform")],
         "Hk": Hk,
         "targets": np.asarray(norm_targets or [target_lufs], np.float32),
     }
@@ -257,7 +300,8 @@ def build_sp_master(
     n_fade = max(2, min(int(round(sr * 0.006)), int(sr * 0.1)))
     g_weights = tuple(meters._CHANNEL_GAINS[:channels]
                       if channels <= 5 else (1.0,) * channels)
-    local_fns = [(name, f) for kind, name, _, f in stages if kind == "local"]
+    local_fns = [(kind, name, f) for kind, name, _, f in stages
+                 if kind in ("local", "uniform")]
     stage_kinds = [(kind, name) for kind, name, _, _ in stages]
 
     def shard_fn(x, params):
@@ -270,14 +314,40 @@ def build_sp_master(
         local_pos = pos0 + jnp.arange(chunk)
         valid = local_pos < n_total
 
-        def with_halo(fn_local, x, p):
+        def with_halo(lkind, fns, x, ps):
             left_h = jax.lax.ppermute(x[..., -halo:], axis, fwd)
             right_h = jax.lax.ppermute(x[..., :halo], axis, bwd)
             left_h = jnp.where(idx == 0, 0.0, left_h)
             right_h = jnp.where(idx == n_dev - 1, 0.0, right_h)
             ext = jnp.concatenate([left_h, x, right_h], axis=-1)
-            out = fn_local(ext, p)
-            return out[..., halo:halo + chunk]
+            if lkind == "uniform":
+                # Stage with internal collectives (distributed denoiser):
+                # every device must execute the identical program — no
+                # per-device branching allowed.
+                return fns["i"](ext, ps["i"])[..., halo:halo + chunk]
+
+            def b_int(_):
+                return fns["i"](ext, ps["i"])[..., halo:halo + chunk]
+
+            def b_left(_):
+                # First shard: window anchored at the track start — the
+                # op's own scipy-exact edge machinery produces the
+                # single-chip track-start samples.
+                return fns["l"](ext[..., halo:], ps["l"])[..., :chunk]
+
+            def b_right(_):
+                # Last shard: window ending exactly at the track end
+                # (sample ``lv`` of this chunk); zero-pad the invalid tail.
+                y = fns["r"](ext[..., :halo + lv], ps["r"])[..., halo:]
+                if lv < chunk:
+                    y = jnp.concatenate(
+                        [y, jnp.zeros(y.shape[:-1] + (chunk - lv,), y.dtype)],
+                        axis=-1)
+                return y
+
+            branch = jnp.where(idx == n_dev - 1, 2,
+                               jnp.where(idx == 0, 1, 0))
+            return jax.lax.switch(branch, [b_int, b_left, b_right], 0)
 
         def global_peak_guard(x, headroom_db):
             x = jnp.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
@@ -349,7 +419,8 @@ def build_sp_master(
                 x = blend(x, global_normalize(
                     x, params["targets"][norm_i]), a)
             else:
-                x = with_halo(local_fns[li][1], x, params["stages"][li])
+                lkind, _lname, fns = local_fns[li]
+                x = with_halo(lkind, fns, x, params["stages"][li])
                 li += 1
                 x = jnp.where(valid, x, 0.0)
 

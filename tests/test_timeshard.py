@@ -1,9 +1,9 @@
 """Sequence-parallel (time-sharded) mastering on the 8-device CPU mesh.
 
-Parity oracle = the single-chip fused v2 job graph (exact mode).  The SP
-path matches it everywhere except the outer ~halo samples at the track's two
-ends (zero-history vs scipy odd-extension edge handling — documented in
-amw_tpu/parallel/timeshard.py); the interior gate is -90 dBFS."""
+Parity oracle = the single-chip fused v2 job graph (exact mode).  Local
+stages run in three window variants (interior / track-start / track-end, see
+amw_tpu/parallel/timeshard.py), so the FULL track — edges included — must
+match the single-chip graph to <= -90 dBFS."""
 
 import numpy as np
 import pytest
@@ -40,6 +40,10 @@ def _single_chip_v2(track, pro, target=-14.0, style="standard"):
     return np.asarray(fn(jnp.asarray(track), jax.device_put(params))["out"])
 
 
+def _full_err(got, want):
+    return np.max(np.abs(got.astype(np.float64) - want))
+
+
 def _interior_err(got, want, edge=HALO):
     return np.max(np.abs(got[:, edge:-edge].astype(np.float64)
                          - want[:, edge:-edge]))
@@ -51,7 +55,7 @@ def test_sp_default_v2_matches_single_chip(track):
                     halo=HALO)
     want = _single_chip_v2(track, {})
     assert got.shape == want.shape
-    err = _interior_err(got, want)
+    err = _full_err(got, want)
     assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
     l_got = refimpl.integrated_lufs(got, SR)
     l_want = refimpl.integrated_lufs(want, SR)
@@ -69,7 +73,7 @@ def test_sp_pro_modules_match_single_chip(track):
     got = sp_master(track, SR, mesh, target_lufs=-14.0, style="standard",
                     pro=pro, halo=HALO)
     want = _single_chip_v2(track, pro)
-    err = _interior_err(got, want)
+    err = _full_err(got, want)
     assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
 
 
@@ -91,6 +95,40 @@ def test_sp_denoise_approximate(track):
     assert abs(l_got - l_want) < 0.3, (l_got, l_want)
 
 
+def test_sp_denoise_histogram_vs_exact_denoiser(track):
+    """The REAL `_build_denoise_sp` code path on a single-shard mesh (so
+    the STFT frame grid matches the single-chip denoiser exactly) vs the
+    exact-percentile `build_spectral_denoise`: the only remaining
+    difference is the psum'd histogram quantile, whose resolution is
+    (140 dB / 256 bins) ≈ 0.55 dB of noise-profile error.  The Wiener gain
+    is clipped to [0.25, 1], so a ±0.55 dB profile error bounds the output
+    at well under −34 dBFS vs exact — gate there."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from amw_tpu.ops.spectral import build_spectral_denoise
+    from amw_tpu.parallel.timeshard import _build_denoise_sp
+
+    n = 8 * SR
+    x = track[:, :n]
+    spec = GraphSpec(sr=SR, n=n, channels=2, exact=True)
+    mesh = make_mesh(1, axis="sp")
+    _, sp_fn = _build_denoise_sp(spec, 0.5, 15.0, "sp")
+    mapped = shard_map(lambda a: sp_fn(a, []), mesh=mesh,
+                      in_specs=P(None, "sp"), out_specs=P(None, "sp"),
+                      check_vma=False)
+    got = np.asarray(jax.jit(mapped)(jnp.asarray(x)))
+
+    _, exact_fn = build_spectral_denoise(spec, 0.5, 15.0)
+    want = np.asarray(jax.jit(lambda a: exact_fn(a, []))(jnp.asarray(x)))
+
+    err = np.max(np.abs(got.astype(np.float64) - want))
+    assert 20 * np.log10(max(err, 1e-12)) < -34.0, err
+    # And the output is a genuine denoise, not a bypass.
+    assert np.max(np.abs(want - x)) > 1e-3
+
+
 def test_sp_custom_chain_config(track):
     """Arbitrary chain configs (module subset + amount blend) run under SP."""
     config = {"modules": [
@@ -109,7 +147,21 @@ def test_sp_custom_chain_config(track):
     spec = GraphSpec(sr=SR, n=track.shape[-1], channels=2, exact=True)
     params, fn, _ = build_v2_job_graph(spec, config, {}, -13.0, "hiphop")
     want = np.asarray(fn(jnp.asarray(track), jax.device_put(params))["out"])
-    err = _interior_err(got, want)
+    err = _full_err(got, want)
+    assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
+
+
+def test_sp_ragged_track_end_exact(track):
+    """A track length that does NOT chunk-align: the track end lands
+    mid-chunk on the last shard, exercising the right-edge window with
+    lv < chunk — still full-track exact."""
+    n = track.shape[-1] - 4410 * 3 - 123
+    ragged = track[:, :n] - track[:, :n].mean(axis=-1, keepdims=True)
+    mesh = make_mesh(8, axis="sp")
+    got = sp_master(ragged, SR, mesh, target_lufs=-14.0, style="standard",
+                    halo=HALO)
+    want = _single_chip_v2(ragged, {})
+    err = _full_err(got, want)
     assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
 
 
@@ -136,7 +188,7 @@ def test_sp_master_loudness_gate(track):
 def test_sp_dp_batch_2d_mesh(track):
     """2-D (dp × sp) composition: a batch of long tracks, each row of the
     mesh time-sharding one track.  Every track must match its own
-    single-chip output on the interior."""
+    single-chip output over the full track."""
     from amw_tpu.parallel.mesh import make_mesh2d
     from amw_tpu.parallel.timeshard import sp_batch_master
 
@@ -147,7 +199,7 @@ def test_sp_dp_batch_2d_mesh(track):
     assert got.shape == xb.shape
     for i in range(2):
         want = _single_chip_v2(xb[i], {})
-        err = _interior_err(got[i], want)
+        err = _full_err(got[i], want)
         assert 20 * np.log10(max(err, 1e-12)) < -90.0, (i, err)
         assert np.all(np.isfinite(got[i]))
 
@@ -171,5 +223,5 @@ def test_sp_two_normalize_stages(track):
     spec = GraphSpec(sr=SR, n=track.shape[-1], channels=2, exact=True)
     params, fn, _ = build_v2_job_graph(spec, config, {}, -14.0, "standard")
     want = np.asarray(fn(jnp.asarray(track), jax.device_put(params))["out"])
-    err = _interior_err(got, want)
+    err = _full_err(got, want)
     assert 20 * np.log10(max(err, 1e-12)) < -90.0, err

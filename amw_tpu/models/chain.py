@@ -122,6 +122,16 @@ def _b_reverb(spec, cfg):
     )
 
 
+def _b_true_peak(spec, cfg):
+    from ..ops.tplimit import build_true_peak_limiter
+
+    return build_true_peak_limiter(
+        spec,
+        ceiling_db=float(cfg.get("ceiling_db", -1.5)),
+        lookahead_ms=float(cfg.get("lookahead_ms", 1.5)),
+    )
+
+
 MODULE_BUILDERS: dict[str, Callable] = {
     "dc_offset": _b_dc,
     "peak_guard": _b_peak_guard,
@@ -134,6 +144,10 @@ MODULE_BUILDERS: dict[str, Callable] = {
     "exciter": _b_exciter,
     "imager": _b_imager,
     "reverb": _b_reverb,
+    # Optional 4x-oversampled true-peak limiter (ops/tplimit.py): enforces
+    # a real dBTP ceiling where the reference only brickwalls sample peaks
+    # (pipeline.py:89) and measures TP in the analyzer (tools.py:44-53).
+    "true_peak_limiter": _b_true_peak,
 }
 
 

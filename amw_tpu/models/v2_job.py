@@ -92,6 +92,13 @@ def build_v2_job_graph(
             ([], lambda x, p, _m=float(pmix): basic.parallel_compression(x, mix=_m)))
     if pro.get("dynamic_eq_enabled"):
         add("dynamic_eq", build_dynamic_eq(spec))
+    if pro.get("true_peak_enabled"):
+        # Optional 4x-oversampled true-peak ceiling (ops/tplimit.py) — last
+        # gain stage before the fade, so nothing after it can re-raise TP.
+        from ..ops.tplimit import build_true_peak_limiter
+
+        add("true_peak_limiter", build_true_peak_limiter(
+            spec, ceiling_db=float(pro.get("true_peak_ceiling_db", -1.5))))
     add("output_fade_in", ([], lambda x, p: basic.output_edge_fade_in(x, spec.sr, 6.0)))
 
     # In-graph loudness meter (before/after).

@@ -97,18 +97,29 @@ _ht_cache_path: str | None = None
 
 def htdemucs_checkpoint_path() -> str | None:
     """Configured checkpoint directory: AMW_HTDEMUCS_CKPT env or the
-    'htdemucs_checkpoint' runtime setting."""
+    'htdemucs_checkpoint' runtime setting.  The special value ``bundled``
+    resolves to the genuinely-trained tiny checkpoint committed at
+    models/checkpoints/htdemucs_tiny (scripts/train_htdemucs_tiny.py) —
+    the end-to-end proof artifact for the conversion + neural serving
+    path; production deployments point this at converted released
+    weights (scripts/convert_htdemucs.py)."""
     import os
 
     path = os.environ.get("AMW_HTDEMUCS_CKPT")
-    if path:
-        return path
-    try:
-        from ..runtime import settings_store
+    if not path:
+        try:
+            from ..runtime import settings_store
 
-        return settings_store.get_setting_str("htdemucs_checkpoint", None) or None
-    except Exception:  # noqa: BLE001 — models layer must work standalone
+            path = settings_store.get_setting_str(
+                "htdemucs_checkpoint", None) or None
+        except Exception:  # noqa: BLE001 — models layer must work standalone
+            path = None
+    if not path:
         return None
+    if path == "bundled":
+        path = os.path.join(os.path.dirname(__file__), "checkpoints",
+                            "htdemucs_tiny")
+    return os.path.abspath(os.path.expanduser(path))  # orbax needs absolute
 
 
 def _htdemucs():

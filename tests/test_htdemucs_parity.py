@@ -155,3 +155,46 @@ def test_upstream_key_compatibility(tiny):
         "crosstransformer.layers.0.norm_out.weight",
     ]:
         assert expected in keys, expected
+
+
+def test_bundled_checkpoint_genuinely_separates():
+    """The committed tiny checkpoint (models/checkpoints/htdemucs_tiny) is
+    genuinely TRAINED, not random: on a fresh synthetic mixture from its
+    training distribution (held-out seed), the predicted vocals stem beats
+    the mixture-as-estimate baseline by a wide margin (training measured
+    ~13.8 dB model vs -4.3 dB baseline on held-out data)."""
+    import importlib.util
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from amw_tpu.models import htdemucs_jax as hj
+    from amw_tpu.models.vocal import htdemucs_checkpoint_path
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "train_htdemucs_tiny", root / "scripts" / "train_htdemucs_tiny.py")
+    train_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_mod)
+
+    import os
+
+    os.environ["AMW_HTDEMUCS_CKPT"] = "bundled"
+    try:
+        cfg, params = hj.load_params(htdemucs_checkpoint_path())
+    finally:
+        os.environ.pop("AMW_HTDEMUCS_CKPT", None)
+    rng = np.random.default_rng(987654)  # not the training or eval seed
+    stems = train_mod.synth_batch(rng, 4, cfg.segment_samples, cfg.samplerate)
+    mix = stems.sum(axis=1).astype(np.float32)
+    pred = np.asarray(jax.jit(lambda p, x: hj.forward(p, x, cfg))(
+        jax.device_put(dict(params)), jnp.asarray(mix)))
+    voc_true, voc_pred = stems[:, 3], pred[:, 3]
+
+    def snr(est):
+        return 10 * np.log10(np.sum(voc_true ** 2)
+                             / max(np.sum((est - voc_true) ** 2), 1e-12))
+
+    s_model, s_base = snr(voc_pred), snr(mix)
+    assert s_model > s_base + 8.0, (s_model, s_base)

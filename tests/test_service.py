@@ -247,6 +247,45 @@ def test_vocal_isolation_endpoint(app_factory):
     _client_test(app_factory, fn)
 
 
+def test_vocal_isolation_neural_htdemucs(app_factory, monkeypatch):
+    """/api/v2/isolate-vocal exercises htdemucs_jax.separate end-to-end
+    when a converted checkpoint is configured — here the genuinely-trained
+    bundled tiny checkpoint (scripts/train_htdemucs_tiny.py →
+    scripts/convert_htdemucs.py), the same pipeline an operator runs on
+    the released demucs weights."""
+    from amw_tpu.models import vocal
+    from amw_tpu.models import htdemucs_jax as hj
+    from amw_tpu.runtime import settings_store
+
+    monkeypatch.setenv("AMW_HTDEMUCS_CKPT", "bundled")
+    vocal._ht_cache = vocal._HT_SENTINEL  # drop any cached miss
+
+    calls = []
+    orig = hj.separate
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(hj, "separate", spy)
+
+    async def fn(client):
+        settings_store.set_setting("vocal_isolation_enabled", "true")
+        try:
+            form = _form({"file": _wav_bytes(dur=1.2)})
+            r = await client.post("/api/v2/isolate-vocal", data=form)
+            assert r.status == 200, await r.text()
+            blob = await r.read()
+            back, sr = wav.read_wav(blob)
+            assert sr == SR and np.all(np.isfinite(back))
+        finally:
+            settings_store.set_setting("vocal_isolation_enabled", "false")
+
+    _client_test(app_factory, fn)
+    assert calls, "neural htdemucs path was not exercised"
+    vocal._ht_cache = vocal._HT_SENTINEL
+
+
 def test_frontend_served(app_factory):
     async def fn(client):
         r = await client.get("/")

@@ -110,10 +110,14 @@ let mmDict = {};
 function T(key) { return mmDict[key] || key; }
 
 async function loadLocale() {
-  if (mmLang === "en") { mmDict = {}; return; }
+  // Every language (en included) has a dictionary: locales/en.json is the
+  // identity catalog of all UI strings, so operators can retune English
+  // copy without editing markup — mirrors the reference's i18n.js
+  // en.json/ru.json pair.  Identity entries render the same text, and
+  // applyI18n only rewrites keys present in the dictionary.
   try {
     const r = await fetch(`/static/locales/${mmLang}.json`);
-    if (r.ok) mmDict = await r.json();
+    mmDict = r.ok ? await r.json() : {};
   } catch (e) { mmDict = {}; }
 }
 
@@ -122,7 +126,9 @@ function applyI18n(root = document) {
   // the original markup (e.g. <em> inside tagged headings) intact.
   root.querySelectorAll("[data-i18n]").forEach((el) => {
     const t = mmDict[el.dataset.i18n];
-    if (t) el.textContent = t;
+    // Identity entries (the en.json catalog) are skipped: the markup
+    // already shows that text, and rewriting would flatten inline tags.
+    if (t && t !== el.dataset.i18n) el.textContent = t;
   });
   root.querySelectorAll("[data-i18n-ph]").forEach((el) => {
     const t = mmDict[el.dataset.i18nPh];

@@ -63,12 +63,29 @@ def test_output_rms_reasonable(stage_rows):
         assert 1e-4 < m["rms"] < 1.0, (name, m)
 
 
-@pytest.mark.skipif(mr.regression_wav_path() is None,
-                    reason="no regression WAV fixture (MM_REGRESSION_WAV)")
+def _ensure_fixture():
+    """The fixture WAV is deterministic (seeded, no dither) and reproducible
+    from scripts/gen_regression_fixture.py, so the 29 MB blob itself is not
+    committed — regenerate on demand (doc: MASTERING_REGRESSION.md)."""
+    p = mr.regression_wav_path()
+    if p is not None:
+        return p
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    subprocess.run([sys.executable, "scripts/gen_regression_fixture.py"],
+                   cwd=root, check=True, timeout=300)
+    p = mr.regression_wav_path()
+    assert p is not None, "fixture generation failed"
+    return p
+
+
 def test_real_wav_fixture():
     from amw_tpu.utils import wav as wavmod
 
-    p = mr.regression_wav_path()
+    p = _ensure_fixture()
     audio, sr = wavmod.read_wav(p.read_bytes())
     rows = mr.metrics_after_each_stage(audio, sr)
     thresholds = mr.load_expected_thresholds() or {}

@@ -27,7 +27,7 @@ import numpy as np
 
 # Budget: first-time compiles total ~6-10 min, plus up to ~15 min of relay
 # recovery if a previous TPU process just exited (docs/TPU_NOTES.md).
-WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "2700"))
+WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "3600"))
 
 RESULTS = {
     "metric": "realtime_factor_v1_chain",
@@ -295,6 +295,164 @@ def main():
         RESULTS["genre_sweep_rtf"] = round(sweep_rtf, 1)
     except Exception as e:  # noqa: BLE001
         log(f"genre sweep failed: {type(e).__name__}: {str(e)[:160]}")
+
+    # True-peak-limited genre sweep gate (BASELINE config #3 / VERDICT r2
+    # item 5): edm -9 graph + the 4x-oversampled TP limiter (ops/tplimit),
+    # measured at probe length; gate out_true_peak_dbtp_limited <= -1.0.
+    try:
+        from amw_tpu.ops import meters as meters_ops
+        from amw_tpu.ops.tplimit import build_true_peak_limiter
+
+        probe_dur = 20.0
+        pspec = GraphSpec(sr=sr, n=int(sr * probe_dur), channels=2,
+                          exact=True)
+        p3, raw3, _ = build_v1_pipeline(pspec, target_lufs=-9.0, style="edm",
+                                        jit=False)
+        _, tp_fn = build_true_peak_limiter(pspec, ceiling_db=-1.5)
+
+        def sweep_tp(x, p):
+            y = tp_fn(raw3(x, p), None)
+            return meters_ops.true_peak_dbfs(y)
+
+        jtp = jax.jit(sweep_tp)
+        probe = make_track(sr, probe_dur, seed=99)
+        p3d = jax.device_put(p3)
+        tp_lim = fence(jtp(probe, p3d))
+        t0 = time.perf_counter()
+        tp_lim = fence(jtp(probe, p3d))
+        tp_dt = time.perf_counter() - t0 - relay
+        log(f"TP-limited sweep (edm -9 + tplimit): out TP "
+            f"{tp_lim:.2f} dBTP (gate <= -1.0), probe {tp_dt*1e3:.0f} ms")
+        RESULTS["out_true_peak_dbtp_limited"] = round(tp_lim, 2)
+    except Exception as e:  # noqa: BLE001
+        log(f"TP-limited sweep failed: {type(e).__name__}: {str(e)[:160]}")
+
+    # Persistent-compilation-cache restart warm start (VERDICT r2 item 3):
+    # fresh subprocess compiles the probe graph twice — the second process
+    # loads the executable from jax_compilation_cache_dir in seconds.
+    # Deliberately run on the CPU backend: the restart-warm capability is
+    # backend-agnostic, and a second live process must not contend for the
+    # relay's device claim while this one holds it (docs/TPU_NOTES.md).
+    try:
+        import subprocess
+        import tempfile
+
+        cache_dir = tempfile.mkdtemp(prefix="amw_jaxcache_")
+        child = (
+            "import os,sys,time,numpy as np\n"
+            "sys.path.insert(0, '.')\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from amw_tpu.runtime import compile_cache\n"
+            f"compile_cache.enable({cache_dir!r})\n"
+            "from amw_tpu.models.pipeline_v1 import build_v1_pipeline\n"
+            "from amw_tpu.spec import GraphSpec\n"
+            f"spec = GraphSpec(sr={sr}, n={int(sr * 20.0)}, channels=2, "
+            "exact=True)\n"
+            "params, fn, _ = build_v1_pipeline(spec, target_lufs=-14.0, "
+            "style='standard', jit=True)\n"
+            "x = np.zeros((2, spec.n), np.float32)\n"
+            "t0 = time.perf_counter()\n"
+            "out = jax.block_until_ready(fn(x, jax.device_put(params)))\n"
+            "print('FIRSTJOB', time.perf_counter() - t0)\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        times = []
+        for tag in ("cold", "restart"):
+            r = subprocess.run([sys.executable, "-c", child],
+                               capture_output=True, text=True, timeout=900,
+                               env=env,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in r.stdout.splitlines():
+                if line.startswith("FIRSTJOB"):
+                    times.append(float(line.split()[1]))
+        if len(times) == 2:
+            log(f"compile cache (cpu backend): cold first-job "
+                f"{times[0]:.1f}s -> restart first-job {times[1]:.1f}s")
+            RESULTS["cold_first_job_s"] = round(times[0], 1)
+            RESULTS["restart_first_job_s"] = round(times[1], 1)
+    except Exception as e:  # noqa: BLE001
+        log(f"compile-cache bench failed: {type(e).__name__}: {str(e)[:160]}")
+
+    # Per-stage p50 map (VERDICT r2 item 6): marginal cost of each fused v1
+    # stage at batch=micro via cumulative prefixes (see scripts/bench_stages
+    # for caveats near fused pairs).  The round-4 optimization map.
+    try:
+        stage_fns = raw_fn.stage_fns
+        stage_ms = {}
+        prev = 0.0
+        for k in range(1, len(names) + 1):
+            def fn_k(x, ps, _k=k):
+                y = x
+                for f, p in zip(stage_fns[:_k], ps[:_k]):
+                    y = f(y, p)
+                return y
+
+            jit_k = jax.jit(lambda x, p, f=fn_k: jnp.sum(jnp.square(
+                jax.vmap(f, in_axes=(0, None))(x, p))))
+            fence(jit_k(xb, params_dev))
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(2):
+                acc = jit_k(xb, params_dev)
+            fence(acc)
+            dt_k = (time.perf_counter() - t0 - relay) / 2
+            stage_ms[names[k - 1]] = round(max(dt_k - prev, 0.0) * 1e3, 1)
+            prev = dt_k
+        log("stage marginal ms: " + json.dumps(stage_ms))
+        RESULTS["stage_ms"] = stage_ms
+    except Exception as e:  # noqa: BLE001
+        log(f"stage map failed: {type(e).__name__}: {str(e)[:160]}")
+
+    # htdemucs (BASELINE config #5): released-shape forward RTF + the
+    # isolate-vocal -> master end-to-end number (VERDICT r2 item 2).
+    try:
+        from amw_tpu.models import htdemucs_jax as hj
+
+        cfg = hj.HTConfig()
+        hparams = hj.init_params(cfg)
+        hdev = jax.device_put(hparams)
+        seg = cfg.segment_samples
+        g = np.random.default_rng(0)
+        mixb = jax.device_put(
+            (0.1 * g.standard_normal((4, 2, seg))).astype(np.float32))
+        hfwd = jax.jit(lambda p, x: jnp.sum(jnp.square(hj.forward(p, x, cfg))))
+        t0 = time.perf_counter()
+        fence(hfwd(hdev, mixb))
+        log(f"htdemucs batch=4 compiled+ran in {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(3):
+            acc = hfwd(hdev, mixb)
+        fence(acc)
+        hdt = (time.perf_counter() - t0 - relay) / 3
+        h_rtf = 4 * cfg.segment / hdt
+        log(f"htdemucs fwd batch=4: {hdt*1e3:.0f} ms -> {h_rtf:.0f}x realtime")
+        RESULTS["htdemucs_fwd_rtf"] = round(h_rtf, 1)
+
+        # isolate -> master e2e: separate a 60 s track (vocals stem picked
+        # on device), then the fused v1 chain on the stem.
+        e2e_dur = 60.0
+        n_e2e = int(cfg.samplerate * e2e_dur)
+        track = (0.1 * g.standard_normal((2, n_e2e))).astype(np.float32)
+        espec = GraphSpec(sr=cfg.samplerate, n=n_e2e, channels=2, exact=True)
+        mparams, mfn, _ = build_v1_pipeline(espec, target_lufs=-14.0,
+                                            style="standard", jit=True)
+        mdev = jax.device_put(mparams)
+        _ = hj.separate(hdev, track[:, :seg * 2], cfg, stems=("vocals",))
+        fence(jnp.sum(jnp.square(mfn(jnp.asarray(track), mdev))))
+        t0 = time.perf_counter()
+        vocals = hj.separate(hdev, track, cfg, stems=("vocals",))[0]
+        mastered = mfn(jnp.asarray(np.clip(vocals, -1.0, 1.0)
+                                   .astype(np.float32)), mdev)
+        fence(jnp.sum(jnp.square(mastered)))
+        e2e = time.perf_counter() - t0 - relay
+        e2e_rtf = e2e_dur / e2e
+        log(f"isolate+master e2e ({e2e_dur:.0f}s track): {e2e:.2f}s -> "
+            f"{e2e_rtf:.1f}x realtime")
+        RESULTS["htdemucs_e2e_rtf"] = round(e2e_rtf, 1)
+    except Exception as e:  # noqa: BLE001
+        log(f"htdemucs bench failed: {type(e).__name__}: {str(e)[:160]}")
 
     emit()
 

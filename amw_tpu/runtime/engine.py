@@ -372,9 +372,16 @@ class MasteringEngine:
                     lambda: self._built_v2(spec, None, {}, target_lufs,
                                            style))
                 x = np.zeros((2, spec.n), np.float32)
-                jax.block_until_ready(
-                    fn(x, self._cache[("v2", spec, key)][0],
-                       np.int32(spec.n)))
+                if self._batcher is not None:
+                    # Production jobs run through the micro-batcher, whose
+                    # (mesh-wide) batch executable is a different program —
+                    # warm THAT one, via the same code path.
+                    self._run_v2_batch(("v2", spec, key), x[None],
+                                       np.asarray([spec.n], np.int32))
+                else:
+                    jax.block_until_ready(
+                        fn(x, self._cache[("v2", spec, key)][0],
+                           np.int32(spec.n)))
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 import logging
 

@@ -32,8 +32,28 @@ from .engine import get_engine
 
 logger = logging.getLogger("amw_tpu.bot")
 
-# chat_id -> {"state": str, "file_id": str, ...}
+# chat_id -> {"state": str, "file_id": str, "ts": float, ...}
 _chat_state: dict[int, dict] = {}
+
+# FSM timeout (reference bot clears stale states; a user who walked away
+# mid-flow gets a fresh start instead of a confusing stale keyboard).
+STATE_TTL_SEC = 15 * 60
+BATCH_MAX_FILES = 10  # mirrors the web batch cap (mastering.py:90)
+
+
+def _get_state(chat_id: int) -> dict | None:
+    st = _chat_state.get(chat_id)
+    if st is None:
+        return None
+    if time.time() - st.get("ts", 0) > STATE_TTL_SEC:
+        _chat_state.pop(chat_id, None)
+        return None
+    return st
+
+
+def _set_state(chat_id: int, st: dict) -> None:
+    st["ts"] = time.time()
+    _chat_state[chat_id] = st
 
 
 def bot_token() -> str | None:
@@ -123,7 +143,7 @@ class Bot:
             await self._on_file(chat_id, doc)
         elif text.startswith("/"):
             await self._on_command(chat_id, msg, text)
-        elif _chat_state.get(chat_id, {}).get("state") == "ai":
+        elif (_get_state(chat_id) or {}).get("state") == "ai":
             await self._on_ai(chat_id, text)
 
     async def _on_command(self, chat_id: int, msg: dict, text: str) -> None:
@@ -138,10 +158,12 @@ class Bot:
                 "/ai — mastering assistant chat\n"
                 "/link CODE — link your web account\n"))
         elif cmd == "/master":
-            _chat_state[chat_id] = {"state": "await_file", "mode": "master"}
-            self.send_text(chat_id, "Send an audio file (WAV/MP3/FLAC) to master.")
+            _set_state(chat_id, {"state": "await_file", "mode": "master"})
+            self.send_text(chat_id, (
+                "Send an audio file (WAV/MP3/FLAC) to master. Send several "
+                f"files (up to {BATCH_MAX_FILES}) for a batch."))
         elif cmd == "/analyze":
-            _chat_state[chat_id] = {"state": "await_file", "mode": "analyze"}
+            _set_state(chat_id, {"state": "await_file", "mode": "analyze"})
             self.send_text(chat_id, "Send an audio file to analyze.")
         elif cmd == "/presets":
             rows = "\n".join(f"• {k}: {v} LUFS" for k, v in PRESET_LUFS.items())
@@ -150,7 +172,7 @@ class Bot:
             if arg:
                 await self._on_ai(chat_id, arg)
             else:
-                _chat_state[chat_id] = {"state": "ai"}
+                _set_state(chat_id, {"state": "ai"})
                 self.send_text(chat_id, "Ask me anything about mastering.")
         elif cmd == "/link":
             await self._on_link(chat_id, arg.strip())
@@ -160,7 +182,7 @@ class Bot:
             self.send_text(chat_id, "Unknown command. /help")
 
     async def _on_file(self, chat_id: int, doc: dict) -> None:
-        st = _chat_state.get(chat_id) or {"mode": "master"}
+        st = _get_state(chat_id) or {"mode": "master"}
         mode = st.get("mode", "master")
         fname = doc.get("file_name") or "audio.wav"
         if mode == "analyze":
@@ -181,12 +203,23 @@ class Bot:
                 self.send_text(chat_id, f"Analysis failed: {e}")
             _chat_state.pop(chat_id, None)
             return
-        # master flow: store file, offer preset keyboard
-        _chat_state[chat_id] = {"state": "await_preset",
-                                "file_id": doc["file_id"], "fname": fname}
+        # master flow: collect file(s), offer preset keyboard.  Additional
+        # audio files sent before picking a preset become a batch (the bot
+        # analog of /api/v2/batch, capped like the web path).
+        files = (st.get("files") or []) if st.get("state") == "await_preset" \
+            else []
+        if len(files) >= BATCH_MAX_FILES:
+            self.send_text(chat_id,
+                           f"Batch is full ({BATCH_MAX_FILES} files) — pick a "
+                           "preset to start mastering.")
+            return
+        files = files + [(doc["file_id"], fname)]
+        _set_state(chat_id, {"state": "await_preset", "files": files})
         kb = [[{"text": f"{k} ({PRESET_LUFS[k]})", "callback_data": f"preset:{k}"}
                for k in row] for row in [["spotify", "apple"], ["club", "youtube"]]]
-        self.send_text(chat_id, "Choose a target preset:", keyboard=kb)
+        label = ("Choose a target preset:" if len(files) == 1 else
+                 f"{len(files)} files queued — add more or choose a preset:")
+        self.send_text(chat_id, label, keyboard=kb)
 
     async def _on_callback(self, cq: dict) -> None:
         chat_id = ((cq.get("message") or {}).get("chat") or {}).get("id")
@@ -194,33 +227,39 @@ class Bot:
         if chat_id is None or not data.startswith("preset:"):
             return
         preset = data.split(":", 1)[1]
-        st = _chat_state.get(chat_id)
+        st = _get_state(chat_id)
         if not st or st.get("state") != "await_preset":
             self.send_text(chat_id, "Send a file first: /master")
             return
         target = PRESET_LUFS.get(preset, -14.0)
-        self.send_text(chat_id, f"Mastering to {preset} ({target} LUFS)…")
-        fname = st["fname"]
-        file_id = st["file_id"]
+        files = st.get("files") or [(st.get("file_id"), st.get("fname"))]
         _chat_state.pop(chat_id, None)
+        if len(files) == 1:
+            self.send_text(chat_id, f"Mastering to {preset} ({target} LUFS)…")
+        else:
+            self.send_text(chat_id, (f"Mastering {len(files)} files to "
+                                     f"{preset} ({target} LUFS)…"))
+        linked = _user_by_telegram(chat_id)
+        user_id = linked["id"] if linked else None
         sem = jobs.select_semaphore(False)
         async with sem:
-            try:
-                data_bytes = await asyncio.to_thread(self.download, file_id)
-                res = await asyncio.to_thread(
-                    get_engine().master_v2_bytes, data_bytes, fname,
-                    target_lufs=target, out_format="wav", style="standard")
-                out_name = fname.rsplit(".", 1)[0] + "_mastered.wav"
-                await asyncio.to_thread(
-                    self.send_document, chat_id, out_name, res["bytes"],
-                    f"✅ {res['after_lufs']:.1f} LUFS" if res.get("after_lufs")
-                    else "✅ done")
-                db.record_mastering(None, fname, "standard", target,
-                                    res.get("before_lufs"),
-                                    res.get("after_lufs"), "wav",
-                                    source="telegram")
-            except Exception as e:  # noqa: BLE001
-                self.send_text(chat_id, f"❌ Mastering failed: {e}")
+            for file_id, fname in files:
+                try:
+                    data_bytes = await asyncio.to_thread(self.download, file_id)
+                    res = await asyncio.to_thread(
+                        get_engine().master_v2_bytes, data_bytes, fname,
+                        target_lufs=target, out_format="wav", style="standard")
+                    out_name = fname.rsplit(".", 1)[0] + "_mastered.wav"
+                    await asyncio.to_thread(
+                        self.send_document, chat_id, out_name, res["bytes"],
+                        f"✅ {res['after_lufs']:.1f} LUFS"
+                        if res.get("after_lufs") else "✅ done")
+                    db.record_mastering(user_id, fname, "standard", target,
+                                        res.get("before_lufs"),
+                                        res.get("after_lufs"), "wav",
+                                        source="telegram")
+                except Exception as e:  # noqa: BLE001
+                    self.send_text(chat_id, f"❌ {fname}: mastering failed: {e}")
 
     async def _on_ai(self, chat_id: int, text: str) -> None:
         from . import ai, llm_guard

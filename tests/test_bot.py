@@ -176,3 +176,56 @@ def test_anomaly_checks(env):
 
     alerts = check_anomalies()
     assert isinstance(alerts, list)  # thresholds generous; usually empty
+
+
+def test_master_batch_flow(env):
+    """Multiple audio files before picking a preset become one batch —
+    the bot analog of /api/v2/batch (reference bot batch flow)."""
+    ft = FakeTransport(file_bytes=_wav_blob())
+    bot = _bot(ft)
+
+    async def fn():
+        await bot.handle_update(
+            {"message": {"chat": {"id": 5}, "text": "/master"}})
+        for i in range(3):
+            await bot.handle_update(
+                {"message": {"chat": {"id": 5},
+                             "document": {"file_id": f"f{i}",
+                                          "file_name": f"t{i}.wav"}}})
+        await bot.handle_update(
+            {"callback_query": {"message": {"chat": {"id": 5}},
+                                "data": "preset:spotify"}})
+
+    _run(fn())
+    assert len(ft.docs) == 3
+    assert {d[1] for d in ft.docs} == {"t0_mastered.wav", "t1_mastered.wav",
+                                       "t2_mastered.wav"}
+    # queue feedback mentioned the growing batch
+    texts = [p.get("text", "") for m, p in ft.sent if m == "sendMessage"]
+    assert any("2 files queued" in t for t in texts)
+
+
+def test_fsm_state_expires(env, monkeypatch):
+    """Stale FSM states time out (reference FSM timeout behavior): a preset
+    callback after expiry asks for a file instead of using stale state."""
+    from amw_tpu.runtime import bot as bot_mod
+
+    ft = FakeTransport(file_bytes=_wav_blob())
+    bot = _bot(ft)
+
+    async def fn():
+        await bot.handle_update(
+            {"message": {"chat": {"id": 6}, "text": "/master"}})
+        await bot.handle_update(
+            {"message": {"chat": {"id": 6},
+                         "document": {"file_id": "f", "file_name": "a.wav"}}})
+        # expire the state
+        bot_mod._chat_state[6]["ts"] -= bot_mod.STATE_TTL_SEC + 1
+        await bot.handle_update(
+            {"callback_query": {"message": {"chat": {"id": 6}},
+                                "data": "preset:spotify"}})
+
+    _run(fn())
+    assert not ft.docs
+    texts = [p.get("text", "") for m, p in ft.sent if m == "sendMessage"]
+    assert any("Send a file first" in t for t in texts)

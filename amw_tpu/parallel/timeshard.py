@@ -197,15 +197,22 @@ def build_sp_master(
 
     def add_local(name, build, amount=1.0):
         """``build(spec) -> (params, fn)`` invoked for the interior window
-        and both track-edge windows."""
-        variants = {}
-        for vkey, vspec in (("i", spec_ext), ("l", spec_left),
-                            ("r", spec_right)):
-            p, f = build(vspec)
-            variants[vkey] = (list(p), _amount(f, amount))
+        and both track-edge windows.  An edge variant that fails to build
+        (e.g. a filter invalid at the short last-chunk window) falls back
+        to the interior fn for that branch — zero-history edge semantics
+        for that one stage rather than dropping the module entirely."""
+        p, f = build(spec_ext)  # interior failure bypasses the module
+        variants = {"i": (list(p), _amount(f, amount))}
+        for vkey, vspec in (("l", spec_left), ("r", spec_right)):
+            try:
+                pv, fv = build(vspec)
+                variants[vkey] = (list(pv), _amount(fv, amount))
+            except Exception:  # noqa: BLE001 — per-branch fallback
+                variants[vkey] = None
         stages.append(("local", name,
-                       {k: v[0] for k, v in variants.items()},
-                       {k: v[1] for k, v in variants.items()}))
+                       {k: (v[0] if v else []) for k, v in variants.items()},
+                       {k: (v[1] if v else None)
+                        for k, v in variants.items()}))
 
     def add_uniform(name, built, amount=1.0):
         p, f = built
@@ -333,11 +340,15 @@ def build_sp_master(
                 # First shard: window anchored at the track start — the
                 # op's own scipy-exact edge machinery produces the
                 # single-chip track-start samples.
+                if fns["l"] is None:  # build fallback: interior behavior
+                    return b_int(None)
                 return fns["l"](ext[..., halo:], ps["l"])[..., :chunk]
 
             def b_right(_):
                 # Last shard: window ending exactly at the track end
                 # (sample ``lv`` of this chunk); zero-pad the invalid tail.
+                if fns["r"] is None:  # build fallback: interior behavior
+                    return b_int(None)
                 y = fns["r"](ext[..., :halo + lv], ps["r"])[..., halo:]
                 if lv < chunk:
                     y = jnp.concatenate(

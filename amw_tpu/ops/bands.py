@@ -155,21 +155,19 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None, pre=None,
                 left = [b[0] for b in lr]
                 right = [b[1] for b in lr]
                 if band_maps is not None and use_pallas:
-                    # fused: maps + band sum inside the final kernel
-                    Xr, Xi, lead = fp.fwd_real(core, nfft, tables=params[2])
-                    mix = fp.inv_multi_reduce(Xr, Xi, Rd, nfft, lead,
-                                              padlen + n, band_maps,
-                                              tables=params[2])[..., padlen:]
+                    # fused end to end: fwd -> responses -> inv -> maps ->
+                    # band sum, spectrum and band signals never in HBM
+                    mix = fp.roundtrip_multi_reduce(core, Rd, nfft,
+                                                    padlen + n, band_maps,
+                                                    tables=params[2])[..., padlen:]
                     el = sum(band_maps[i](left[i]) for i in range(4))
                     er = sum(band_maps[i](right[i]) for i in range(4))
                     return validctx.splice(mix, el, er, n, L, nv)
                 # One batched inverse over the 4 band responses — measured
                 # ~50 ms faster than 4 separate transforms at [16, 2^23].
                 if use_pallas:
-                    Xr, Xi, lead = fp.fwd_real(core, nfft, tables=params[2])
-                    ys = fp.inv_multi(Xr, Xi, Rd, nfft, lead,
-                                      padlen + n,
-                                      tables=params[2])[..., padlen:]
+                    ys = fp.roundtrip_multi(core, Rd, nfft, padlen + n,
+                                            tables=params[2])[..., padlen:]
                 else:
                     X = jnp.fft.rfft(core, n=nfft, axis=-1)
                     Rb = Rd.reshape((4,) + (1,) * (X.ndim - 1)

@@ -303,6 +303,51 @@ def _stage_cb_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref, t2i_ref,
     oi_ref[0, 0] = yi
 
 
+def _stage_bc_cb_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref, t2i_ref,
+                        wr_ref, wi_ref, ctr_ref, cti_ref,
+                        ibr_ref, ibi_ref, it2r_ref, it2i_ref,
+                        iwr_ref, iwi_ref, ictr_ref, icti_ref,
+                        rr_ref, ri_ref, or_ref, oi_ref, *, nfft):
+    """Fused forward B+C, response multiply, and inverse C+B — the whole
+    spectrum-domain round trip on one (B, C) tile (fixed a').  The full
+    spectrum is never materialized in HBM: vs separate _stage_bc +
+    _stage_cb calls this saves four nfft-sized plane passes (two writes,
+    two reads) and one kernel launch per response application."""
+    yr, yi = _dot_l(fbr_ref[...], fbi_ref[...], xr_ref[0, 0], xi_ref[0, 0])
+    yr, yi = _cmul(yr, yi, t2r_ref[...], t2i_ref[...])
+    yr, yi = _cstage_fwd(yr, yi, wr_ref[...], wi_ref[...],
+                         ctr_ref[...], cti_ref[...], nfft)
+    yr, yi = _cmul(yr, yi, rr_ref[0], ri_ref[0])
+    yr, yi = _cstage_inv(yr, yi, iwr_ref[...], iwi_ref[...],
+                         ictr_ref[...], icti_ref[...], nfft)
+    yr, yi = _cmul(yr, yi, it2r_ref[...], it2i_ref[...])
+    yr, yi = _dot_l(ibr_ref[...], ibi_ref[...], yr, yi)
+    or_ref[0, 0] = yr
+    oi_ref[0, 0] = yi
+
+
+def _stage_bccb_multi_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref,
+                             t2i_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
+                             ibr_ref, ibi_ref, it2r_ref, it2i_ref,
+                             iwr_ref, iwi_ref, ictr_ref, icti_ref,
+                             rr_ref, ri_ref, or_ref, oi_ref, *, nfft, K):
+    """Fused forward B+C and K-response inverse C+B on one (B, C) tile:
+    the spectrum is computed, multiplied by each response, and inverted
+    without ever being written to HBM."""
+    yr, yi = _dot_l(fbr_ref[...], fbi_ref[...], xr_ref[0, 0], xi_ref[0, 0])
+    yr, yi = _cmul(yr, yi, t2r_ref[...], t2i_ref[...])
+    yr, yi = _cstage_fwd(yr, yi, wr_ref[...], wi_ref[...],
+                         ctr_ref[...], cti_ref[...], nfft)
+    for k in range(K):
+        zr, zi = _cmul(yr, yi, rr_ref[k, 0], ri_ref[k, 0])
+        zr, zi = _cstage_inv(zr, zi, iwr_ref[...], iwi_ref[...],
+                             ictr_ref[...], icti_ref[...], nfft)
+        zr, zi = _cmul(zr, zi, it2r_ref[...], it2i_ref[...])
+        zr, zi = _dot_l(ibr_ref[...], ibi_ref[...], zr, zi)
+        or_ref[k, 0, 0] = zr
+        oi_ref[k, 0, 0] = zi
+
+
 def _stage_cb_multi_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref,
                            t2i_ref, wr_ref, wi_ref, ctr_ref, cti_ref,
                            rr_ref, ri_ref, or_ref, oi_ref, *, nfft, K):
@@ -327,7 +372,7 @@ def _stage_cb_multi_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref,
 
 def _const_spec(shape):
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda r, j: (0,) * nd)
+    return pl.BlockSpec(shape, lambda j, r: (0,) * nd)
 
 
 def _stage_a(xr, xi, nfft, inverse, tables, interpret=False,
@@ -341,15 +386,15 @@ def _stage_a(xr, xi, nfft, inverse, tables, interpret=False,
     R = xr.shape[0]
     xr3 = xr.reshape(R, A, B * C)
     scale = (1.0 / nfft) if inverse else 1.0
-    spec_x = pl.BlockSpec((1, A, C), lambda r, j: (r, 0, j))
-    spec_t1 = pl.BlockSpec((1, A, C), lambda r, j: (j, 0, 0))
+    spec_x = pl.BlockSpec((1, A, C), lambda j, r: (r, 0, j))
+    spec_t1 = pl.BlockSpec((1, A, C), lambda j, r: (j, 0, 0))
     f_specs = [_const_spec((A, A)), _const_spec((A, A))]
     wa_in = (jnp.asarray(wa[0]), jnp.asarray(wa[1]))
     t1_in = (t1r.reshape(B, A, C), t1i.reshape(B, A, C))
     if real_in and not inverse:
         out = pl.pallas_call(
             _stage_a_real_in_kernel,
-            grid=(R, B),
+            grid=(B, R),
             in_specs=[spec_x] + f_specs + [spec_t1, spec_t1],
             out_specs=[spec_x, spec_x],
             out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)] * 2,
@@ -360,7 +405,7 @@ def _stage_a(xr, xi, nfft, inverse, tables, interpret=False,
     if real_out and inverse:
         out = pl.pallas_call(
             functools.partial(_stage_a_real_out_kernel, scale=scale),
-            grid=(R, B),
+            grid=(B, R),
             in_specs=[spec_x, spec_x] + f_specs + [spec_t1, spec_t1],
             out_specs=[spec_x],
             out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)],
@@ -370,7 +415,7 @@ def _stage_a(xr, xi, nfft, inverse, tables, interpret=False,
     kern = functools.partial(_stage_a_kernel, pre=inverse, scale=scale)
     out = pl.pallas_call(
         kern,
-        grid=(R, B),
+        grid=(B, R),
         in_specs=[spec_x, spec_x] + f_specs + [spec_t1, spec_t1],
         out_specs=[spec_x, spec_x],
         out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)] * 2,
@@ -401,12 +446,12 @@ def _stage_bc(xr, xi, nfft, tables, interpret=False):
     R = xr.shape[0]
     xr4 = xr.reshape(R, A, B, C)
     xi4 = xi.reshape(R, A, B, C)
-    spec_x = pl.BlockSpec((1, 1, B, C), lambda r, i: (r, i, 0, 0))
+    spec_x = pl.BlockSpec((1, 1, B, C), lambda i, r: (r, i, 0, 0))
     ins, shapes = _bc_tables(nfft, False, tables)
     w_specs = [_const_spec(sh) for sh in shapes]
     out = pl.pallas_call(
         functools.partial(_stage_bc_kernel, nfft=nfft),
-        grid=(R, A),
+        grid=(A, R),
         in_specs=[spec_x, spec_x] + w_specs,
         out_specs=[spec_x, spec_x],
         out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
@@ -421,7 +466,7 @@ def _stage_cb(Xr, Xi, nfft, tables, resp=None, interpret=False):
     R = Xr.shape[0]
     xr4 = Xr.reshape(R, A, B, C)
     xi4 = Xi.reshape(R, A, B, C)
-    spec_x = pl.BlockSpec((1, 1, B, C), lambda r, i: (r, i, 0, 0))
+    spec_x = pl.BlockSpec((1, 1, B, C), lambda i, r: (r, i, 0, 0))
     ins, shapes = _bc_tables(nfft, True, tables)
     w_specs = [_const_spec(sh) for sh in shapes]
     if resp is None:
@@ -433,16 +478,76 @@ def _stage_cb(Xr, Xi, nfft, tables, resp=None, interpret=False):
         rr = resp[0].reshape(A, B, C)
         ri = resp[1].reshape(A, B, C)
         with_resp = True
-    spec_r = pl.BlockSpec((1, B, C), lambda r, i: (i, 0, 0))
+    spec_r = pl.BlockSpec((1, B, C), lambda i, r: (i, 0, 0))
     out = pl.pallas_call(
         functools.partial(_stage_cb_kernel, nfft=nfft, with_resp=with_resp),
-        grid=(R, A),
+        grid=(A, R),
         in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
         out_specs=[spec_x, spec_x],
         out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
         interpret=interpret,
     )(xr4, xi4, *ins, rr, ri)
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
+
+
+def _stage_bc_cb(xr, xi, nfft, tables, resp, interpret=False):
+    """Driver for the fused forward-BC → response → inverse-CB round trip.
+    Input: stage-A forward output [R, nfft]; output: ready for the final
+    inverse stage A."""
+    C = nfft // (A * B)
+    R = xr.shape[0]
+    xr4 = xr.reshape(R, A, B, C)
+    xi4 = xi.reshape(R, A, B, C)
+    spec_x = pl.BlockSpec((1, 1, B, C), lambda i, r: (r, i, 0, 0))
+    ins_f, shapes_f = _bc_tables(nfft, False, tables)
+    ins_i, shapes_i = _bc_tables(nfft, True, tables)
+    w_specs = [_const_spec(sh) for sh in shapes_f + shapes_i]
+    rr = resp[0].reshape(A, B, C)
+    ri = resp[1].reshape(A, B, C)
+    spec_r = pl.BlockSpec((1, B, C), lambda i, r: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_stage_bc_cb_kernel, nfft=nfft),
+        grid=(A, R),
+        in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
+        out_specs=[spec_x, spec_x],
+        out_shape=[jax.ShapeDtypeStruct(xr4.shape, jnp.float32)] * 2,
+        interpret=interpret,
+    )(xr4, xi4, *ins_f, *ins_i, rr, ri)
+    return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
+
+
+def _stage_bccb_multi(xr, xi, resps, nfft, tables, interpret=False):
+    """Driver for the fused forward-BC → K responses → inverse-CB pass.
+    Input: stage-A forward output [R, nfft]; output [K*R, nfft] planes
+    ready for the final inverse stage A."""
+    C = nfft // (A * B)
+    R = xr.shape[0]
+    K = resps.shape[0]
+    xr4 = xr.reshape(R, A, B, C)
+    xi4 = xi.reshape(R, A, B, C)
+    rr = resps[:, 0].reshape(K, A, B, C)
+    ri = resps[:, 1].reshape(K, A, B, C)
+    spec_x = pl.BlockSpec((1, 1, B, C), lambda i, r: (r, i, 0, 0))
+    spec_r = pl.BlockSpec((K, 1, B, C), lambda i, r: (0, i, 0, 0))
+    spec_o = pl.BlockSpec((K, 1, 1, B, C), lambda i, r: (0, r, i, 0, 0))
+    ins_f, shapes_f = _bc_tables(nfft, False, tables)
+    ins_i, shapes_i = _bc_tables(nfft, True, tables)
+    w_specs = [_const_spec(sh) for sh in shapes_f + shapes_i]
+    out = pl.pallas_call(
+        functools.partial(_stage_bccb_multi_kernel, nfft=nfft, K=K),
+        grid=(A, R),
+        in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
+        out_specs=[spec_o, spec_o],
+        out_shape=[jax.ShapeDtypeStruct((K, R, A, B, C), jnp.float32)] * 2,
+        interpret=interpret,
+    )(xr4, xi4, *ins_f, *ins_i, rr, ri)
+    return out[0].reshape(K * R, nfft), out[1].reshape(K * R, nfft)
+
+
+def _fused_rt() -> bool:
+    import os
+
+    return os.environ.get("AMW_FFT_FUSED_RT", "1") == "1"
 
 
 def _stage_cb_multi(Xr, Xi, resps, nfft, tables, interpret=False):
@@ -454,15 +559,15 @@ def _stage_cb_multi(Xr, Xi, resps, nfft, tables, interpret=False):
     xi4 = Xi.reshape(R, A, B, C)
     rr = resps[:, 0].reshape(K, A, B, C)
     ri = resps[:, 1].reshape(K, A, B, C)
-    spec_x = pl.BlockSpec((1, 1, B, C), lambda r, i: (r, i, 0, 0))
-    spec_r = pl.BlockSpec((K, 1, B, C), lambda r, i: (0, i, 0, 0))
-    spec_o = pl.BlockSpec((K, 1, 1, B, C), lambda r, i: (0, r, i, 0, 0))
+    spec_x = pl.BlockSpec((1, 1, B, C), lambda i, r: (r, i, 0, 0))
+    spec_r = pl.BlockSpec((K, 1, B, C), lambda i, r: (0, i, 0, 0))
+    spec_o = pl.BlockSpec((K, 1, 1, B, C), lambda i, r: (0, r, i, 0, 0))
     ins, shapes = _bc_tables(nfft, True, tables)
-    w_specs = [pl.BlockSpec(sh, (lambda nd: lambda r, i: (0,) * nd)(len(sh)))
+    w_specs = [pl.BlockSpec(sh, (lambda nd: lambda i, r: (0,) * nd)(len(sh)))
                for sh in shapes]
     out = pl.pallas_call(
         functools.partial(_stage_cb_multi_kernel, nfft=nfft, K=K),
-        grid=(R, A),
+        grid=(A, R),
         in_specs=[spec_x, spec_x] + w_specs + [spec_r, spec_r],
         out_specs=[spec_o, spec_o],
         out_shape=[jax.ShapeDtypeStruct((K, R, A, B, C), jnp.float32)] * 2,
@@ -507,13 +612,37 @@ def apply_response(x, resp_perm, nfft: int, tables=None,
         xr = jnp.pad(xr, ((0, 0), (0, nfft - n)))
     elif n > nfft:
         xr = xr[:, :nfft]
+    m = nfft if n_out is None else n_out
+    if _pack_ok(R):
+        # Row-pair packing (see roundtrip_multi): responses have real
+        # impulses by construction, so two real rows ride one complex row
+        # and the B/C work halves.
+        R2 = R // 2
+        Xr, Xi = _stage_a(xr[:R2], xr[R2:], nfft, False, tables, interpret)
+        if _fused_rt():
+            Yr, Yi = _stage_bc_cb(Xr, Xi, nfft, tables, resp_perm,
+                                  interpret=interpret)
+        else:
+            Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
+            Yr, Yi = _stage_cb(Xr, Xi, nfft, tables, resp=resp_perm,
+                               interpret=interpret)
+        Yr, Yi = _stage_a(Yr, Yi, nfft, True, tables, interpret)
+        out = jnp.concatenate([Yr, Yi], axis=0)
+        return out[:, :m].reshape(lead + (m,))
     Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret,
                       real_in=True)
-    Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
-    Yr, Yi = _stage_cb(Xr, Xi, nfft, tables, resp=resp_perm,
-                       interpret=interpret)
+    if _fused_rt():
+        # Fused forward-BC -> response -> inverse-CB: the full spectrum
+        # never touches HBM (4 plane passes + 1 launch saved per
+        # application).  AMW_FFT_FUSED_RT=0 restores the split stages
+        # (fallback if Mosaic rejects the larger fused kernel at some C).
+        Yr, Yi = _stage_bc_cb(Xr, Xi, nfft, tables, resp_perm,
+                              interpret=interpret)
+    else:
+        Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
+        Yr, Yi = _stage_cb(Xr, Xi, nfft, tables, resp=resp_perm,
+                           interpret=interpret)
     Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret, real_out=True)
-    m = nfft if n_out is None else n_out
     return Yr[:, :m].reshape(lead + (m,))
 
 
@@ -534,6 +663,107 @@ def fwd_real(x, nfft: int, tables=None, interpret: bool = False):
                       real_in=True)
     Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
     return Xr, Xi, lead
+
+
+def _pack_ok(R: int) -> bool:
+    import os
+
+    return R >= 2 and R % 2 == 0 and os.environ.get(
+        "AMW_FFT_PACK", "1") == "1"
+
+
+def _prep_rows(x, nfft):
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    R = int(np.prod(lead)) if lead else 1
+    xr = x.reshape(R, n)
+    if n < nfft:
+        xr = jnp.pad(xr, ((0, 0), (0, nfft - n)))
+    elif n > nfft:
+        xr = xr[:, :nfft]
+    return xr, lead, R
+
+
+def roundtrip_multi(x, resps_perm, nfft: int, n_out: int,
+                    tables=None, interpret: bool = False):
+    """``[irfft(rfft(x) * H_k)[..., :n_out] for k]`` with the spectrum kept
+    in VMEM across the forward/inverse boundary: real [..., n] ×
+    [K, 2, nfft] responses → real [K, *lead, n_out].
+
+    Row pairs are packed as one complex row (first half of the rows on the
+    real plane, second half on the imag plane — contiguous slices, no
+    strided copies): every response from :func:`permute_full_response` has
+    a REAL impulse (conj-symmetric spectrum by construction), so
+    ``conv(x1 + i·x2, h) = conv(x1, h) + i·conv(x2, h)`` and the B/C
+    stages run on half the rows."""
+    if tables is None:
+        tables = plan_params(nfft)
+    xr, lead, R = _prep_rows(x, nfft)
+    K = resps_perm.shape[0]
+    if _pack_ok(R):
+        R2 = R // 2
+        Xr, Xi = _stage_a(xr[:R2], xr[R2:], nfft, False, tables, interpret)
+        if _fused_rt():
+            Yr, Yi = _stage_bccb_multi(Xr, Xi, resps_perm, nfft, tables,
+                                       interpret)
+        else:
+            Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
+            Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables,
+                                     interpret)
+        Yr, Yi = _stage_a(Yr, Yi, nfft, True, tables, interpret)
+        # [K*R2, nfft] planes -> [K, R, n_out] (real rows then imag rows)
+        Yr = Yr.reshape(K, R2, nfft)
+        Yi = Yi.reshape(K, R2, nfft)
+        out = jnp.concatenate([Yr, Yi], axis=1)
+        return out[..., :n_out].reshape((K,) + tuple(lead) + (n_out,))
+    Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret, real_in=True)
+    if _fused_rt():
+        Yr, Yi = _stage_bccb_multi(Xr, Xi, resps_perm, nfft, tables,
+                                   interpret)
+    else:
+        Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
+        Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables, interpret)
+    Yr, _ = _stage_a(Yr, Yi, nfft, True, tables, interpret, real_out=True)
+    return Yr[:, :n_out].reshape((K,) + tuple(lead) + (n_out,))
+
+
+def roundtrip_multi_reduce(x, resps_perm, nfft: int, n_out: int, band_fns,
+                           tables=None, interpret: bool = False):
+    """:func:`roundtrip_multi` composed with the per-band map + in-VMEM
+    band sum of :func:`inv_multi_reduce` — one streaming pipeline from the
+    real input to the summed band output, with neither the spectrum nor
+    the K band signals materialized in HBM.  Row packing applies: the
+    per-band maps are per-sample on the REAL planes, and the packed
+    planes hold real signals (row 1 on re, row 2 on im), so the maps act
+    plane-wise inside the reduce kernel."""
+    if tables is None:
+        tables = plan_params(nfft)
+    xr, lead, R = _prep_rows(x, nfft)
+    if _pack_ok(R):
+        R2 = R // 2
+        Xr, Xi = _stage_a(xr[:R2], xr[R2:], nfft, False, tables, interpret)
+        if _fused_rt():
+            Yr, Yi = _stage_bccb_multi(Xr, Xi, resps_perm, nfft, tables,
+                                       interpret)
+        else:
+            Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
+            Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables,
+                                     interpret)
+        mr, mi = _reduce_stage_a_packed(
+            Yr, Yi, resps_perm.shape[0], R2, nfft, band_fns, tables,
+            interpret)
+        out = jnp.concatenate([mr, mi], axis=0)
+        return out[:, :n_out].reshape(tuple(lead) + (n_out,))
+    Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret, real_in=True)
+    if _fused_rt():
+        Yr, Yi = _stage_bccb_multi(Xr, Xi, resps_perm, nfft, tables,
+                                   interpret)
+    else:
+        Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
+        Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables, interpret)
+    return _reduce_stage_a(Yr, Yi, resps_perm.shape[0], R, nfft, band_fns,
+                           tables, interpret)[:, :n_out].reshape(
+        tuple(lead) + (n_out,))
 
 
 def inv_multi(Xr, Xi, resps_perm, nfft: int, lead, n_out: int,
@@ -570,6 +800,78 @@ def _stage_a_reduce_kernel(yr_ref, yi_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
     o_ref[0] = acc
 
 
+def _stage_a_reduce_packed_kernel(yr_ref, yi_ref, fr_ref, fi_ref, t1r_ref,
+                                  t1i_ref, or_ref, oi_ref, *, K, scale,
+                                  band_fns):
+    """Packed-rows variant of :func:`_stage_a_reduce_kernel`: full complex
+    inverse stage A, per-band maps applied to EACH plane (both planes hold
+    real packed signals), band sums kept per plane."""
+    twr = t1r_ref[0]
+    twi = t1i_ref[0]
+    acc_r = acc_i = None
+    for k in range(K):
+        xr, xi = _cmul(yr_ref[k, 0], yi_ref[k, 0], twr, twi)
+        zr, zi = _dot_l(fr_ref[...], fi_ref[...], xr, xi)
+        zr = band_fns[k](zr * scale)
+        zi = band_fns[k](zi * scale)
+        acc_r = zr if acc_r is None else acc_r + zr
+        acc_i = zi if acc_i is None else acc_i + zi
+    or_ref[0] = acc_r
+    oi_ref[0] = acc_i
+
+
+def _reduce_stage_a_packed(Yr, Yi, K, R2, nfft, band_fns, tables, interpret):
+    """Packed-rows reduce: returns (real-plane rows, imag-plane rows),
+    each [R2, nfft]."""
+    C = nfft // (A * B)
+    wa, _, _, _, _ = _tables(nfft, True)
+    t1r, t1i, _, _ = _tabs(tables, True)
+    yr4 = Yr.reshape(K, R2, A, B * C)
+    yi4 = Yi.reshape(K, R2, A, B * C)
+    spec_y = pl.BlockSpec((K, 1, A, C), lambda j, r: (0, r, 0, j))
+    spec_o = pl.BlockSpec((1, A, C), lambda j, r: (r, 0, j))
+    spec_t1 = pl.BlockSpec((1, A, C), lambda j, r: (j, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_stage_a_reduce_packed_kernel, K=K,
+                          scale=1.0 / nfft, band_fns=tuple(band_fns)),
+        grid=(B, R2),
+        in_specs=[spec_y, spec_y,
+                  _const_spec((A, A)), _const_spec((A, A)),
+                  spec_t1, spec_t1],
+        out_specs=[spec_o, spec_o],
+        out_shape=[jax.ShapeDtypeStruct((R2, A, B * C), jnp.float32)] * 2,
+        interpret=interpret,
+    )(yr4, yi4, jnp.asarray(wa[0]), jnp.asarray(wa[1]),
+      t1r.reshape(B, A, C), t1i.reshape(B, A, C))
+    return out[0].reshape(R2, nfft), out[1].reshape(R2, nfft)
+
+
+def _reduce_stage_a(Yr, Yi, K, R, nfft, band_fns, tables, interpret):
+    """Final inverse stage A over K spectra with fused per-band map +
+    in-VMEM band sum; returns the summed real [R, nfft] signal."""
+    C = nfft // (A * B)
+    wa, _, _, _, _ = _tables(nfft, True)
+    t1r, t1i, _, _ = _tabs(tables, True)
+    yr4 = Yr.reshape(K, R, A, B * C)
+    yi4 = Yi.reshape(K, R, A, B * C)
+    spec_y = pl.BlockSpec((K, 1, A, C), lambda j, r: (0, r, 0, j))
+    spec_o = pl.BlockSpec((1, A, C), lambda j, r: (r, 0, j))
+    spec_t1 = pl.BlockSpec((1, A, C), lambda j, r: (j, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_stage_a_reduce_kernel, K=K, scale=1.0 / nfft,
+                          band_fns=tuple(band_fns)),
+        grid=(B, R),
+        in_specs=[spec_y, spec_y,
+                  _const_spec((A, A)), _const_spec((A, A)),
+                  spec_t1, spec_t1],
+        out_specs=spec_o,
+        out_shape=jax.ShapeDtypeStruct((R, A, B * C), jnp.float32),
+        interpret=interpret,
+    )(yr4, yi4, jnp.asarray(wa[0]), jnp.asarray(wa[1]),
+      t1r.reshape(B, A, C), t1i.reshape(B, A, C))
+    return out.reshape(R, nfft)
+
+
 def inv_multi_reduce(Xr, Xi, resps_perm, nfft: int, lead, n_out: int,
                      band_fns, tables=None, interpret: bool = False):
     """Like :func:`inv_multi`, but each band passes through its (traceable,
@@ -580,28 +882,10 @@ def inv_multi_reduce(Xr, Xi, resps_perm, nfft: int, lead, n_out: int,
         tables = plan_params(nfft)
     K = resps_perm.shape[0]
     R = Xr.shape[0]
-    C = nfft // (A * B)
     Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables, interpret)
-    wa, _, _, _, _ = _tables(nfft, True)
-    t1r, t1i, _, _ = _tabs(tables, True)
-    yr4 = Yr.reshape(K, R, A, B * C)
-    yi4 = Yi.reshape(K, R, A, B * C)
-    spec_y = pl.BlockSpec((K, 1, A, C), lambda r, j: (0, r, 0, j))
-    spec_o = pl.BlockSpec((1, A, C), lambda r, j: (r, 0, j))
-    spec_t1 = pl.BlockSpec((1, A, C), lambda r, j: (j, 0, 0))
-    out = pl.pallas_call(
-        functools.partial(_stage_a_reduce_kernel, K=K, scale=1.0 / nfft,
-                          band_fns=tuple(band_fns)),
-        grid=(R, B),
-        in_specs=[spec_y, spec_y,
-                  _const_spec((A, A)), _const_spec((A, A)),
-                  spec_t1, spec_t1],
-        out_specs=spec_o,
-        out_shape=jax.ShapeDtypeStruct((R, A, B * C), jnp.float32),
-        interpret=interpret,
-    )(yr4, yi4, jnp.asarray(wa[0]), jnp.asarray(wa[1]),
-      t1r.reshape(B, A, C), t1i.reshape(B, A, C))
-    return out.reshape(R, nfft)[:, :n_out].reshape(tuple(lead) + (n_out,))
+    return _reduce_stage_a(Yr, Yi, K, R, nfft, band_fns, tables,
+                           interpret)[:, :n_out].reshape(
+        tuple(lead) + (n_out,))
 
 
 def enabled(nfft: int) -> bool:

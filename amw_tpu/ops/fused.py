@@ -122,8 +122,9 @@ def build_target_then_deesser(
         xr = validctx.right_window(x, w, nv)
         with validctx.cleared():
             if use_pallas:
-                Xr, Xi, lead = fp.fwd_real(x, nfft, tables=params[3])
-                ys = fp.inv_multi(Xr, Xi, R2, nfft, lead, n, tables=params[3])
+                # spectrum kept in VMEM across fwd/resp/inv (fft_pallas
+                # roundtrip_multi) — saves 4 nfft-plane HBM passes
+                ys = fp.roundtrip_multi(x, R2, nfft, n, tables=params[3])
             else:
                 X = jnp.fft.rfft(x, n=nfft, axis=-1)
                 # one batched irfft over both responses (faster than two)
@@ -259,8 +260,7 @@ def build_normalize_then_final(
         with validctx.cleared():
             if use_pallas:
                 R2, tgt, ps, tabs = params
-                Xr, Xi, lead = fp.fwd_real(x, nfft, tables=tabs)
-                z = fp.inv_multi(Xr, Xi, R2, nfft, lead, n, tables=tabs)
+                z = fp.roundtrip_multi(x, R2, nfft, n, tables=tabs)
             else:
                 Hk_d, tgt, R_d, ps = params
                 X = jnp.fft.rfft(x, n=nfft, axis=-1)

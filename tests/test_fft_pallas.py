@@ -119,6 +119,48 @@ def test_inv_multi_reduce_matches_separate_maps():
     assert np.max(np.abs(mixed - want)) / scale < 1e-5
 
 
+def test_roundtrip_multi_matches_numpy():
+    """roundtrip_multi (fused fwd→resp→inv, spectrum never in HBM) vs the
+    numpy reference, on both the packed (even row count: two real rows ride
+    one complex row) and unpacked (R=1) paths."""
+    g = np.random.default_rng(6)
+    n = NFFT - 1024
+    R1 = (np.random.rand(NFFT // 2 + 1) + 0.25)
+    R2 = (np.random.rand(NFFT // 2 + 1) + 0.25)
+    resps = jnp.asarray(np.stack([fp.permute_full_response(R1, NFFT),
+                                  fp.permute_full_response(R2, NFFT)]))
+    for rows in (1, 2):
+        x = g.standard_normal((rows, n)).astype(np.float32)
+        ys = np.asarray(fp.roundtrip_multi(jnp.asarray(x), resps, NFFT, n,
+                                           interpret=True))
+        X = np.fft.rfft(x, n=NFFT, axis=-1)
+        for k, R in enumerate((R1, R2)):
+            want = np.fft.irfft(X * R, n=NFFT, axis=-1)[..., :n]
+            err = np.max(np.abs(ys[k] - want))
+            assert err < 2e-5, (rows, k, err)
+
+
+def test_roundtrip_multi_reduce_matches_composition():
+    """roundtrip_multi_reduce == roundtrip_multi + maps + sum, packed and
+    unpacked row counts."""
+    g = np.random.default_rng(7)
+    n = NFFT - 1024
+    R1 = (np.random.rand(NFFT // 2 + 1) + 0.25)
+    R2 = (np.random.rand(NFFT // 2 + 1) + 0.25)
+    resps = jnp.asarray(np.stack([fp.permute_full_response(R1, NFFT),
+                                  fp.permute_full_response(R2, NFFT)]))
+    maps = (lambda y: jnp.tanh(1.7 * y) * 0.8,
+            lambda y: y * 0.35 + 0.01 * y * y)
+    for rows in (1, 2):
+        x = jnp.asarray(g.standard_normal((rows, n)).astype(np.float32))
+        mixed = np.asarray(fp.roundtrip_multi_reduce(
+            x, resps, NFFT, n, maps, interpret=True))
+        ys = fp.roundtrip_multi(x, resps, NFFT, n, interpret=True)
+        want = np.asarray(sum(m(y) for m, y in zip(maps, ys)))
+        scale = max(np.max(np.abs(want)), 1e-9)
+        assert np.max(np.abs(mixed - want)) / scale < 1e-5, rows
+
+
 def test_band_split_plan_band_maps_pallas_parity(monkeypatch):
     """band_split_plan(band_maps=...) Pallas route (interpret-forced) vs
     the XLA route: same mixed output."""
@@ -128,7 +170,8 @@ def test_band_split_plan_band_maps_pallas_parity(monkeypatch):
     from amw_tpu.spec import GraphSpec
 
     monkeypatch.setattr(fp, "enabled", lambda nfft: True)
-    for name in ("fwd_real", "inv_multi", "inv_multi_reduce"):
+    for name in ("fwd_real", "inv_multi", "inv_multi_reduce",
+                 "roundtrip_multi", "roundtrip_multi_reduce"):
         orig = getattr(fp, name)
         monkeypatch.setattr(fp, name,
                             functools.partial(orig, interpret=True))

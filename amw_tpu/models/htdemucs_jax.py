@@ -572,15 +572,19 @@ def save_params(params: dict, path: str, cfg: "HTConfig | None" = None):
 _JIT_CACHE: dict = {}
 
 
+def _cfg_key(cfg: HTConfig):
+    return (cfg.channels, cfg.nfft, cfg.bottom_channels, cfg.t_layers,
+            cfg.t_heads, cfg.depth, cfg.samplerate, cfg.sources,
+            cfg.audio_channels, cfg.growth, cfg.t_hidden_scale,
+            cfg.dconv_depth, cfg.dconv_comp, cfg.dconv_init,
+            cfg.freq_emb_scale, cfg.emb_scale, cfg.emb_smooth)
+
+
 def _jitted_forward(cfg: HTConfig):
     """One jitted forward per architecture config — a fresh ``jax.jit``
     closure per call would recompile on EVERY request (~47 s for the
     released shape at batch 4 on the relay)."""
-    key = (cfg.channels, cfg.nfft, cfg.bottom_channels, cfg.t_layers,
-           cfg.t_heads, cfg.depth, cfg.samplerate, cfg.sources,
-           cfg.audio_channels, cfg.growth, cfg.t_hidden_scale,
-           cfg.dconv_depth, cfg.dconv_comp, cfg.dconv_init,
-           cfg.freq_emb_scale, cfg.emb_scale, cfg.emb_smooth)
+    key = _cfg_key(cfg)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(lambda pp, xx: forward(pp, xx, cfg))
@@ -588,9 +592,78 @@ def _jitted_forward(cfg: HTConfig):
     return fn
 
 
+_OA_CACHE: dict = {}
+
+
+def _jitted_oa_window(cfg: HTConfig, seg: int, stride: int, batch: int,
+                      n_sel: int):
+    """The heavy step of device-resident overlap-add, on a FIXED-SIZE
+    window ``span = (batch-1)*stride + seg``: slice ``batch`` segments at
+    static offsets, run the forward, select the requested stems, and
+    overlap-add the triangle-weighted contributions window-locally.
+    Track length never appears in this executable's shapes, so every
+    request of any duration shares ONE compile of the expensive graph —
+    only the trivial per-length gather/scatter (:func:`_jitted_win_ops`)
+    recompiles (milliseconds)."""
+    key = _cfg_key(cfg) + (seg, stride, batch, n_sel)
+    fn = _OA_CACHE.get(key)
+    if fn is None:
+        span = (batch - 1) * stride + seg
+
+        def step(pp, mix_win, valid, idx, w):
+            C = mix_win.shape[0]
+            chunk = jnp.stack([
+                jax.lax.slice_in_dim(mix_win, j * stride, j * stride + seg,
+                                     axis=1)
+                for j in range(batch)])                 # [B, C, seg]
+            st = forward(pp, chunk, cfg)                # [B, S, C, seg]
+            st = jnp.take(st, idx, axis=1)              # [B, n_sel, C, seg]
+            wv = w[None, :] * valid[:, None]            # [B, seg]
+            out = jnp.zeros((n_sel, C, span), jnp.float32)
+            wacc = jnp.zeros((span,), jnp.float32)
+            for j in range(batch):                      # static offsets
+                out = out.at[:, :, j * stride:j * stride + seg].add(
+                    st[j] * wv[j])
+                wacc = wacc.at[j * stride:j * stride + seg].add(wv[j])
+            return out, wacc
+
+        fn = jax.jit(step)
+        _OA_CACHE[key] = fn
+    return fn
+
+
+_WIN_CACHE: dict = {}
+
+
+def _jitted_win_ops(t_ext: int, span: int, n_sel: int, C: int):
+    """Per-track-length gather/scatter companions of
+    :func:`_jitted_oa_window` — dynamic slice of the device-resident mix
+    and donated scatter-add into the full-length accumulators.  These
+    compile in milliseconds, so per-length executables are harmless."""
+    key = (t_ext, span, n_sel, C)
+    ops = _WIN_CACHE.get(key)
+    if ops is None:
+        def gather(mix_pad, w0):
+            return jax.lax.dynamic_slice(mix_pad, (0, w0), (C, span))
+
+        def scatter(out_acc, w_acc, contrib, wc, w0):
+            cur = jax.lax.dynamic_slice(out_acc, (0, 0, w0),
+                                        (n_sel, C, span))
+            out_acc = jax.lax.dynamic_update_slice(out_acc, cur + contrib,
+                                                   (0, 0, w0))
+            curw = jax.lax.dynamic_slice(w_acc, (w0,), (span,))
+            w_acc = jax.lax.dynamic_update_slice(w_acc, curw + wc, (w0,))
+            return out_acc, w_acc
+
+        ops = (jax.jit(gather), jax.jit(scatter, donate_argnums=(0, 1)))
+        _WIN_CACHE[key] = ops
+    return ops
+
+
 def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
              segment: int | None = None, overlap: float = 0.25,
-             batch: int = 4, stems: tuple | None = None) -> np.ndarray:
+             batch: int = 4, stems: tuple | None = None,
+             host_oa: bool = False, device_out: bool = False):
     """[C, T] -> stems [S, C, T]: overlapping fixed-size segments through one
     jitted forward, triangular cross-fade weighting (the shape demucs'
     apply_model uses with transition_power=1).
@@ -603,38 +676,70 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
     the others are dropped ON DEVICE before the host fetch, which matters
     on relay-attached TPUs where device→host bandwidth dominates.  Pass
     device-resident ``params`` (``jax.device_put`` once, reuse) to avoid
-    re-uploading ~170 MB of weights per call."""
+    re-uploading ~170 MB of weights per call.
+
+    Default path is fully device-resident: the mix is uploaded once, the
+    segment gather / forward / triangle-weighted overlap-add all run on
+    device (:func:`_jitted_oa_step`), and one fetch returns the selected
+    stems — per-batch chunk uploads and stem fetches (~3× the track bytes
+    over the relay) disappear.  ``host_oa=True`` restores the host-side
+    accumulation loop (reference semantics oracle; parity-tested against
+    the device path).  ``device_out=True`` (device path only) skips the
+    final fetch and returns the stems as a device array so a downstream
+    jitted graph (e.g. isolate→master) can consume them without a host
+    round trip."""
     cfg = cfg or HTConfig()
     seg = segment or cfg.segment_samples
     C, T = mix.shape
     stride = max(1, int(seg * (1 - overlap)))
     src_idx = (list(range(len(cfg.sources))) if stems is None
                else [cfg.sources.index(s) for s in stems])
-    out = np.zeros((len(src_idx), C, T), np.float32)
-    weight_acc = np.zeros(T, np.float32)
     w = np.concatenate([np.arange(1, seg // 2 + 1),
                         np.arange(seg - seg // 2, 0, -1)]).astype(np.float32)
     w = w / w.max()
-    apply = _jitted_forward(cfg)
     dev_params = jax.device_put(params)
     idx_dev = jnp.asarray(np.asarray(src_idx, np.int32))
     starts = list(range(0, max(T - seg, 0) + stride, stride))
-    # Fixed batch size => one compiled graph; the tail batch is padded with
-    # zero chunks (their outputs are dropped on device before the fetch).
-    for i in range(0, len(starts), batch):
-        group = starts[i:i + batch]
-        chunk = np.zeros((batch, C, seg), np.float32)
-        for j, start in enumerate(group):
-            end = min(start + seg, T)
-            chunk[j, :, :end - start] = mix[:, start:end]
-        stems_dev = apply(dev_params, chunk)
-        stems_b = np.asarray(stems_dev[: len(group), idx_dev])
-        for j, start in enumerate(group):
-            end = min(start + seg, T)
-            out[:, :, start:end] += stems_b[j][:, :, :end - start] \
-                * w[:end - start]
-            weight_acc[start:end] += w[:end - start]
-    return out / np.maximum(weight_acc, 1e-8)
+    if host_oa:
+        apply = _jitted_forward(cfg)
+        out = np.zeros((len(src_idx), C, T), np.float32)
+        weight_acc = np.zeros(T, np.float32)
+        # Fixed batch size => one compiled graph; the tail batch is padded
+        # with zero chunks (outputs dropped on device before the fetch).
+        for i in range(0, len(starts), batch):
+            group = starts[i:i + batch]
+            chunk = np.zeros((batch, C, seg), np.float32)
+            for j, start in enumerate(group):
+                end = min(start + seg, T)
+                chunk[j, :, :end - start] = mix[:, start:end]
+            stems_dev = apply(dev_params, chunk)
+            stems_b = np.asarray(stems_dev[: len(group), idx_dev])
+            for j, start in enumerate(group):
+                end = min(start + seg, T)
+                out[:, :, start:end] += stems_b[j][:, :, :end - start] \
+                    * w[:end - start]
+                weight_acc[start:end] += w[:end - start]
+        return out / np.maximum(weight_acc, 1e-8)
+    span = (batch - 1) * stride + seg
+    nb = (len(starts) + batch - 1) // batch
+    t_ext = (nb - 1) * batch * stride + span
+    mix_dev = jax.device_put(
+        np.pad(np.ascontiguousarray(mix, dtype=np.float32),
+               ((0, 0), (0, t_ext - T))))
+    out_acc = jnp.zeros((len(src_idx), C, t_ext), jnp.float32)
+    w_acc = jnp.zeros((t_ext,), jnp.float32)
+    w_dev = jnp.asarray(w)
+    step = _jitted_oa_window(cfg, seg, stride, batch, len(src_idx))
+    gather_w, scatter_w = _jitted_win_ops(t_ext, span, len(src_idx), C)
+    for i in range(nb):
+        valid = np.zeros(batch, np.float32)
+        valid[: min(batch, len(starts) - i * batch)] = 1.0
+        w0 = jnp.asarray(np.int32(i * batch * stride))
+        contrib, wc = step(dev_params, gather_w(mix_dev, w0),
+                           jnp.asarray(valid), idx_dev, w_dev)
+        out_acc, w_acc = scatter_w(out_acc, w_acc, contrib, wc, w0)
+    out = (out_acc / jnp.maximum(w_acc, 1e-8))[:, :, :T]
+    return out if device_out else np.asarray(out)
 
 
 def init_params(cfg: HTConfig | None = None, seed: int = 0) -> dict:

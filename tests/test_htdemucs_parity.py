@@ -100,6 +100,24 @@ def test_separate_segments(tiny):
     assert np.abs(stems).max() < 100.0
 
 
+def test_separate_device_matches_host_oa(tiny):
+    """The device-resident overlap-add (mix uploaded once, gather/forward/
+    triangle accumulate on device, one fetch) == the host-side accumulation
+    loop, including tail-segment cropping and stem selection."""
+    cfg, _, params = tiny
+    rng = np.random.default_rng(9)
+    for T in (int(cfg.segment_samples * 2.3), cfg.segment_samples // 2):
+        mix = rng.standard_normal((2, T)).astype(np.float32) * 0.2
+        for stems in (None, ("vocals",)):
+            dev = hj.separate(params, mix, cfg, batch=3, stems=stems)
+            host = hj.separate(params, mix, cfg, batch=3, stems=stems,
+                               host_oa=True)
+            assert dev.shape == host.shape
+            scale = max(np.abs(host).max(), 1e-6)
+            err = np.abs(dev - host).max() / scale
+            assert err < 1e-4, (T, stems, err)
+
+
 def test_orbax_roundtrip(tiny, tmp_path):
     cfg, _, params = tiny
     path = str(tmp_path / "ckpt")

@@ -32,6 +32,79 @@ def make_mesh2d(dp: int, sp: int, axes: tuple[str, str] = ("dp", "sp")) -> Mesh:
     return Mesh(np.array(devs).reshape(dp, sp), axes)
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Initialize ``jax.distributed`` for multi-host pods.
+
+    The reference never runs multi-host (one uvicorn worker,
+    run_production.py:14-16); here a pod is just more dp rows.  Call once
+    per process before any device use.  With no coordinator configured (the
+    single-host common case, and all tests) this is a no-op returning
+    False.  ``coordinator="auto"`` calls ``jax.distributed.initialize()``
+    with no arguments — it auto-detects from the TPU metadata/cluster env
+    (GKE/TPU VM deployments).
+    """
+    if coordinator is None and num_processes is None:
+        return False
+    kw = {}
+    if coordinator and coordinator != "auto":
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kw["process_id"] = int(process_id)
+    jax.distributed.initialize(**kw)
+    return True
+
+
+def pod_layout(devices, sp: int | None = None) -> np.ndarray:
+    """Arrange a (possibly multi-host) device list into a (dp, sp) grid.
+
+    Rule (docs/SCALING.md): **sp must ride ICI, dp tolerates DCN** — the
+    halo ``ppermute`` / gating ``psum`` of the time-shard path must stay
+    within one host's ICI domain, while data-parallel rows never
+    communicate.  So devices are grouped by ``process_index`` and each sp
+    row is drawn from a single process; dp is the cross-host axis.
+
+    ``sp=None`` picks the largest per-host sp that divides the per-host
+    device count (i.e. a whole host per row when counts are uniform).
+    Pure-layout helper (takes any objects with ``process_index``) so tests
+    can validate pod geometry without multi-process JAX.
+    """
+    devices = list(devices)
+    by_proc: dict[int, list] = {}
+    for d in devices:
+        by_proc.setdefault(int(getattr(d, "process_index", 0)), []).append(d)
+    counts = {len(v) for v in by_proc.values()}
+    if len(counts) != 1:
+        raise ValueError(f"uneven devices per process: "
+                         f"{ {k: len(v) for k, v in by_proc.items()} }")
+    per_host = counts.pop()
+    if sp is None:
+        sp = per_host
+    if per_host % sp:
+        raise ValueError(f"sp={sp} does not divide the per-host device "
+                         f"count {per_host}; an sp row would straddle hosts "
+                         f"and put halo exchange on DCN")
+    rows = []
+    for pid in sorted(by_proc):
+        host = by_proc[pid]
+        for i in range(0, per_host, sp):
+            rows.append(host[i:i + sp])
+    return np.array(rows, dtype=object)
+
+
+def make_pod_mesh(sp: int | None = None,
+                  axes: tuple[str, str] = ("dp", "sp")) -> Mesh:
+    """(dp, sp) mesh over ALL processes' devices, sp confined to ICI.
+
+    Single-host this degenerates to ``make_mesh2d(n_local // sp, sp)``;
+    multi-host (after :func:`init_distributed`) dp spans hosts so the only
+    cross-host traffic is job I/O, never collectives."""
+    return Mesh(pod_layout(jax.devices(), sp), axes)
+
+
 def shard_batch(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Sharding for [B, C, N] batches: batch axis over the mesh."""
     return NamedSharding(mesh, P(axis))

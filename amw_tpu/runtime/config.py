@@ -91,6 +91,16 @@ class Settings:
     # are unchanged.
     engine_mesh: bool = True
     engine_sp_threshold_sec: float = 600.0
+    # Multi-host pods (DCN): when set, jax.distributed is initialized at
+    # engine start and the serving mesh spans every host's devices with dp
+    # across hosts / sp on each host's ICI (parallel/mesh.py pod_layout;
+    # docs/SCALING.md).  "auto" = env/metadata auto-detection
+    # (jax.distributed.initialize() with no args); "" = single-process
+    # (default, all tests).  Otherwise "host:port" of process 0, with
+    # engine_num_processes / engine_process_id from the scheduler.
+    engine_coordinator: str = ""
+    engine_num_processes: int = 0
+    engine_process_id: int = -1
     # Precompile the default chain for these buckets at service start (comma
     # separated seconds; "" = off).  First-job latency drops from ~a minute
     # of compile to the steady-state number.

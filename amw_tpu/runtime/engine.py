@@ -77,9 +77,20 @@ class MasteringEngine:
             try:
                 import jax as _jax
 
-                if len(_jax.devices()) > 1:
-                    from ..parallel.mesh import make_mesh
+                from ..parallel.mesh import init_distributed, make_mesh
 
+                # Multi-host pods: join the jax.distributed cluster before
+                # any device use, then the mesh below spans every host's
+                # devices (dp across hosts rides DCN, which dp tolerates;
+                # jax.devices() orders by process, so the sp ppermute ring
+                # crosses DCN only at host boundaries — docs/SCALING.md).
+                if settings.engine_coordinator:
+                    init_distributed(
+                        settings.engine_coordinator,
+                        settings.engine_num_processes or None,
+                        None if settings.engine_process_id < 0
+                        else settings.engine_process_id)
+                if len(_jax.devices()) > 1:
                     self.mesh = make_mesh()
             except Exception:  # noqa: BLE001 — backend probe must not kill init
                 self.mesh = None

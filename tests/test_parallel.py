@@ -82,3 +82,68 @@ def test_pad_to_bucket():
     padded, n = pad_to_bucket(x, 44100)
     assert n == 100_000
     assert padded.shape[-1] == int(15 * 44100)
+
+
+class _Dev:
+    """Stand-in device carrying only process_index (pod_layout is a pure
+    layout helper so pod geometry is testable without multi-process JAX)."""
+
+    def __init__(self, pid, i):
+        self.process_index = pid
+        self.id = pid * 100 + i
+
+    def __repr__(self):
+        return f"d{self.id}"
+
+
+def test_pod_layout_sp_confined_to_host():
+    from amw_tpu.parallel.mesh import pod_layout
+
+    devs = [_Dev(p, i) for p in range(4) for i in range(8)]
+    grid = pod_layout(devs, sp=4)
+    assert grid.shape == (8, 4)
+    for row in grid:
+        assert len({d.process_index for d in row}) == 1  # sp rides ICI
+    # dp axis spans hosts in process order
+    assert [r[0].process_index for r in grid] == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_pod_layout_defaults_to_whole_host_rows():
+    from amw_tpu.parallel.mesh import pod_layout
+
+    devs = [_Dev(p, i) for p in range(2) for i in range(8)]
+    grid = pod_layout(devs)
+    assert grid.shape == (2, 8)
+
+
+def test_pod_layout_rejects_host_straddling_sp():
+    import pytest
+
+    from amw_tpu.parallel.mesh import pod_layout
+
+    devs = [_Dev(p, i) for p in range(2) for i in range(4)]
+    with pytest.raises(ValueError):
+        pod_layout(devs, sp=8)
+
+
+def test_pod_mesh_single_host_runs_sp_graph():
+    """make_pod_mesh on the 8-device CPU mesh = one host, 8 sp columns;
+    the 2-D (dp=1, sp=8) mesh must drive the time-shard path."""
+    from amw_tpu.parallel.mesh import make_pod_mesh
+    from amw_tpu.parallel.timeshard import sp_batch_master
+
+    from amw_tpu.parallel.mesh import make_mesh2d
+
+    mesh = make_pod_mesh(sp=8)
+    assert mesh.devices.shape == (1, 8)
+    xb = _tracks(1, 4 * SR)
+    got = sp_batch_master(xb, SR, mesh)
+    want = sp_batch_master(xb, SR, make_mesh2d(1, 8))
+    assert np.array_equal(got, want)
+    assert np.all(np.isfinite(got))
+
+
+def test_init_distributed_noop_without_config():
+    from amw_tpu.parallel.mesh import init_distributed
+
+    assert init_distributed() is False

@@ -130,6 +130,7 @@ function setFile(f) {
   drop.textContent = `${f.name} (${fmtBytes(f.size)})`;
   for (const id of ["btn-master", "btn-analyze", "btn-auto"])
     $(id).disabled = false;
+  loadWave(f);
 }
 
 /* ---------- mastering ---------- */
@@ -168,9 +169,12 @@ async function submitMaster(url, extra) {
           `${d.recommendation.target_lufs ?? d.target_lufs} LUFS`);
     $("job").classList.remove("hidden");
     $("done-row").classList.add("hidden");
+    $("daw-card").classList.add("hidden");
+    resetPipe();
     watchProgress(d.job_id);
   } catch (e) {
     msg("Error: " + e.message);
+    maybeUpgradePrompt(e.message);
     $("btn-master").disabled = false;
     $("btn-auto").disabled = false;
   }
@@ -186,11 +190,13 @@ function watchProgress(jobId, onDone) {
     if (!onDone) {
       $("bar").style.width = (d.progress || 0) + "%";
       $("status").textContent = d.message || d.status;
+      updatePipe(d.progress || 0, d.message || "");
     }
     if (d.status === "done") {
       es.close();
       if (onDone) return onDone(null, d);
       $("bar").style.width = "100%";
+      updatePipe(100, "done");
       $("done-row").classList.remove("hidden");
       $("btn-master").disabled = false;
       $("btn-auto").disabled = false;
@@ -198,6 +204,7 @@ function watchProgress(jobId, onDone) {
       if (d.before_lufs != null && d.after_lufs != null)
         $("lufs-delta").textContent =
           `${d.before_lufs} LUFS → ${d.after_lufs} LUFS`;
+      onMasterDone(jobId, d);
     } else if (d.status === "error") {
       es.close();
       if (onDone) return onDone(d.error || "unknown", d);
@@ -218,8 +225,10 @@ async function pollProgress(jobId, onDone) {
     }
     if (d.status === "done") {
       if (onDone) return onDone(null, d);
+      updatePipe(100, "done");
       $("done-row").classList.remove("hidden");
       $("btn-master").disabled = false;
+      onMasterDone(jobId, d);
       return;
     }
     if (d.status === "error") {
@@ -302,6 +311,7 @@ function playPreview(src) {
   abJob = currentJob;
   if (abAudio) { abAudio.pause(); abAudio = null; }
   stopScope();
+  if (typeof waveStop === "function") waveStop();  // one player at a time
   abAudio = new Audio(api(`/api/master/preview/${currentJob}?src=${src}`));
   if (pos > 0.05) {
     const el = abAudio; // the element this handler belongs to
@@ -419,19 +429,25 @@ $("btn-analyze").addEventListener("click", async () => {
   $("btn-analyze").disabled = false;
 });
 
+let lastAnalysis = null;
+
 function renderAnalysis(a) {
+  lastAnalysis = a;
+  if (currentFile) a.filename = currentFile.name;
   $("analysis").classList.remove("hidden");
   $("an-summary").innerHTML =
-    `<b>${a.lufs ?? "—"} LUFS</b> · peak ${a.peak_dbfs} dBFS · ` +
-    `${a.duration_sec}s · ${a.sample_rate} Hz · ${a.channels}ch` +
-    (a.stereo_correlation != null ? ` · corr ${a.stereo_correlation}` : "");
-  const bars = $("spectrum");
-  bars.innerHTML = "";
-  (a.spectrum_bars || []).forEach((db) => {
-    const i = document.createElement("i");
-    i.style.height = Math.max(2, (db + 80) / 80 * 90) + "px";
-    bars.appendChild(i);
-  });
+    `peak ${a.peak_dbfs} dBFS · ${a.duration_sec}s · ${a.sample_rate} Hz · ` +
+    `${a.channels}ch`;
+  setMeterVal(a.lufs);
+  setCorrelation(a.stereo_correlation);
+  specData = {
+    mono: a.spectrum_bars || [],
+    mid: a.spectrum_bars_mid || null,
+    side: a.spectrum_bars_side || null,
+  };
+  renderSpectrumBars(specActive);
+  drawLufsTimeline(a.lufs_timeline, a.timeline_step_sec, a.duration_sec);
+  drawVectorscope(a.vectorscope_points);
   const t = $("streaming");
   t.innerHTML = "<tr><th>Platform</th><th>Target</th><th>Penalty</th><th>Status</th></tr>";
   for (const [name, p] of Object.entries(a.streaming_preview || {})) {
@@ -581,3 +597,640 @@ $("btn-ai-recommend").addEventListener("click", async () => {
     ).join("");
   } catch (e) { /* none */ }
 })();
+
+/* ======================================================================
+   Studio visualizers & session UX (reference app.js feature parity:
+   waveform player + fullscreen, client-side spectrum/vectorscope on load,
+   LUFS meter/VU/correlation, LUFS timeline, DAW before/after comparison,
+   pipeline step visualizer, local history, tier/limits UI, report export).
+   All canvases read colors from CSS vars so they follow the theme.
+   ====================================================================== */
+
+/* ---------- decoded audio + waveform player ---------- */
+let waveBuf = null;          // decoded AudioBuffer of the loaded file
+let wavePlaying = false;
+let waveSrc = null;          // active AudioBufferSourceNode
+let waveStartT = 0;          // AudioContext time when playback started
+let waveOffset = 0;          // paused position (sec)
+let waveRaf = 0;
+
+function waveCtx() {
+  // reuse the A/B preview context — one AudioContext per page
+  abCtx = abCtx || new (window.AudioContext || window.webkitAudioContext)();
+  return abCtx;
+}
+
+async function loadWave(f) {
+  try {
+    waveStop();
+    waveBuf = await waveCtx().decodeAudioData(await f.arrayBuffer());
+  } catch (e) { waveBuf = null; return; } // codec the browser can't decode
+  waveOffset = 0;
+  $("wavebox").classList.remove("hidden");
+  // peak scan for the meta pill
+  let peak = 0;
+  for (let c = 0; c < waveBuf.numberOfChannels; c++) {
+    const d = waveBuf.getChannelData(c);
+    for (let i = 0; i < d.length; i += 4) peak = Math.max(peak, Math.abs(d[i]));
+  }
+  $("wave-meta").textContent =
+    `${(waveBuf.sampleRate / 1000).toFixed(1)} kHz · ` +
+    `${waveBuf.numberOfChannels === 1 ? "mono" : "stereo"} · ` +
+    `peak ${peak > 1e-9 ? (20 * Math.log10(peak)).toFixed(1) : "−∞"} dB`;
+  $("t-total").textContent = fmtTime(waveBuf.duration);
+  $("t-elapsed").textContent = "0:00";
+  requestAnimationFrame(() => {
+    drawWave($("wave"), waveBuf, 0);
+    // instant local spectrum + vectorscope (backend analysis replaces
+    // these with exact TPU-computed data when the user hits Analyze)
+    $("analysis").classList.remove("hidden");
+    specData = { mono: localSpectrumBars(waveBuf), mid: null, side: null };
+    renderSpectrumBars("mono");
+    drawVectorscope(localScopePoints(waveBuf));
+  });
+}
+
+function wavePos() {
+  return wavePlaying ? waveOffset + waveCtx().currentTime - waveStartT
+                     : waveOffset;
+}
+
+function waveStop() {
+  if (waveSrc) { try { waveSrc.stop(); } catch (e) {} waveSrc = null; }
+  wavePlaying = false;
+  cancelAnimationFrame(waveRaf);
+  for (const id of ["btn-play", "btn-play-full"]) $(id).textContent = "▶";
+}
+
+function wavePlay() {
+  if (!waveBuf) return;
+  if (wavePlaying) {        // pause
+    waveOffset = Math.min(wavePos(), waveBuf.duration);
+    waveStop();
+    return;
+  }
+  if (abAudio) { abAudio.pause(); stopScope(); }  // don't fight A/B preview
+  const ctx = waveCtx();
+  if (ctx.state === "suspended") ctx.resume();
+  waveSrc = ctx.createBufferSource();
+  waveSrc.buffer = waveBuf;
+  waveSrc.connect(ctx.destination);
+  if (waveOffset >= waveBuf.duration - 0.01) waveOffset = 0;
+  waveSrc.start(0, waveOffset);
+  waveStartT = ctx.currentTime;
+  wavePlaying = true;
+  waveSrc.onended = () => { if (wavePlaying) { waveOffset = 0; waveStop(); waveTick(); } };
+  for (const id of ["btn-play", "btn-play-full"]) $(id).textContent = "❚❚";
+  waveTick();
+}
+
+function waveTick() {
+  const pos = Math.min(wavePos(), waveBuf ? waveBuf.duration : 0);
+  const frac = waveBuf && waveBuf.duration > 0 ? pos / waveBuf.duration : 0;
+  $("t-elapsed").textContent = fmtTime(pos);
+  drawWave($("wave"), waveBuf, frac);
+  const dlg = $("dlg-wave");
+  if (dlg && dlg.open) {
+    $("t-elapsed-full").textContent = fmtTime(pos);
+    drawWave($("wave-full"), waveBuf, frac);
+  }
+  if (wavePlaying) waveRaf = requestAnimationFrame(waveTick);
+}
+
+function waveSeek(ev, canvas) {
+  if (!waveBuf) return;
+  const r = canvas.getBoundingClientRect();
+  const frac = Math.max(0, Math.min(1, (ev.clientX - r.left) / r.width));
+  waveOffset = frac * waveBuf.duration;
+  if (wavePlaying) { waveStop(); wavePlay(); } else waveTick();
+}
+
+/* min/max column waveform with a played-portion highlight */
+function drawWave(canvas, buf, frac) {
+  if (!canvas || !buf) return;
+  const dpr = window.devicePixelRatio || 1;
+  const rect = canvas.getBoundingClientRect();
+  const W = Math.max(1, Math.floor((rect.width || 600) * dpr));
+  const H = Math.floor((parseInt(canvas.getAttribute("height")) || 92) * dpr);
+  if (canvas.width !== W || canvas.height !== H) { canvas.width = W; canvas.height = H; }
+  const g = canvas.getContext("2d");
+  g.clearRect(0, 0, W, H);
+  const mid = H / 2, n = buf.length, nc = buf.numberOfChannels;
+  const spp = Math.max(1, Math.floor(n / W));
+  const played = cssVar("--acc", "#7a5cff");
+  const rest = cssVar("--dim", "#8c94aa");
+  const playX = Math.floor((frac || 0) * W);
+  const ch0 = buf.getChannelData(0);
+  const ch1 = nc > 1 ? buf.getChannelData(1) : ch0;
+  for (let x = 0; x < W; x++) {
+    let lo = 0, hi = 0;
+    const s0 = x * spp, s1 = Math.min(n, s0 + spp);
+    for (let i = s0; i < s1; i += 2) {
+      const v = (ch0[i] + ch1[i]) * 0.5;
+      if (v > hi) hi = v; else if (v < lo) lo = v;
+    }
+    g.fillStyle = x <= playX ? played : rest;
+    g.globalAlpha = x <= playX ? 0.95 : 0.55;
+    const y0 = mid - hi * mid * 0.92, y1 = mid - lo * mid * 0.92;
+    g.fillRect(x, y0, 1, Math.max(1, y1 - y0));
+  }
+  g.globalAlpha = 1;
+  if (frac > 0) {
+    g.fillStyle = cssVar("--acc2", "#60c8ff");
+    g.fillRect(playX, 0, Math.max(1, dpr), H);
+  }
+}
+
+$("btn-play").onclick = wavePlay;
+$("btn-play-full").onclick = wavePlay;
+$("wave").addEventListener("click", (e) => waveSeek(e, $("wave")));
+$("wave-full").addEventListener("click", (e) => waveSeek(e, $("wave-full")));
+$("wave-expand").onclick = () => {
+  if (!waveBuf) return;
+  $("dlg-wave").showModal();
+  $("t-total-full").textContent = fmtTime(waveBuf.duration);
+  requestAnimationFrame(waveTick);
+};
+$("dlg-wave-close").onclick = () => $("dlg-wave").close();
+
+/* ---------- client-side spectrum / vectorscope at load ---------- */
+
+/* iterative in-place radix-2 FFT (power-of-two n) */
+function fftInPlace(re, im) {
+  const n = re.length;
+  for (let i = 1, j = 0; i < n; i++) {          // bit-reversal permutation
+    let bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      let t = re[i]; re[i] = re[j]; re[j] = t;
+      t = im[i]; im[i] = im[j]; im[j] = t;
+    }
+  }
+  for (let len = 2; len <= n; len <<= 1) {
+    const ang = -2 * Math.PI / len;
+    const wr = Math.cos(ang), wi = Math.sin(ang);
+    for (let i = 0; i < n; i += len) {
+      let cr = 1, ci = 0;
+      for (let k = 0; k < len / 2; k++) {
+        const a = i + k, b = i + k + len / 2;
+        const tr = re[b] * cr - im[b] * ci;
+        const ti = re[b] * ci + im[b] * cr;
+        re[b] = re[a] - tr; im[b] = im[a] - ti;
+        re[a] += tr; im[a] += ti;
+        const ncr = cr * wr - ci * wi;
+        ci = cr * wi + ci * wr; cr = ncr;
+      }
+    }
+  }
+}
+
+/* 64 log-spaced bars (20 Hz – 20 kHz) from a Hann window at the midpoint —
+   same shape the backend's exact analyzer returns, for instant feedback */
+function localSpectrumBars(buf) {
+  const NF = 4096, NB = 64, f0 = 20, f1 = 20000;
+  const n = buf.length, nc = buf.numberOfChannels;
+  const start = n >= NF ? (n >> 1) - (NF >> 1) : 0;
+  const re = new Float32Array(NF), im = new Float32Array(NF);
+  for (let i = 0; i < NF; i++) {
+    let v = 0;
+    if (start + i < n)
+      for (let c = 0; c < nc; c++) v += buf.getChannelData(c)[start + i];
+    re[i] = (v / nc) * 0.5 * (1 - Math.cos(2 * Math.PI * i / (NF - 1)));
+  }
+  fftInPlace(re, im);
+  const nyq = buf.sampleRate / 2, bars = [];
+  for (let b = 0; b < NB; b++) {
+    const lo = f0 * Math.pow(f1 / f0, b / (NB - 1));
+    const hi = f0 * Math.pow(f1 / f0, (b + 1) / (NB - 1));
+    const k0 = Math.max(0, Math.floor(lo / nyq * (NF / 2)));
+    const k1 = Math.min(NF / 2, Math.ceil(hi / nyq * (NF / 2)));
+    let m = 0;
+    for (let k = k0; k <= k1; k++)
+      m = Math.max(m, Math.hypot(re[k], im[k]) * 2 / NF);
+    bars.push(m > 1e-12 ? 20 * Math.log10(m) : -100);
+  }
+  return bars;
+}
+
+function localScopePoints(buf) {
+  const MAX = 1200, n = buf.length;
+  const ch0 = buf.getChannelData(0);
+  const ch1 = buf.numberOfChannels > 1 ? buf.getChannelData(1) : ch0;
+  const step = Math.max(1, Math.floor(n / MAX)), pts = [];
+  for (let i = 0; i < n; i += step) pts.push([ch0[i], ch1[i]]);
+  return pts;
+}
+
+/* ---------- analysis widgets ---------- */
+let specData = { mono: [], mid: null, side: null };
+let specActive = "mono";
+
+function renderSpectrumBars(mode) {
+  specActive = specData[mode] ? mode : "mono";
+  document.querySelectorAll("#spec-tabs button").forEach((b) => {
+    const on = b.dataset.spec === specActive;
+    b.classList.toggle("active", on);
+    b.disabled = !specData[b.dataset.spec] && b.dataset.spec !== "mono";
+  });
+  const bars = $("spectrum");
+  bars.innerHTML = "";
+  (specData[specActive] || []).forEach((db) => {
+    const i = document.createElement("i");
+    i.style.height = Math.max(2, (db + 80) / 80 * 90) + "px";
+    bars.appendChild(i);
+  });
+}
+
+document.querySelectorAll("#spec-tabs button").forEach((b) => {
+  b.onclick = () => renderSpectrumBars(b.dataset.spec);
+});
+
+const VU_N = 24;
+(function buildVu() {
+  const vu = $("vu");
+  for (let i = 0; i < VU_N; i++) vu.appendChild(document.createElement("i"));
+})();
+
+function setMeterVal(lufs) {
+  const el = $("meter-val");
+  const segs = $("vu").children;
+  if (lufs == null || isNaN(lufs)) {
+    el.textContent = "— LUFS"; el.className = "meter-val";
+    for (const s of segs) s.className = "";
+    return;
+  }
+  el.textContent = lufs.toFixed(1) + " LUFS";
+  el.className = "meter-val " + (lufs > -9 ? "hot" : lufs > -14 ? "warn" : "good");
+  const lit = Math.round(Math.min(1, Math.max(0, (lufs + 60) / 60)) * VU_N);
+  for (let i = 0; i < VU_N; i++) {
+    const pos = (i + 1) / VU_N;
+    segs[i].className =
+      i >= lit ? "" : pos < 0.72 ? "g" : pos < 0.88 ? "a" : "r";
+  }
+}
+
+function setCorrelation(corr) {
+  $("corr-line").textContent = (corr == null || isNaN(corr)) ? "" :
+    `${T("L/R correlation")}: ${(+corr).toFixed(2)} (−1…+1)`;
+}
+
+function drawLufsTimeline(timeline, stepSec, durationSec) {
+  const cv = $("lufs-timeline");
+  if (!cv) return;
+  const dpr = window.devicePixelRatio || 1;
+  const rect = cv.getBoundingClientRect();
+  const W = Math.max(1, Math.floor((rect.width || 400) * dpr));
+  const H = Math.floor(64 * dpr);
+  if (cv.width !== W || cv.height !== H) { cv.width = W; cv.height = H; }
+  const g = cv.getContext("2d");
+  g.clearRect(0, 0, W, H);
+  if (!timeline || timeline.length < 2) return;
+  const LMIN = -50, LMAX = 0;
+  const step = stepSec || 0.4;
+  const dur = durationSec > 0 ? durationSec : timeline.length * step;
+  const pts = [];
+  timeline.forEach((v, i) => {
+    if (v == null || isNaN(v)) return;
+    pts.push([
+      (i * step / dur) * (W - 4) + 2,
+      2 + (1 - Math.min(1, Math.max(0, (v - LMIN) / (LMAX - LMIN)))) * (H - 4),
+    ]);
+  });
+  if (pts.length < 2) return;
+  const acc = cssVar("--acc", "#7a5cff");
+  g.beginPath();
+  g.moveTo(pts[0][0], pts[0][1]);
+  for (const [x, y] of pts.slice(1)) g.lineTo(x, y);
+  g.lineTo(pts[pts.length - 1][0], H - 2);
+  g.lineTo(pts[0][0], H - 2);
+  g.closePath();
+  g.globalAlpha = 0.18; g.fillStyle = acc; g.fill();
+  g.globalAlpha = 1; g.strokeStyle = acc; g.lineWidth = Math.max(1, 1.5 * dpr);
+  g.beginPath();
+  g.moveTo(pts[0][0], pts[0][1]);
+  for (const [x, y] of pts.slice(1)) g.lineTo(x, y);
+  g.stroke();
+}
+
+function drawVectorscope(points) {
+  const cv = $("vectorscope");
+  if (!cv) return;
+  const dpr = window.devicePixelRatio || 1;
+  const S = Math.floor(180 * dpr);
+  if (cv.width !== S || cv.height !== S) { cv.width = S; cv.height = S; }
+  const g = cv.getContext("2d");
+  g.clearRect(0, 0, S, S);
+  const c = S / 2, r = c * 0.92;
+  g.strokeStyle = cssVar("--line", "#2a2f4c");
+  g.beginPath(); g.arc(c, c, r, 0, 2 * Math.PI); g.stroke();
+  // ±45° mono/anti-phase guides
+  g.beginPath();
+  g.moveTo(c - r * 0.7, c + r * 0.7); g.lineTo(c + r * 0.7, c - r * 0.7);
+  g.moveTo(c - r * 0.7, c - r * 0.7); g.lineTo(c + r * 0.7, c + r * 0.7);
+  g.globalAlpha = 0.4; g.stroke(); g.globalAlpha = 1;
+  if (!points || !points.length) return;
+  g.fillStyle = cssVar("--acc", "#7a5cff");
+  g.globalAlpha = 0.55;
+  for (const [L, R] of points)
+    g.fillRect(Math.floor(c + L * r), Math.floor(c - R * r), 2, 2);
+  g.globalAlpha = 1;
+}
+
+/* ---------- analyze report export ---------- */
+function analyzeReportText(a) {
+  const L = [];
+  L.push("Magic Master — " + T("Analysis report"));
+  L.push("=".repeat(32), "");
+  if (a.filename) L.push(T("File") + ": " + a.filename);
+  L.push(T("Date") + ": " + new Date().toLocaleString(), "");
+  L.push("--- " + T("Loudness") + " ---");
+  if (a.lufs != null) L.push("Integrated LUFS: " + (+a.lufs).toFixed(2));
+  if (a.peak_dbfs != null) L.push("Peak dBFS: " + (+a.peak_dbfs).toFixed(2));
+  L.push("", "--- " + T("Metadata") + " ---");
+  if (a.duration_sec != null) L.push(T("Duration") + ": " + fmtTime(a.duration_sec));
+  if (a.sample_rate != null) L.push("Sample rate: " + a.sample_rate + " Hz");
+  if (a.channels != null) L.push(T("Channels") + ": " + (a.channels === 1 ? "Mono" : "Stereo"));
+  if (a.stereo_correlation != null)
+    L.push(T("L/R correlation") + ": " + (+a.stereo_correlation).toFixed(4) + " (−1…+1)");
+  const tl = a.lufs_timeline;
+  if (Array.isArray(tl) && tl.length) {
+    const mn = Math.min(...tl), mx = Math.max(...tl);
+    const av = tl.reduce((s, v) => s + v, 0) / tl.length;
+    L.push("", "--- " + T("Short-term LUFS") + " ---");
+    L.push(`min ${mn.toFixed(2)} · max ${mx.toFixed(2)} · avg ${av.toFixed(2)}`);
+    if (a.timeline_step_sec != null) L.push("step: " + a.timeline_step_sec + " s");
+  }
+  if (Array.isArray(a.spectrum_bars) && a.spectrum_bars.length) {
+    L.push("", "--- " + T("Spectrum") + " ---");
+    L.push(a.spectrum_bars.length + " log bars, 20 Hz – 20 kHz");
+  }
+  L.push("", "— Magic Master TPU");
+  return L.join("\n");
+}
+
+function saveBlob(text, mime, name) {
+  const a = document.createElement("a");
+  a.href = URL.createObjectURL(new Blob([text], { type: mime }));
+  a.download = name;
+  a.click();
+  URL.revokeObjectURL(a.href);
+}
+
+$("btn-report-txt").onclick = () => {
+  if (!lastAnalysis) return msg(T("Run Analyze first"));
+  const base = (lastAnalysis.filename || "report").replace(/\.[^.]+$/, "");
+  saveBlob(analyzeReportText(lastAnalysis), "text/plain;charset=utf-8",
+           base + "_analysis.txt");
+};
+$("btn-report-json").onclick = () => {
+  if (!lastAnalysis) return msg(T("Run Analyze first"));
+  const base = (lastAnalysis.filename || "report").replace(/\.[^.]+$/, "");
+  saveBlob(JSON.stringify(lastAnalysis, null, 2),
+           "application/json;charset=utf-8", base + "_analysis.json");
+};
+
+/* ---------- pipeline step visualizer ---------- */
+/* engine stage labels arrive in SSE messages ("Mastering: chain:dynamics");
+   map them (and the percent band as fallback) onto the step chips */
+const PIPE_STEPS = [
+  { step: "pre", to: 18, keys: ["load", "decode", "rumble", "denoise", "queued"] },
+  { step: "eq", to: 34, keys: ["target_curve", "eq"] },
+  { step: "deesser", to: 42, keys: ["deesser", "de-ess"] },
+  { step: "dynamics", to: 62, keys: ["dynamics", "maximizer", "limiter", "compress"] },
+  { step: "lufs", to: 74, keys: ["normalize", "lufs", "loudness"] },
+  { step: "final", to: 90, keys: ["final", "style", "exciter", "imager", "fade", "transient", "true_peak"] },
+  { step: "export", to: 100, keys: ["export", "encod", "dither", "done"] },
+];
+
+function resetPipe() {
+  document.querySelectorAll("#pipe span").forEach((el) =>
+    el.classList.remove("active", "done"));
+}
+
+function updatePipe(pct, message) {
+  const m = (message || "").toLowerCase();
+  let from = 0;
+  for (const { step, to, keys } of PIPE_STEPS) {
+    const el = document.querySelector(`#pipe [data-step="${step}"]`);
+    if (!el) continue;
+    const hit = keys.some((k) => m.includes(k));
+    const done = pct >= to;
+    el.classList.toggle("active", (hit || (pct >= from && pct < to)) && !done);
+    el.classList.toggle("done", done);
+    from = to;
+  }
+}
+
+/* ---------- DAW before/after comparison ---------- */
+let dawState = null;
+
+async function fetchPreviewBuf(jobId, src) {
+  const r = await fetch(api(`/api/master/preview/${jobId}?src=${src}`),
+                        { headers: authHeaders() });
+  if (!r.ok) throw new Error(String(r.status));
+  return waveCtx().decodeAudioData(await r.arrayBuffer());
+}
+
+function drawDawLane(canvas, buf, color, hPx) {
+  const dpr = window.devicePixelRatio || 1;
+  const rect = canvas.getBoundingClientRect();
+  const W = Math.max(1, Math.floor((rect.width || 600) * dpr));
+  const H = Math.floor(hPx * dpr);
+  if (canvas.width !== W || canvas.height !== H) { canvas.width = W; canvas.height = H; }
+  const g = canvas.getContext("2d");
+  g.clearRect(0, 0, W, H);
+  drawWaveColumns(g, buf, W, H, color);
+}
+
+function drawWaveColumns(g, buf, W, H, color) {
+  const mid = H / 2, n = buf.length, nc = buf.numberOfChannels;
+  const spp = Math.max(1, Math.floor(n / W));
+  const ch0 = buf.getChannelData(0);
+  const ch1 = nc > 1 ? buf.getChannelData(1) : ch0;
+  g.fillStyle = color;
+  for (let x = 0; x < W; x++) {
+    let amp = 0;
+    const s0 = x * spp, s1 = Math.min(n, s0 + spp);
+    for (let i = s0; i < s1; i += 2)
+      amp = Math.max(amp, Math.abs(ch0[i] + ch1[i]) * 0.5);
+    const h = Math.max(1, amp * mid * 0.92);
+    g.globalAlpha = 0.25 + Math.min(0.7, amp * 0.65);
+    g.fillRect(x, mid - h, 1, h * 2);
+  }
+  g.globalAlpha = 1;
+}
+
+function drawDawRuler(canvas, duration, hPx) {
+  const dpr = window.devicePixelRatio || 1;
+  const rect = canvas.getBoundingClientRect();
+  const W = Math.max(1, Math.floor((rect.width || 600) * dpr));
+  const H = Math.floor(hPx * dpr);
+  if (canvas.width !== W || canvas.height !== H) { canvas.width = W; canvas.height = H; }
+  const g = canvas.getContext("2d");
+  g.clearRect(0, 0, W, H);
+  if (!duration || duration <= 0) return;
+  g.font = `${10 * dpr}px ui-monospace,monospace`;
+  g.fillStyle = cssVar("--dim", "#8c94aa");
+  g.textBaseline = "top";
+  const step = duration <= 30 ? 5 : duration <= 120 ? 15 : duration <= 600 ? 30 : 60;
+  for (let t = 0; t <= duration; t += step)
+    g.fillText(fmtTime(t), (t / duration) * W + 3 * dpr, 2 * dpr);
+}
+
+function renderDaw(prefix, laneH, rulerH) {
+  if (!dawState) return;
+  const { a, b, lufsA, lufsB } = dawState;
+  const dur = Math.max(a.duration, b.duration);
+  drawDawRuler($(prefix + "-ruler"), dur, rulerH);
+  drawDawLane($(prefix + "-a"), a, cssVar("--acc", "#7a5cff"), laneH);
+  drawDawLane($(prefix + "-b"), b, cssVar("--ok", "#4ade80"), laneH);
+  $(prefix + "-lufs-a").textContent = lufsA != null ? lufsA + " LUFS" : "—";
+  $(prefix + "-lufs-b").textContent = lufsB != null ? lufsB + " LUFS" : "—";
+}
+
+async function onMasterDone(jobId, d) {
+  saveHistory(d);
+  refreshLimits();
+  try {
+    const [a, b] = await Promise.all([
+      fetchPreviewBuf(jobId, "original"),
+      fetchPreviewBuf(jobId, "mastered"),
+    ]);
+    dawState = { a, b, lufsA: d.before_lufs, lufsB: d.after_lufs };
+    $("daw-card").classList.remove("hidden");
+    requestAnimationFrame(() => renderDaw("daw", 52, 18));
+  } catch (e) { /* previews unavailable — comparison card stays hidden */ }
+}
+
+$("daw-expand").onclick = () => {
+  if (!dawState) return;
+  $("dlg-daw").showModal();
+  requestAnimationFrame(() => renderDaw("dawx", 100, 24));
+};
+$("dlg-daw-close").onclick = () => $("dlg-daw").close();
+
+/* ---------- local mastering history ---------- */
+const HIST_KEY = "mm_history", HIST_MAX = 20;
+
+function getHistory() {
+  try { return JSON.parse(localStorage.getItem(HIST_KEY) || "[]"); }
+  catch (e) { return []; }
+}
+
+function saveHistory(d) {
+  if (!currentFile) return;
+  const h = getHistory();
+  h.unshift({
+    name: currentFile.name,
+    size: fmtBytes(currentFile.size),
+    fmt: ($("format").value || "wav").toUpperCase(),
+    target: $("preset").value,
+    before: d.before_lufs, after: d.after_lufs,
+    date: new Date().toISOString().slice(0, 16).replace("T", " "),
+  });
+  if (h.length > HIST_MAX) h.length = HIST_MAX;
+  try { localStorage.setItem(HIST_KEY, JSON.stringify(h)); } catch (e) {}
+  renderHistory();
+}
+
+function renderHistory() {
+  const h = getHistory();
+  $("hist-count").textContent = h.length;
+  const list = $("hist-list");
+  if (!h.length) {
+    list.innerHTML = `<div class="muted" data-i18n="No mastered files yet">${esc(T("No mastered files yet"))}</div>`;
+    return;
+  }
+  list.innerHTML = h.map((e) => {
+    const delta = e.after != null && e.before != null
+      ? (e.after - e.before).toFixed(1) : null;
+    return `<div class="hist-entry"><div><div>${esc(e.name)}</div>` +
+      `<div class="sub">${esc(e.fmt || "WAV")} · ${esc(e.size || "")} · ${esc(e.target || "")}</div></div>` +
+      `<div style="text-align:right"><div>${e.after != null ? (+e.after).toFixed(1) + " LUFS" : "—"}` +
+      `${delta != null ? ` <span class="sub">(${delta > 0 ? "+" : ""}${delta} dB)</span>` : ""}</div>` +
+      `<div class="sub">${esc(e.date || "")}</div></div></div>`;
+  }).join("");
+}
+
+$("hist-head").onclick = () => $("hist-list").classList.toggle("hidden");
+$("hist-clear").onclick = (e) => {
+  e.stopPropagation();
+  try { localStorage.removeItem(HIST_KEY); } catch (err) {}
+  renderHistory();
+  msg(T("History cleared"));
+};
+renderHistory();
+
+/* ---------- tier / limits UI + upgrade prompts ---------- */
+async function refreshLimits() {
+  try {
+    const d = await jget("/api/limits");
+    const pill = $("tier-pill");
+    const daily = d.daily_limit === -1 ? "∞" : d.daily_limit;
+    pill.textContent =
+      `${(d.tier || "free").toUpperCase()} · ${T("daily limit")}: ${daily}` +
+      (d.tokens_balance != null ? ` · ${T("tokens")}: ${d.tokens_balance}` : "") +
+      (d.priority_queue ? " · priority" : "");
+    pill.classList.remove("hidden");
+  } catch (e) { /* guest or API down: no pill */ }
+}
+refreshLimits();
+
+function showUpgrade(title, body) {
+  $("upgrade-title").textContent = title;
+  $("upgrade-body").textContent = body;
+  $("upgrade-register").classList.toggle("hidden", !!mmToken);
+  const dlg = $("dlg-upgrade");
+  if (!dlg.open) dlg.showModal();
+}
+$("dlg-upgrade-close").onclick = () => $("dlg-upgrade").close();
+
+function maybeUpgradePrompt(errText) {
+  const t = String(errText || "").toLowerCase();
+  if (t.includes("limit") || t.includes("429") || t.includes("quota"))
+    showUpgrade(T("Limit reached"),
+                T("The free tier limit is used up. Pro and Studio get more daily masters, bigger uploads and the priority queue."));
+}
+
+/* one-time nudge for guests who master successfully */
+if (!mmToken && !sessionStorage.getItem("mm_hinted")) {
+  setTimeout(() => {
+    if (mmToken || sessionStorage.getItem("mm_hinted")) return;
+    sessionStorage.setItem("mm_hinted", "1");
+    if (getHistory().length > 0)
+      showUpgrade(T("Keep your masters"),
+                  T("Create a free account to keep mastering history, save chain presets and raise upload limits."));
+  }, 45000);
+}
+
+/* ---------- AI limits line ---------- */
+async function loadAiLimits() {
+  try {
+    const d = await jget("/api/ai/limits");
+    const rem = d.remaining === -1 || d.remaining == null ? "∞" : d.remaining;
+    $("ai-limits").textContent =
+      `${T("AI requests today")}: ${d.used ?? 0} / ${d.limit === -1 ? "∞" : d.limit} (${rem} ${T("left")})`;
+  } catch (e) { /* guest */ }
+}
+loadAiLimits();
+
+/* ---------- theme / resize repaint ---------- */
+function repaintAll() {
+  if (waveBuf) drawWave($("wave"), waveBuf,
+    waveBuf.duration > 0 ? wavePos() / waveBuf.duration : 0);
+  renderSpectrumBars(specActive);
+  if (lastAnalysis) {
+    drawLufsTimeline(lastAnalysis.lufs_timeline,
+                     lastAnalysis.timeline_step_sec, lastAnalysis.duration_sec);
+    drawVectorscope(lastAnalysis.vectorscope_points);
+  } else if (waveBuf) drawVectorscope(localScopePoints(waveBuf));
+  if (dawState && !$("daw-card").classList.contains("hidden"))
+    renderDaw("daw", 52, 18);
+}
+window.addEventListener("mm-theme", repaintAll);
+let _rsz = 0;
+window.addEventListener("resize", () => {
+  clearTimeout(_rsz);
+  _rsz = setTimeout(repaintAll, 150);
+});

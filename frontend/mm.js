@@ -75,6 +75,18 @@ function fmtDate(ts) {
   return new Date(ts * 1000).toISOString().slice(0, 16).replace("T", " ");
 }
 
+function fmtTime(sec) {
+  if (sec == null || isNaN(sec)) return "0:00";
+  const m = Math.floor(sec / 60), s = Math.floor(sec % 60);
+  return `${m}:${String(s).padStart(2, "0")}`;
+}
+
+/* CSS variable lookup for canvas drawing (theme-aware). */
+function cssVar(name, fallback) {
+  return getComputedStyle(document.documentElement)
+    .getPropertyValue(name).trim() || fallback;
+}
+
 function esc(s) {
   // Safe for text nodes AND double/single-quoted attribute values.
   return String(s == null ? "" : s)
@@ -142,6 +154,29 @@ function toggleLang() {
   location.reload();
 }
 
+/* ---------- theme ---------- */
+let mmTheme = localStorage.getItem("mm_theme") || "dark";
+if (mmTheme === "light") document.documentElement.classList.add("light");
+
+function toggleTheme() {
+  mmTheme = mmTheme === "light" ? "dark" : "light";
+  localStorage.setItem("mm_theme", mmTheme);
+  document.documentElement.classList.toggle("light", mmTheme === "light");
+  const b = $("mm-theme");
+  if (b) b.textContent = mmTheme === "light" ? "🌙" : "☀";
+  // canvases repaint from CSS vars on the next draw
+  window.dispatchEvent(new Event("mm-theme"));
+}
+
+/* ---------- PWA install prompt ---------- */
+let mmInstallEvt = null;
+window.addEventListener("beforeinstallprompt", (e) => {
+  e.preventDefault();
+  mmInstallEvt = e;
+  const b = $("mm-install");
+  if (b) b.classList.remove("hidden");
+});
+
 /* ---------- shared nav ---------- */
 const MM_NAV = [
   ["/app", "Studio"],
@@ -164,9 +199,20 @@ async function mmHeader(active) {
     `<h1><a href="/">🎛 Magic <span>Master</span>` +
     ` <span class="muted">TPU</span></a></h1>` +
     `<nav class="mm">${links}` +
+    `<button class="sec small hidden" id="mm-install" title="Install app">⤓ App</button>` +
+    `<button class="sec small" id="mm-theme" title="Theme">${mmTheme === "light" ? "🌙" : "☀"}</button>` +
     `<button class="sec small" id="mm-lang">${mmLang === "ru" ? "EN" : "RU"}</button>` +
     `<button class="sec small" id="mm-auth" data-i18n="Sign in">Sign in</button></nav>`;
   $("mm-lang").onclick = toggleLang;
+  $("mm-theme").onclick = toggleTheme;
+  $("mm-install").onclick = async () => {
+    if (!mmInstallEvt) return;
+    mmInstallEvt.prompt();
+    await mmInstallEvt.userChoice;
+    mmInstallEvt = null;
+    $("mm-install").classList.add("hidden");
+  };
+  if (mmInstallEvt) $("mm-install").classList.remove("hidden");
   $("mm-auth").onclick = () => {
     if (mmToken) { setToken(null); location.reload(); }
     else location.href = "/login?next=" + encodeURIComponent(location.pathname);

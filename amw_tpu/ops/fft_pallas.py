@@ -47,13 +47,25 @@ from jax.experimental import pallas as pl
 A = 128
 B = 128
 
-# Mosaic supports DEFAULT (bf16, ~2x faster but 3e-2 error — unusable) and
-# HIGHEST (~f32) dot precisions; accuracy pins us to HIGHEST.  The MXU cost
-# is instead controlled by keeping every DFT factor at radix ≤ 128 (the
-# C-axis stage splits C = C2·128 in-kernel: VPU radix-C2 butterfly + one
-# 128-point matmul per chunk — 4x fewer MACs than a single C×C matmul at
-# C=512).
-_HI = jax.lax.Precision.HIGHEST
+# MXU dot precision for f32 operands: DEFAULT is one bf16 pass (~3e-2
+# relative error — unusable for a -90 dBFS budget), HIGH is the 3-pass
+# bf16 decomposition (~1e-6, half the MXU work of HIGHEST), HIGHEST is the
+# 6-pass decomposition (full f32).  The kernel is MXU-bound at HIGHEST, so
+# HIGH is a ~2x lever on the dot time; AMW_FFT_DOT_PREC selects it for
+# measurement (parity must be re-gated on TPU before changing the
+# default).  MXU cost is otherwise controlled by keeping every DFT factor
+# at radix ≤ 128 (the C-axis stage splits C = C2·128 in-kernel: VPU
+# radix-C2 butterfly + one 128-point matmul per chunk — 4x fewer MACs
+# than a single C×C matmul at C=512).
+def _dot_precision():
+    import os
+
+    return {"high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[
+        os.environ.get("AMW_FFT_DOT_PREC", "highest")]
+
+
+_HI = _dot_precision()
 
 
 def plan_ok(nfft: int) -> bool:
@@ -597,11 +609,21 @@ def ifft_permuted(Xr, Xi, nfft: int, tables=None, interpret: bool = False):
 
 
 def apply_response(x, resp_perm, nfft: int, tables=None,
-                   n_out: int | None = None, interpret: bool = False):
+                   n_out: int | None = None, interpret: bool = False,
+                   real_impulse: bool = True):
     """``irfft(rfft(x, nfft) * H)[..., :n_out]`` for real ``x`` via the
     permuted-spectrum pipeline.  ``resp_perm``: [2, nfft] planes from
     :func:`permute_full_response`.  Leading dims of ``x`` flatten to rows.
-    The response multiply is fused into the first inverse stage."""
+    The response multiply is fused into the first inverse stage.
+
+    ``real_impulse`` declares that ``H`` is conjugate-symmetric (its
+    impulse response is real) — true for every filter/EQ/meter response in
+    this framework.  It gates the row-pair packing fast path, whose
+    algebra (two real rows as one complex row, split after the inverse)
+    only separates cleanly when ``ifft(Xk*H)`` is real; a non-symmetric
+    response (Hilbert transformer, phase rotator, fractional delay) would
+    silently cross-contaminate the packed rows.  Pass ``False`` for such
+    responses to take the unpacked path."""
     if tables is None:
         tables = plan_params(nfft)
     lead = x.shape[:-1]
@@ -613,7 +635,7 @@ def apply_response(x, resp_perm, nfft: int, tables=None,
     elif n > nfft:
         xr = xr[:, :nfft]
     m = nfft if n_out is None else n_out
-    if _pack_ok(R):
+    if real_impulse and _pack_ok(R):
         # Row-pair packing (see roundtrip_multi): responses have real
         # impulses by construction, so two real rows ride one complex row
         # and the B/C work halves.

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..spec import GraphSpec
+from . import validctx
 from .meters import oversample4
 
 _MARGIN_DB = 0.15
@@ -89,8 +90,16 @@ def build_true_peak_limiter(
 
     Chain-module/builder signature (models.chain.MODULE_BUILDERS) so it
     slots into custom configs and the engine's pro surface alike.
-    Multiplicative (gain <= 1) — bucket padding stays zero, so no valid-
-    length handling is needed beyond the callers' tail masks.
+    Multiplicative (gain <= 1), so bucket padding stays zero — but the
+    SMOOTHED gain is edge-sensitive: in a padded bucket the gains computed
+    over the zero padding are 1.0, and averaging them into the box window
+    near the valid end would *raise* the applied gain above what the
+    exact-length graph computes (its edge replication averages the last
+    real gain instead) — enough to breach the ceiling when limiting is
+    active at the track end.  The builder therefore consults the traced
+    ``n_valid`` (ops.validctx) and replicates the last valid gain into the
+    padding before the sliding-min/box smoothing, reproducing the
+    exact-length graph's edge semantics.
     """
     c_lin = float(10.0 ** ((ceiling_db - _MARGIN_DB) / 20.0))
     limit_sample = float(10.0 ** (ceiling_db / 20.0))
@@ -105,6 +114,14 @@ def build_true_peak_limiter(
         env = jnp.max(jnp.abs(up), axis=tuple(range(up.ndim - 1)))  # [4N]
         g = jnp.minimum(1.0, c_lin / jnp.maximum(env, 1e-9))
         gb = g.reshape(g.shape[:-1] + (spec.n, 4)).min(axis=-1)  # [N]
+        nv = validctx.n_valid()
+        if nv is not None:
+            # Bucket padding: pin positions >= n_valid to the last valid
+            # gain so min/box smoothing match the exact-length graph's
+            # edge replication (padding g=1.0 would dilute the average
+            # and lift the tail gain above the ceiling's requirement).
+            last = validctx.gather_last(gb, nv)
+            gb = jnp.where(jnp.arange(spec.n) < nv, gb, last)
         gb = _sliding_min_sym(gb, w)
         gb = _box_same_pow2(gb, B)
         return jnp.clip(x * gb, -limit_sample, limit_sample)

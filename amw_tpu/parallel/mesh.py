@@ -14,8 +14,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = "dp",
+              local_only: bool = False) -> Mesh:
+    """1-D mesh.  ``local_only=True`` restricts it to THIS process's
+    devices — the serving-engine layout: an HTTP request lands on one
+    process, and a jit over non-addressable (other-host) devices cannot be
+    driven from one process alone (SPMD programs require every process to
+    execute the same computation).  Pod-wide meshes remain available for
+    SPMD batch scripts via :func:`make_pod_mesh`."""
+    devs = jax.local_devices() if local_only else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))

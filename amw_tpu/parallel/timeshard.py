@@ -172,8 +172,19 @@ def build_sp_master(
     halo = min(halo, chunk)
     n_ext = chunk + 2 * halo
     # Last chunk's valid length: the track end lands at sample ``lv`` of the
-    # last shard (static — lengths are compile-time here).
+    # last shard (static — lengths are compile-time here).  Chunk rounding
+    # (hop multiples) can push (n_dev-1)*chunk past a short track, leaving
+    # the last shard with no valid samples — its right-edge window would
+    # then have a non-positive length and the lax.switch branches would
+    # disagree on shape.  Such tracks are too short to time-shard this
+    # wide; reject with a clear error (the engine falls back to the
+    # single-device path, and only routes long uploads here anyway).
     lv = n_total - (n_dev - 1) * chunk
+    if lv <= 0:
+        raise ValueError(
+            f"track ({n_total} samples) too short for {n_dev}-way time "
+            f"sharding (chunk {chunk}): last shard would hold no valid "
+            f"samples — use fewer sp devices or the single-chip path")
     spec_ext = GraphSpec(sr=sr, n=n_ext, channels=channels, exact=False)
     # Track-edge windows: local ops are ALSO built at these lengths, whose
     # own (scipy-exact) edge machinery lands exactly on the track start /
@@ -288,6 +299,17 @@ def build_sp_master(
                              basic.parallel_compression(x, mix=_m)))
     if pro.get("dynamic_eq_enabled"):
         add_local("dynamic_eq", build_dynamic_eq)
+    if pro.get("true_peak_enabled"):
+        # Same ordering as the single-device graph (models/v2_job.py): the
+        # 4x-oversampled TP ceiling is the last gain stage before the fade,
+        # so nothing after it can re-raise the true peak.  Its smoothing
+        # windows (~ms) sit far inside the halo, so the interior window is
+        # exact; the edge windows reuse the op's own edge replication.
+        from ..ops.tplimit import build_true_peak_limiter
+
+        ceiling = float(pro.get("true_peak_ceiling_db", -1.5))
+        add_local("true_peak_limiter",
+                  lambda s: build_true_peak_limiter(s, ceiling_db=ceiling))
 
     # Normalize meter pieces (causal K-weighting on the extended chunk).
     settle_k = meters.k_weight_settle(sr)

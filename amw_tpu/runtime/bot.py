@@ -242,24 +242,30 @@ class Bot:
         linked = _user_by_telegram(chat_id)
         user_id = linked["id"] if linked else None
         sem = jobs.select_semaphore(False)
-        async with sem:
-            for file_id, fname in files:
-                try:
-                    data_bytes = await asyncio.to_thread(self.download, file_id)
+        for file_id, fname in files:
+            try:
+                # Telegram I/O happens OUTSIDE the admission semaphore, and
+                # the slot is re-acquired per file: one user's 10-file batch
+                # must not pin a mastering slot for minutes of downloads/
+                # uploads and starve the web jobs sharing the semaphore
+                # (reference holds it only around run_mastering_sync,
+                # bot/handlers/master.py:168-177).
+                data_bytes = await asyncio.to_thread(self.download, file_id)
+                async with sem:
                     res = await asyncio.to_thread(
                         get_engine().master_v2_bytes, data_bytes, fname,
                         target_lufs=target, out_format="wav", style="standard")
-                    out_name = fname.rsplit(".", 1)[0] + "_mastered.wav"
-                    await asyncio.to_thread(
-                        self.send_document, chat_id, out_name, res["bytes"],
-                        f"✅ {res['after_lufs']:.1f} LUFS"
-                        if res.get("after_lufs") else "✅ done")
-                    db.record_mastering(user_id, fname, "standard", target,
-                                        res.get("before_lufs"),
-                                        res.get("after_lufs"), "wav",
-                                        source="telegram")
-                except Exception as e:  # noqa: BLE001
-                    self.send_text(chat_id, f"❌ {fname}: mastering failed: {e}")
+                out_name = fname.rsplit(".", 1)[0] + "_mastered.wav"
+                await asyncio.to_thread(
+                    self.send_document, chat_id, out_name, res["bytes"],
+                    f"✅ {res['after_lufs']:.1f} LUFS"
+                    if res.get("after_lufs") else "✅ done")
+                db.record_mastering(user_id, fname, "standard", target,
+                                    res.get("before_lufs"),
+                                    res.get("after_lufs"), "wav",
+                                    source="telegram")
+            except Exception as e:  # noqa: BLE001
+                self.send_text(chat_id, f"❌ {fname}: mastering failed: {e}")
 
     async def _on_ai(self, chat_id: int, text: str) -> None:
         from . import ai, llm_guard

@@ -80,18 +80,25 @@ class MasteringEngine:
                 from ..parallel.mesh import init_distributed, make_mesh
 
                 # Multi-host pods: join the jax.distributed cluster before
-                # any device use, then the mesh below spans every host's
-                # devices (dp across hosts rides DCN, which dp tolerates;
-                # jax.devices() orders by process, so the sp ppermute ring
-                # crosses DCN only at host boundaries — docs/SCALING.md).
+                # any device use (required for the runtime to see the local
+                # chips at all on some deployments).  The SERVING mesh is
+                # then built over this process's LOCAL devices only: an
+                # HTTP job lands on one process, and a jit laid out over
+                # other hosts' (non-addressable) devices cannot be driven
+                # from one process — SPMD programs need every process to
+                # execute the same computation.  Pods therefore scale
+                # serving with one service replica per host (sp/dp confined
+                # to each host's ICI domain, job traffic balanced above) —
+                # docs/SCALING.md; pod-wide meshes stay available to SPMD
+                # batch scripts via parallel.mesh.make_pod_mesh.
                 if settings.engine_coordinator:
                     init_distributed(
                         settings.engine_coordinator,
                         settings.engine_num_processes or None,
                         None if settings.engine_process_id < 0
                         else settings.engine_process_id)
-                if len(_jax.devices()) > 1:
-                    self.mesh = make_mesh()
+                if len(_jax.local_devices()) > 1:
+                    self.mesh = make_mesh(local_only=True)
             except Exception:  # noqa: BLE001 — backend probe must not kill init
                 self.mesh = None
         n_mesh = self.mesh.devices.size if self.mesh is not None else 1
@@ -103,6 +110,12 @@ class MasteringEngine:
         self._cache: "OrderedDict" = OrderedDict()
         self._batch_graphs: "OrderedDict" = OrderedDict()
         self._cache_cap = 32
+        # Sequence-parallel graphs compile per exact track length (the
+        # track-end edge windows need static lengths), so distinct long
+        # uploads rarely share one; give them their own small LRU so a
+        # burst of DJ-set jobs cannot evict the hot bucketed dp graphs.
+        self._sp_cache: "OrderedDict" = OrderedDict()
+        self._sp_cache_cap = 4
         self._dur_ema: dict = {}  # graph key -> EMA of run wall time (sec)
         self._lock = threading.Lock()
         self._batcher = None
@@ -121,23 +134,25 @@ class MasteringEngine:
 
     def _get_graph(self, kind: str, spec: GraphSpec, key_extra: str, build):
         key = (kind, spec, key_extra)
+        cache = self._sp_cache if kind == "sp" else self._cache
+        cap = self._sp_cache_cap if kind == "sp" else self._cache_cap
         with self._lock:
-            hit = self._cache.get(key)
+            hit = cache.get(key)
             if hit is not None:
-                self._cache.move_to_end(key)
+                cache.move_to_end(key)
                 return hit
         built = build()
         with self._lock:
-            self._cache.setdefault(key, built)
-            self._cache.move_to_end(key)
-            while len(self._cache) > self._cache_cap:
-                old_key, _ = self._cache.popitem(last=False)
+            cache.setdefault(key, built)
+            cache.move_to_end(key)
+            while len(cache) > cap:
+                old_key, _ = cache.popitem(last=False)
                 # drop batch graphs derived from the evicted base graph
                 # (their keys are (base_key, b_pow2))
                 for bk in [b for b in self._batch_graphs
                            if b[0] == old_key]:
                     self._batch_graphs.pop(bk, None)
-            return self._cache[key]
+            return cache[key]
 
 
     def _note_duration(self, ema_key, dt: float) -> None:
@@ -232,11 +247,25 @@ class MasteringEngine:
                 and n > int(settings.engine_sp_threshold_sec * sr)):
             # DJ-set-length upload: time-shard the single track over the
             # serving mesh instead of compiling a huge single-device graph.
-            return self._master_v2_sp(
-                audio, sr, target_lufs=target_lufs, out_format=out_format,
-                style=style, chain_config=chain_config,
-                dither_type=dither_type, auto_blank_sec=auto_blank_sec,
-                bitrate=bitrate, pro=pro, report=report)
+            try:
+                return self._master_v2_sp(
+                    audio, sr, target_lufs=target_lufs, out_format=out_format,
+                    style=style, chain_config=chain_config,
+                    dither_type=dither_type, auto_blank_sec=auto_blank_sec,
+                    bitrate=bitrate, pro=pro, report=report)
+            except ValidationError:
+                raise  # real output failure — re-mastering won't change it
+            except ValueError as e:
+                # Config unsupported by the time-shard builder (reverb IR
+                # wider than the halo, non-uniform gating grid, track too
+                # short for the shard count): serve on the single-device
+                # path instead of failing a job the single-chip engine
+                # handles fine.
+                import logging
+
+                logging.getLogger("amw_tpu.engine").warning(
+                    "sp path rejected config (%s); falling back to the "
+                    "single-device graph", e)
         spec = self._spec_for(sr, n, C)
         key = json.dumps(
             {"cfg": chain_config, "pro": pro, "style": style,
@@ -330,8 +359,15 @@ class MasteringEngine:
         serving mesh (parallel/timeshard.py) with the same (config, pro)
         surface.  Used for uploads past ``engine_sp_threshold_sec`` — the
         800 MB DJ-set capability (reference config.py:26-33) served across
-        every chip instead of one.  Graphs cache per (track length, config);
-        the persistent compilation cache absorbs repeats across restarts."""
+        every chip instead of one.  Graphs cache per (track length, config)
+        — exact lengths are deliberate: the track-end edge-window variants
+        that make sp output match the single-chip graph need static window
+        sizes, so bucketing long tracks would reintroduce the zero-history
+        end divergence.  Distinct long uploads therefore usually pay one
+        compile each (amortized over minutes of audio); sp graphs live in
+        their own small LRU so they can't evict the hot dp bucket graphs,
+        and the persistent compilation cache absorbs repeats across
+        restarts."""
         from ..parallel.timeshard import build_sp_master
 
         audio = self._pre_dc(np.ascontiguousarray(audio, np.float32),

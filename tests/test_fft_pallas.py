@@ -193,3 +193,27 @@ def test_band_split_plan_band_maps_pallas_parity(monkeypatch):
     scale = max(np.max(np.abs(want)), 1e-9)
     assert got.shape == want.shape
     assert np.max(np.abs(got - want)) / scale < 2e-5
+
+
+def test_apply_response_real_impulse_flag_unpacked_path():
+    """``real_impulse=False`` must route even row counts through the
+    unpacked pipeline and stay correct: the row-pair packing's split step
+    assumes a conjugate-symmetric response, so a caller with an
+    asymmetric H (e.g. a phase rotator) needs this flag.  Built here via
+    the raw permuted storage since ``permute_full_response`` only emits
+    symmetric spectra."""
+    g = np.random.default_rng(7)
+    n = NFFT - 4096
+    x = g.standard_normal((2, n)).astype(np.float32)  # even rows: would pack
+    # Asymmetric full-spectrum response: +90 deg rotation on positive
+    # frequencies only (half-complex Hilbert-ish) — NOT conj-symmetric.
+    full = np.ones(NFFT, np.complex128)
+    full[1:NFFT // 2] = 1j
+    fp_perm = full[fp._perm(NFFT)]
+    resp = np.stack([fp_perm.real, fp_perm.imag]).astype(np.float32)
+    got = np.asarray(fp.apply_response(
+        jnp.asarray(x), jnp.asarray(resp), NFFT, n_out=n, interpret=True,
+        real_impulse=False))
+    spec = np.fft.fft(x, n=NFFT, axis=-1) * full
+    want = np.fft.ifft(spec, axis=-1).real[..., :n]
+    assert np.max(np.abs(got - want)) < 1e-4

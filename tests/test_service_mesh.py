@@ -183,8 +183,50 @@ def test_long_upload_served_sequence_parallel(app_factory, mesh_engine):
             assert np.all(np.isfinite(audio))
 
         _client_test(app_factory, fn)
-        # The graph cache holds an sp-kind entry — the service really took
-        # the sequence-parallel route.
-        assert any(k[0] == "sp" for k in mesh_engine._cache)
+        # The sp graph cache holds an entry — the service really took the
+        # sequence-parallel route (sp graphs get their own LRU so DJ-set
+        # bursts can't evict the hot dp bucket graphs).
+        assert any(k[0] == "sp" for k in mesh_engine._sp_cache)
+    finally:
+        settings.engine_sp_threshold_sec = old
+
+
+def test_long_upload_sp_unsupported_config_falls_back(app_factory,
+                                                      mesh_engine):
+    """A config the time-shard builder rejects (reverb IR wider than the
+    halo) must fall back to the single-device graph and still master —
+    review finding: the sp route used to propagate the build error and
+    fail a job the single-chip engine handles fine."""
+    import json
+
+    from amw_tpu.runtime.config import settings
+
+    old = settings.engine_sp_threshold_sec
+    settings.engine_sp_threshold_sec = 4.0
+    try:
+        cfg = {"modules": [
+            {"id": "dc_offset", "enabled": True},
+            {"id": "reverb", "enabled": True, "reverb_type": "cathedral",
+             "decay_sec": 4.0, "amount": 0.2},
+            {"id": "normalize_lufs", "enabled": True, "target_lufs": -14.0},
+        ]}
+        n_sp_before = len(mesh_engine._sp_cache)
+
+        async def fn(client):
+            form = _form({"file": _wav_bytes(dur=6.0), "preset": "spotify",
+                          "config": json.dumps(cfg)})
+            r = await client.post("/api/v2/master", data=form)
+            assert r.status == 200, await r.text()
+            jid = (await r.json())["job_id"]
+            st = await _wait_done(client, jid)
+            assert st["status"] == "done", st
+            blob = await (await client.get(
+                f"/api/master/result/{jid}")).read()
+            audio, sr = wav.read_wav(blob)
+            assert audio.shape[-1] == 6 * SR and np.all(np.isfinite(audio))
+
+        _client_test(app_factory, fn)
+        # No sp graph was cached for it — the single-device path served it.
+        assert len(mesh_engine._sp_cache) == n_sp_before
     finally:
         settings.engine_sp_threshold_sec = old

@@ -225,3 +225,31 @@ def test_sp_two_normalize_stages(track):
     want = np.asarray(fn(jnp.asarray(track), jax.device_put(params))["out"])
     err = _full_err(got, want)
     assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
+
+
+def test_sp_true_peak_limiter_matches_single_chip(track):
+    """The pro true_peak flag reaches the SP path: same ceiling, same tail
+    gains as the single-chip graph (review finding: the flag used to be
+    silently dropped, so >threshold uploads on a mesh lost the ceiling)."""
+    pro = {"true_peak_enabled": True, "true_peak_ceiling_db": -1.5}
+    mesh = make_mesh(8, axis="sp")
+    got = sp_master(track, SR, mesh, target_lufs=-9.0, pro=pro, halo=HALO)
+    want = _single_chip_v2(track, pro, target=-9.0)
+    err = _full_err(got, want)
+    assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
+    from scipy.signal import resample_poly
+
+    tp = 20 * np.log10(np.abs(resample_poly(got, 4, 1, axis=-1)).max())
+    assert tp <= -1.5 + 0.05, tp
+
+
+def test_sp_track_too_short_for_shards_raises():
+    """Chunk rounding can leave the last shard without valid samples; the
+    builder must reject (the engine then falls back to single-device)
+    instead of tracing mismatched lax.switch branches."""
+    from amw_tpu.parallel.timeshard import build_sp_master
+
+    mesh = make_mesh(8, axis="sp")
+    n = 61340  # ~1.4 s: chunk rounds to hop multiples past n/(n_dev)
+    with pytest.raises(ValueError, match="too short"):
+        build_sp_master(SR, n, 2, mesh)

@@ -110,3 +110,35 @@ def test_chain_module_and_pro_flag():
     res = fn(jnp.asarray(x), jax.device_put(params))
     out = np.asarray(res["out"])
     assert _tp_db(out) <= -1.5 + 0.05
+
+
+def test_bucket_padding_matches_exact_length():
+    """A track ending while limiting is active, padded into a longer
+    bucket: the padded graph (with the traced n_valid installed) must
+    reproduce the exact-length graph's tail gains and hold the ceiling —
+    padding-derived unity gains must not dilute the edge smoothing
+    (ops/validctx contract: edge-sensitive ops consult n_valid)."""
+    from amw_tpu.ops import validctx
+
+    nv = N - 1771                      # valid length, off any round number
+    nb = N                             # bucket length
+    t = np.arange(nv)
+    loud = (0.95 * np.sin(2 * np.pi * 0.25 * t + np.pi / 4)).astype(np.float32)
+    x_exact = np.stack([loud, loud])
+
+    spec_e = GraphSpec(sr=SR, n=nv, channels=2)
+    pe, fe = build_true_peak_limiter(spec_e, ceiling_db=-1.5)
+    y_exact = np.asarray(fe(x_exact, pe))
+
+    spec_b = GraphSpec(sr=SR, n=nb, channels=2)
+    pb, fb = build_true_peak_limiter(spec_b, ceiling_db=-1.5)
+    xp = np.pad(x_exact, ((0, 0), (0, nb - nv)))
+
+    def padded(x, p):
+        with validctx.valid_length(np.int32(nv)):
+            return fb(x, p)
+
+    y_pad = np.asarray(padded(xp, pb))[..., :nv]
+    err = np.abs(y_pad - y_exact).max()
+    assert err < 10 ** (-90 / 20), f"bucket parity {20*np.log10(max(err,1e-12)):.1f} dBFS"
+    assert _tp_db(y_pad) <= -1.5 + 0.05

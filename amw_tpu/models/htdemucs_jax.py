@@ -592,72 +592,63 @@ def _jitted_forward(cfg: HTConfig):
     return fn
 
 
-_OA_CACHE: dict = {}
+_SCAN_CACHE: dict = {}
 
 
-def _jitted_oa_window(cfg: HTConfig, seg: int, stride: int, batch: int,
-                      n_sel: int):
-    """The heavy step of device-resident overlap-add, on a FIXED-SIZE
-    window ``span = (batch-1)*stride + seg``: slice ``batch`` segments at
-    static offsets, run the forward, select the requested stems, and
-    overlap-add the triangle-weighted contributions window-locally.
-    Track length never appears in this executable's shapes, so every
-    request of any duration shares ONE compile of the expensive graph —
-    only the trivial per-length gather/scatter (:func:`_jitted_win_ops`)
-    recompiles (milliseconds)."""
-    key = _cfg_key(cfg) + (seg, stride, batch, n_sel)
-    fn = _OA_CACHE.get(key)
+def _jitted_oa_scan(cfg: HTConfig, seg: int, stride: int, batch: int,
+                    n_sel: int, nb: int, t_ext: int):
+    """Whole-track device-resident overlap-add as ONE executable: a
+    ``lax.scan`` over the ``nb`` windows with the gather / forward /
+    triangle-weighted window OA / scatter-add fused in.  One host dispatch
+    per track instead of ~3·nb — on relay-attached TPUs every dispatch
+    pays a host↔device round trip (~30 ms), which dominated the
+    isolate→master e2e time.  Executables key on (nb, t_ext); the caller
+    buckets nb to a power of two (padding windows carry valid=0) so the
+    executable count stays bounded."""
+    key = _cfg_key(cfg) + (seg, stride, batch, n_sel, nb, t_ext)
+    fn = _SCAN_CACHE.get(key)
     if fn is None:
         span = (batch - 1) * stride + seg
 
-        def step(pp, mix_win, valid, idx, w):
-            C = mix_win.shape[0]
-            chunk = jnp.stack([
-                jax.lax.slice_in_dim(mix_win, j * stride, j * stride + seg,
-                                     axis=1)
-                for j in range(batch)])                 # [B, C, seg]
-            st = forward(pp, chunk, cfg)                # [B, S, C, seg]
-            st = jnp.take(st, idx, axis=1)              # [B, n_sel, C, seg]
-            wv = w[None, :] * valid[:, None]            # [B, seg]
-            out = jnp.zeros((n_sel, C, span), jnp.float32)
-            wacc = jnp.zeros((span,), jnp.float32)
-            for j in range(batch):                      # static offsets
-                out = out.at[:, :, j * stride:j * stride + seg].add(
-                    st[j] * wv[j])
-                wacc = wacc.at[j * stride:j * stride + seg].add(wv[j])
-            return out, wacc
+        def run(pp, mix_pad, valids, idx, w):
+            C = mix_pad.shape[0]
 
-        fn = jax.jit(step)
-        _OA_CACHE[key] = fn
+            def body(carry, iv):
+                out_acc, w_acc = carry
+                i, valid = iv
+                w0 = i * (batch * stride)
+                mix_win = jax.lax.dynamic_slice(mix_pad, (0, w0), (C, span))
+                chunk = jnp.stack([
+                    jax.lax.slice_in_dim(mix_win, j * stride,
+                                         j * stride + seg, axis=1)
+                    for j in range(batch)])             # [B, C, seg]
+                st = forward(pp, chunk, cfg)            # [B, S, C, seg]
+                st = jnp.take(st, idx, axis=1)          # [B, n_sel, C, seg]
+                wv = w[None, :] * valid[:, None]        # [B, seg]
+                contrib = jnp.zeros((n_sel, C, span), jnp.float32)
+                wc = jnp.zeros((span,), jnp.float32)
+                for j in range(batch):                  # static offsets
+                    contrib = contrib.at[
+                        :, :, j * stride:j * stride + seg].add(st[j] * wv[j])
+                    wc = wc.at[j * stride:j * stride + seg].add(wv[j])
+                cur = jax.lax.dynamic_slice(out_acc, (0, 0, w0),
+                                            (n_sel, C, span))
+                out_acc = jax.lax.dynamic_update_slice(
+                    out_acc, cur + contrib, (0, 0, w0))
+                curw = jax.lax.dynamic_slice(w_acc, (w0,), (span,))
+                w_acc = jax.lax.dynamic_update_slice(w_acc, curw + wc, (w0,))
+                return (out_acc, w_acc), None
+
+            init = (jnp.zeros((n_sel, C, t_ext), jnp.float32),
+                    jnp.zeros((t_ext,), jnp.float32))
+            (out_acc, w_acc), _ = jax.lax.scan(
+                body, init,
+                (jnp.arange(nb, dtype=jnp.int32), valids))
+            return out_acc / jnp.maximum(w_acc, 1e-8)
+
+        fn = jax.jit(run)
+        _SCAN_CACHE[key] = fn
     return fn
-
-
-_WIN_CACHE: dict = {}
-
-
-def _jitted_win_ops(t_ext: int, span: int, n_sel: int, C: int):
-    """Per-track-length gather/scatter companions of
-    :func:`_jitted_oa_window` — dynamic slice of the device-resident mix
-    and donated scatter-add into the full-length accumulators.  These
-    compile in milliseconds, so per-length executables are harmless."""
-    key = (t_ext, span, n_sel, C)
-    ops = _WIN_CACHE.get(key)
-    if ops is None:
-        def gather(mix_pad, w0):
-            return jax.lax.dynamic_slice(mix_pad, (0, w0), (C, span))
-
-        def scatter(out_acc, w_acc, contrib, wc, w0):
-            cur = jax.lax.dynamic_slice(out_acc, (0, 0, w0),
-                                        (n_sel, C, span))
-            out_acc = jax.lax.dynamic_update_slice(out_acc, cur + contrib,
-                                                   (0, 0, w0))
-            curw = jax.lax.dynamic_slice(w_acc, (w0,), (span,))
-            w_acc = jax.lax.dynamic_update_slice(w_acc, curw + wc, (w0,))
-            return out_acc, w_acc
-
-        ops = (jax.jit(gather), jax.jit(scatter, donate_argnums=(0, 1)))
-        _WIN_CACHE[key] = ops
-    return ops
 
 
 def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
@@ -678,11 +669,13 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
     device-resident ``params`` (``jax.device_put`` once, reuse) to avoid
     re-uploading ~170 MB of weights per call.
 
-    Default path is fully device-resident: the mix is uploaded once, the
-    segment gather / forward / triangle-weighted overlap-add all run on
-    device (:func:`_jitted_oa_step`), and one fetch returns the selected
-    stems — per-batch chunk uploads and stem fetches (~3× the track bytes
-    over the relay) disappear.  ``host_oa=True`` restores the host-side
+    Default path is fully device-resident AND single-dispatch: the mix is
+    uploaded once and the whole segment loop (gather / forward /
+    triangle-weighted overlap-add) runs as one ``lax.scan`` executable
+    (:func:`_jitted_oa_scan`), so a track costs one host→device dispatch
+    regardless of length — per-batch chunk uploads, stem fetches, and the
+    ~3·nb per-window dispatch round trips over the relay all disappear.
+    ``host_oa=True`` restores the host-side
     accumulation loop (reference semantics oracle; parity-tested against
     the device path).  ``device_out=True`` (device path only) skips the
     final fetch and returns the stems as a device array so a downstream
@@ -722,23 +715,21 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
         return out / np.maximum(weight_acc, 1e-8)
     span = (batch - 1) * stride + seg
     nb = (len(starts) + batch - 1) // batch
-    t_ext = (nb - 1) * batch * stride + span
+    # Bucket the window count to a power of two so the fused whole-track
+    # executable count stays bounded; padding windows carry valid=0 and
+    # contribute nothing.
+    nb_b = 1 << max(nb - 1, 0).bit_length()
+    t_ext = (nb_b - 1) * batch * stride + span
     mix_dev = jax.device_put(
         np.pad(np.ascontiguousarray(mix, dtype=np.float32),
                ((0, 0), (0, t_ext - T))))
-    out_acc = jnp.zeros((len(src_idx), C, t_ext), jnp.float32)
-    w_acc = jnp.zeros((t_ext,), jnp.float32)
-    w_dev = jnp.asarray(w)
-    step = _jitted_oa_window(cfg, seg, stride, batch, len(src_idx))
-    gather_w, scatter_w = _jitted_win_ops(t_ext, span, len(src_idx), C)
+    valids = np.zeros((nb_b, batch), np.float32)
+    n_seg = len(starts)
     for i in range(nb):
-        valid = np.zeros(batch, np.float32)
-        valid[: min(batch, len(starts) - i * batch)] = 1.0
-        w0 = jnp.asarray(np.int32(i * batch * stride))
-        contrib, wc = step(dev_params, gather_w(mix_dev, w0),
-                           jnp.asarray(valid), idx_dev, w_dev)
-        out_acc, w_acc = scatter_w(out_acc, w_acc, contrib, wc, w0)
-    out = (out_acc / jnp.maximum(w_acc, 1e-8))[:, :, :T]
+        valids[i, : min(batch, n_seg - i * batch)] = 1.0
+    run = _jitted_oa_scan(cfg, seg, stride, batch, len(src_idx), nb_b, t_ext)
+    out = run(dev_params, mix_dev, jnp.asarray(valids), idx_dev,
+              jnp.asarray(w))[:, :, :T]
     return out if device_out else np.asarray(out)
 
 

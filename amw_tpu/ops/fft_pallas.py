@@ -38,6 +38,7 @@ arithmetic is hidden under the memory streams this kernel is bound by.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -48,24 +49,44 @@ A = 128
 B = 128
 
 # MXU dot precision for f32 operands: DEFAULT is one bf16 pass (~3e-2
-# relative error — unusable for a -90 dBFS budget), HIGH is the 3-pass
-# bf16 decomposition (~1e-6, half the MXU work of HIGHEST), HIGHEST is the
-# 6-pass decomposition (full f32).  The kernel is MXU-bound at HIGHEST, so
-# HIGH is a ~2x lever on the dot time; AMW_FFT_DOT_PREC selects it for
-# measurement (parity must be re-gated on TPU before changing the
-# default).  MXU cost is otherwise controlled by keeping every DFT factor
-# at radix ≤ 128 (the C-axis stage splits C = C2·128 in-kernel: VPU
-# radix-C2 butterfly + one 128-point matmul per chunk — 4x fewer MACs
-# than a single C×C matmul at C=512).
-def _dot_precision():
-    import os
+# relative error — unusable for a -90 dBFS budget), HIGH requests the
+# 3-pass bf16 decomposition (~1e-6, half the MXU work of HIGHEST), HIGHEST
+# the 6-pass decomposition (full f32).  The kernel is MXU-bound at
+# HIGHEST, so the 3-pass split is a ~2x lever on the dot time;
+# AMW_FFT_DOT_PREC selects the mode for measurement (parity must be
+# re-gated on TPU before changing the default):
+#   "highest" (default) — lax precision HIGHEST
+#   "high"              — lax precision HIGH (Mosaic may not honor it)
+#   "bf16x3"            — explicit 3-pass split built from plain bf16
+#                         dots (a_hi·b_hi + a_hi·b_lo + a_lo·b_hi), not
+#                         relying on Mosaic's precision handling
+# MXU cost is otherwise controlled by keeping every DFT factor at radix
+# ≤ 128 (the C-axis stage splits C = C2·128 in-kernel: VPU radix-C2
+# butterfly + one 128-point matmul per chunk — 4x fewer MACs than a
+# single C×C matmul at C=512).
+_MODE = os.environ.get("AMW_FFT_DOT_PREC", "highest")
+_HI = {"high": jax.lax.Precision.HIGH,
+       "highest": jax.lax.Precision.HIGHEST,
+       "bf16x3": jax.lax.Precision.HIGHEST}[_MODE]
 
-    return {"high": jax.lax.Precision.HIGH,
-            "highest": jax.lax.Precision.HIGHEST}[
-        os.environ.get("AMW_FFT_DOT_PREC", "highest")]
+_DIMS = (((1,), (0,)), ((), ()))  # matrix @ block: contract lhs 1, rhs 0
 
 
-_HI = _dot_precision()
+def _dot(a, b):
+    """f32 [m, k] @ [k, n] on the MXU at the module's precision mode."""
+    if _MODE != "bf16x3":
+        return jax.lax.dot_general(a, b, _DIMS, precision=_HI,
+                                   preferred_element_type=jnp.float32)
+    bf = jnp.bfloat16
+    ah = a.astype(bf)
+    al = (a - ah.astype(jnp.float32)).astype(bf)
+    bh = b.astype(bf)
+    bl = (b - bh.astype(jnp.float32)).astype(bf)
+    d = lambda u, v: jax.lax.dot_general(
+        u, v, _DIMS, preferred_element_type=jnp.float32)
+    # Dropped a_lo·b_lo term is ~2^-16 relative — far below the bf16
+    # rounding of the three kept passes; matches lax HIGH semantics.
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
 
 
 def plan_ok(nfft: int) -> bool:
@@ -177,18 +198,12 @@ def _cmul(ar, ai, br, bi):
 
 def _dot_l(Fr, Fi, xr, xi):
     """(F @ x): contract x's sublane axis."""
-    dot = lambda m, v: jax.lax.dot_general(
-        m, v, (((1,), (0,)), ((), ())), precision=_HI,
-        preferred_element_type=jnp.float32)
-    return dot(Fr, xr) - dot(Fi, xi), dot(Fr, xi) + dot(Fi, xr)
+    return (_dot(Fr, xr) - _dot(Fi, xi)), (_dot(Fr, xi) + _dot(Fi, xr))
 
 
 def _dot_r(xr, xi, Fr, Fi):
     """(x @ F): contract x's lane axis."""
-    dot = lambda v, m: jax.lax.dot_general(
-        v, m, (((1,), (0,)), ((), ())), precision=_HI,
-        preferred_element_type=jnp.float32)
-    return dot(xr, Fr) - dot(xi, Fi), dot(xr, Fi) + dot(xi, Fr)
+    return (_dot(xr, Fr) - _dot(xi, Fi)), (_dot(xr, Fi) + _dot(xi, Fr))
 
 
 def _stage_a_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
@@ -213,11 +228,8 @@ def _stage_a_real_in_kernel(xr_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
                             or_ref, oi_ref):
     """Forward stage A for a REAL signal (imag=0): two MXU dots, not four."""
     xr = xr_ref[0]
-    dot = lambda m, v: jax.lax.dot_general(
-        m, v, (((1,), (0,)), ((), ())), precision=_HI,
-        preferred_element_type=jnp.float32)
-    yr = dot(fr_ref[...], xr)
-    yi = dot(fi_ref[...], xr)
+    yr = _dot(fr_ref[...], xr)
+    yi = _dot(fi_ref[...], xr)
     yr, yi = _cmul(yr, yi, t1r_ref[0], t1i_ref[0])
     or_ref[0] = yr
     oi_ref[0] = yi
@@ -227,10 +239,7 @@ def _stage_a_real_out_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref,
                              t1i_ref, or_ref, *, scale):
     """Final inverse stage A keeping only the REAL output: two dots."""
     xr, xi = _cmul(xr_ref[0], xi_ref[0], t1r_ref[0], t1i_ref[0])
-    dot = lambda m, v: jax.lax.dot_general(
-        m, v, (((1,), (0,)), ((), ())), precision=_HI,
-        preferred_element_type=jnp.float32)
-    or_ref[0] = (dot(fr_ref[...], xr) - dot(fi_ref[...], xi)) * scale
+    or_ref[0] = (_dot(fr_ref[...], xr) - _dot(fi_ref[...], xi)) * scale
 
 
 def _cstage_fwd(xr, xi, wr, wi, ctr, cti, nfft):
@@ -810,13 +819,10 @@ def _stage_a_reduce_kernel(yr_ref, yi_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
     summed time signal in natural order."""
     twr = t1r_ref[0]
     twi = t1i_ref[0]
-    dot = lambda m, v: jax.lax.dot_general(
-        m, v, (((1,), (0,)), ((), ())), precision=_HI,
-        preferred_element_type=jnp.float32)
     acc = None
     for k in range(K):
         xr, xi = _cmul(yr_ref[k, 0], yi_ref[k, 0], twr, twi)
-        y = (dot(fr_ref[...], xr) - dot(fi_ref[...], xi)) * scale
+        y = (_dot(fr_ref[...], xr) - _dot(fi_ref[...], xi)) * scale
         y = band_fns[k](y)
         acc = y if acc is None else acc + y
     o_ref[0] = acc

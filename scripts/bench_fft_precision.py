@@ -9,8 +9,10 @@ Run twice (subprocesses — the precision is baked at import):
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_fft_precision.py
 
-It forks itself with AMW_FFT_DOT_PREC=highest and =high, printing per-mode
-round-trip wall time and parity vs the float64 numpy oracle.
+It forks itself with AMW_FFT_DOT_PREC in {highest, bf16x3}, printing
+per-mode round-trip wall time and parity vs the float64 numpy oracle.
+("high" relies on Mosaic honoring lax HIGH; "bf16x3" is the same 3-pass
+split built from plain bf16 dots — pass modes as argv to override.)
 """
 from __future__ import annotations
 
@@ -76,7 +78,8 @@ def main() -> None:
     if os.environ.get("AMW_FFT_DOT_PREC"):
         _run_mode()
         return
-    for mode in ("highest", "high"):
+    modes = sys.argv[1:] or ["highest", "bf16x3"]
+    for mode in modes:
         env = dict(os.environ, AMW_FFT_DOT_PREC=mode)
         subprocess.run([sys.executable, __file__], env=env, check=True)
 

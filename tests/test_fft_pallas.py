@@ -217,3 +217,24 @@ def test_apply_response_real_impulse_flag_unpacked_path():
     spec = np.fft.fft(x, n=NFFT, axis=-1) * full
     want = np.fft.ifft(spec, axis=-1).real[..., :n]
     assert np.max(np.abs(got - want)) < 1e-4
+
+
+def test_bf16x3_dot_mode_roundtrip_accuracy(monkeypatch):
+    """The explicit 3-pass bf16 dot split (AMW_FFT_DOT_PREC=bf16x3) must
+    hold a ~1e-5 relative round-trip error — the accuracy class of lax
+    HIGH — so it stays far inside the -90 dBFS chain budget while halving
+    the MXU passes vs HIGHEST.  (Mode is read at trace time from the
+    module global; the env var only seeds it at import.)"""
+    monkeypatch.setattr(fp, "_MODE", "bf16x3")
+    g = np.random.default_rng(11)
+    n = NFFT - 4096
+    x = g.standard_normal((2, n)).astype(np.float32)
+    f = np.fft.rfftfreq(NFFT, 1 / 44100.0)
+    H = (1.0 + 0.5 * np.cos(f / 2000.0)) * np.exp(-f / 18000.0)
+    resp = fp.permute_full_response(H, NFFT)
+    got = np.asarray(fp.apply_response(
+        jnp.asarray(x), jnp.asarray(resp), NFFT, n_out=n, interpret=True))
+    want = np.fft.irfft(np.fft.rfft(x, n=NFFT, axis=-1) * H,
+                        n=NFFT, axis=-1)[..., :n]
+    err = np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-9)
+    assert err < 3e-5, err

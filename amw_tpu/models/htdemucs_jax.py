@@ -592,6 +592,22 @@ def _jitted_forward(cfg: HTConfig):
     return fn
 
 
+def oa_plan(cfg: HTConfig, T: int, segment: int | None = None,
+            overlap: float = 0.25, batch: int = 4):
+    """Overlap-add geometry for a T-sample track: (seg, stride, starts,
+    nb_b, t_ext, span).  ``nb_b`` is the power-of-two window-count bucket
+    the whole-track scan executable keys on — shared by :func:`separate`
+    and warmup so both agree on which executable a track will use."""
+    seg = segment or cfg.segment_samples
+    stride = max(1, int(seg * (1 - overlap)))
+    starts = list(range(0, max(T - seg, 0) + stride, stride))
+    nb = (len(starts) + batch - 1) // batch
+    nb_b = 1 << max(nb - 1, 0).bit_length()
+    span = (batch - 1) * stride + seg
+    t_ext = (nb_b - 1) * batch * stride + span
+    return seg, stride, starts, nb_b, t_ext, span
+
+
 _SCAN_CACHE: dict = {}
 
 
@@ -682,9 +698,9 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
     jitted graph (e.g. isolate→master) can consume them without a host
     round trip."""
     cfg = cfg or HTConfig()
-    seg = segment or cfg.segment_samples
     C, T = mix.shape
-    stride = max(1, int(seg * (1 - overlap)))
+    seg, stride, starts, nb_b, t_ext, span = oa_plan(
+        cfg, T, segment=segment, overlap=overlap, batch=batch)
     src_idx = (list(range(len(cfg.sources))) if stems is None
                else [cfg.sources.index(s) for s in stems])
     w = np.concatenate([np.arange(1, seg // 2 + 1),
@@ -692,7 +708,6 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
     w = w / w.max()
     dev_params = jax.device_put(params)
     idx_dev = jnp.asarray(np.asarray(src_idx, np.int32))
-    starts = list(range(0, max(T - seg, 0) + stride, stride))
     if host_oa:
         apply = _jitted_forward(cfg)
         out = np.zeros((len(src_idx), C, T), np.float32)
@@ -713,13 +728,10 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
                     * w[:end - start]
                 weight_acc[start:end] += w[:end - start]
         return out / np.maximum(weight_acc, 1e-8)
-    span = (batch - 1) * stride + seg
+    # nb_b (from oa_plan) buckets the window count to a power of two so
+    # the fused whole-track executable count stays bounded; padding
+    # windows carry valid=0 and contribute nothing.
     nb = (len(starts) + batch - 1) // batch
-    # Bucket the window count to a power of two so the fused whole-track
-    # executable count stays bounded; padding windows carry valid=0 and
-    # contribute nothing.
-    nb_b = 1 << max(nb - 1, 0).bit_length()
-    t_ext = (nb_b - 1) * batch * stride + span
     mix_dev = jax.device_put(
         np.pad(np.ascontiguousarray(mix, dtype=np.float32),
                ((0, 0), (0, t_ext - T))))

@@ -22,6 +22,7 @@ audio bytes in → two-stem "vocals" WAV bytes out.
 from __future__ import annotations
 
 import functools
+import threading
 
 import numpy as np
 import jax
@@ -93,6 +94,7 @@ def is_available() -> bool:
 _HT_SENTINEL = object()
 _ht_cache = _HT_SENTINEL
 _ht_cache_path: str | None = None
+_ht_lock = threading.Lock()
 
 
 def htdemucs_checkpoint_path() -> str | None:
@@ -126,24 +128,51 @@ def _htdemucs():
     """(cfg, device_params) when converted weights are configured and load,
     else None (DSP separator remains the fallback).  Keyed by the configured
     path, so pointing 'htdemucs_checkpoint' at (new) weights at runtime
-    takes effect on the next request — only successful loads are cached."""
+    takes effect on the next request — only successful loads are cached.
+    Locked: the warmup thread and the first request would otherwise race
+    to load + device_put the same ~170 MB of weights twice."""
     global _ht_cache, _ht_cache_path
-    path = htdemucs_checkpoint_path()
-    if _ht_cache is not _HT_SENTINEL and path == _ht_cache_path \
-            and _ht_cache is not None:
-        return _ht_cache
-    result = None
-    if path:
-        try:
-            from . import htdemucs_jax as hj
+    with _ht_lock:
+        path = htdemucs_checkpoint_path()
+        if _ht_cache is not _HT_SENTINEL and path == _ht_cache_path \
+                and _ht_cache is not None:
+            return _ht_cache
+        result = None
+        if path:
+            try:
+                from . import htdemucs_jax as hj
 
-            cfg, params = hj.load_params(path)
-            result = (cfg, jax.device_put(params))
-        except Exception:  # noqa: BLE001 — fall back to the DSP separator
-            result = None
-    _ht_cache = result
-    _ht_cache_path = path
-    return result
+                cfg, params = hj.load_params(path)
+                result = (cfg, jax.device_put(params))
+            except Exception:  # noqa: BLE001 — fall back to DSP separator
+                result = None
+        _ht_cache = result
+        _ht_cache_path = path
+        return result
+
+
+def warmup_htdemucs(durations_sec) -> int:
+    """Precompile the whole-track separation executable for each distinct
+    window-count bucket implied by ``durations_sec`` (no-op without a
+    configured checkpoint).  Uses the SAME call as
+    :func:`separate_htdemucs` below so the warmed executables are exactly
+    the ones production jobs hit.  Returns the number of buckets warmed."""
+    loaded = _htdemucs()
+    if loaded is None:
+        return 0
+    cfg, params = loaded
+    from . import htdemucs_jax as hj
+
+    seen: set = set()
+    for dur in durations_sec:
+        T = int(cfg.samplerate * float(dur))
+        nb_b = hj.oa_plan(cfg, T)[3]
+        if nb_b in seen:
+            continue
+        seen.add(nb_b)
+        hj.separate(params, np.zeros((2, T), np.float32), cfg,
+                    stems=("vocals",))
+    return len(seen)
 
 
 def separate_htdemucs(audio: np.ndarray, sr: int) -> np.ndarray | None:

@@ -434,6 +434,20 @@ class MasteringEngine:
 
                 logging.getLogger("amw_tpu.engine").warning(
                     "warmup failed for bucket %.0fs", sec, exc_info=True)
+        # htdemucs: when a converted checkpoint is configured, precompile
+        # the whole-track separation executable for every window-count
+        # bucket the warmup durations imply (the scan executable keys on
+        # that power-of-two bucket, not the exact length).
+        if buckets_sec:
+            try:
+                from ..models import vocal
+
+                vocal.warmup_htdemucs(buckets_sec)
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                import logging
+
+                logging.getLogger("amw_tpu.engine").warning(
+                    "htdemucs warmup failed", exc_info=True)
 
     def _put_params(self, params):
         """Graph params live replicated over the serving mesh (when one

@@ -189,3 +189,19 @@ def test_engine_warmup_precompiles_default_graph():
     eng = MasteringEngine(bucket=True, micro_batch=False)
     eng.warmup(buckets_sec=(1.0,), sr=22050)
     assert any(k[0] == "v2" for k in eng._cache), list(eng._cache)
+
+
+def test_engine_warmup_precompiles_htdemucs_scan(monkeypatch):
+    """With a checkpoint configured, warmup() also compiles the
+    whole-track htdemucs separation executable (the lax.scan overlap-add),
+    so the first isolate-vocal job doesn't pay the big compile."""
+    from amw_tpu.models import htdemucs_jax as hj, vocal
+    from amw_tpu.runtime.engine import MasteringEngine
+
+    monkeypatch.setenv("AMW_HTDEMUCS_CKPT", "bundled")
+    monkeypatch.setattr(vocal, "_ht_cache", vocal._HT_SENTINEL)
+    monkeypatch.setattr(vocal, "_ht_cache_path", None)
+    monkeypatch.setattr(hj, "_SCAN_CACHE", {})
+    eng = MasteringEngine(bucket=True, micro_batch=False)
+    eng.warmup(buckets_sec=(1.0,), sr=22050)
+    assert hj._SCAN_CACHE, "htdemucs scan executable not warmed"

@@ -630,30 +630,41 @@ def _jitted_oa_scan(cfg: HTConfig, seg: int, stride: int, batch: int,
             C = mix_pad.shape[0]
 
             def body(carry, iv):
-                out_acc, w_acc = carry
                 i, valid = iv
                 w0 = i * (batch * stride)
-                mix_win = jax.lax.dynamic_slice(mix_pad, (0, w0), (C, span))
-                chunk = jnp.stack([
-                    jax.lax.slice_in_dim(mix_win, j * stride,
-                                         j * stride + seg, axis=1)
-                    for j in range(batch)])             # [B, C, seg]
-                st = forward(pp, chunk, cfg)            # [B, S, C, seg]
-                st = jnp.take(st, idx, axis=1)          # [B, n_sel, C, seg]
-                wv = w[None, :] * valid[:, None]        # [B, seg]
-                contrib = jnp.zeros((n_sel, C, span), jnp.float32)
-                wc = jnp.zeros((span,), jnp.float32)
-                for j in range(batch):                  # static offsets
-                    contrib = contrib.at[
-                        :, :, j * stride:j * stride + seg].add(st[j] * wv[j])
-                    wc = wc.at[j * stride:j * stride + seg].add(wv[j])
-                cur = jax.lax.dynamic_slice(out_acc, (0, 0, w0),
-                                            (n_sel, C, span))
-                out_acc = jax.lax.dynamic_update_slice(
-                    out_acc, cur + contrib, (0, 0, w0))
-                curw = jax.lax.dynamic_slice(w_acc, (w0,), (span,))
-                w_acc = jax.lax.dynamic_update_slice(w_acc, curw + wc, (w0,))
-                return (out_acc, w_acc), None
+
+                def do(carry):
+                    out_acc, w_acc = carry
+                    mix_win = jax.lax.dynamic_slice(mix_pad, (0, w0),
+                                                    (C, span))
+                    chunk = jnp.stack([
+                        jax.lax.slice_in_dim(mix_win, j * stride,
+                                             j * stride + seg, axis=1)
+                        for j in range(batch)])         # [B, C, seg]
+                    st = forward(pp, chunk, cfg)        # [B, S, C, seg]
+                    st = jnp.take(st, idx, axis=1)      # [B, n_sel, C, seg]
+                    wv = w[None, :] * valid[:, None]    # [B, seg]
+                    contrib = jnp.zeros((n_sel, C, span), jnp.float32)
+                    wc = jnp.zeros((span,), jnp.float32)
+                    for j in range(batch):              # static offsets
+                        contrib = contrib.at[
+                            :, :, j * stride:j * stride + seg].add(
+                            st[j] * wv[j])
+                        wc = wc.at[j * stride:j * stride + seg].add(wv[j])
+                    cur = jax.lax.dynamic_slice(out_acc, (0, 0, w0),
+                                                (n_sel, C, span))
+                    out_acc = jax.lax.dynamic_update_slice(
+                        out_acc, cur + contrib, (0, 0, w0))
+                    curw = jax.lax.dynamic_slice(w_acc, (w0,), (span,))
+                    w_acc = jax.lax.dynamic_update_slice(w_acc, curw + wc,
+                                                         (w0,))
+                    return out_acc, w_acc
+
+                # Power-of-two bucketing pads with all-invalid windows;
+                # skip their forwards entirely (identical carry shapes on
+                # both branches, so the cond is free).
+                return jax.lax.cond(jnp.any(valid > 0), do,
+                                    lambda carry: carry, carry), None
 
             init = (jnp.zeros((n_sel, C, t_ext), jnp.float32),
                     jnp.zeros((t_ext,), jnp.float32))

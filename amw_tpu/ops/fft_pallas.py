@@ -49,24 +49,23 @@ A = 128
 B = 128
 
 # MXU dot precision for f32 operands: DEFAULT is one bf16 pass (~3e-2
-# relative error — unusable for a -90 dBFS budget), HIGH requests the
-# 3-pass bf16 decomposition (~1e-6, half the MXU work of HIGHEST), HIGHEST
-# the 6-pass decomposition (full f32).  The kernel is MXU-bound at
-# HIGHEST, so the 3-pass split is a ~2x lever on the dot time;
-# AMW_FFT_DOT_PREC selects the mode for measurement (parity must be
-# re-gated on TPU before changing the default):
+# relative error — unusable for a -90 dBFS budget); HIGHEST is the 6-pass
+# decomposition (full f32).  The kernel is MXU-bound at HIGHEST, so the
+# 3-pass bf16 decomposition is a ~2x lever on the dot time — and it must
+# be built BY HAND: Mosaic lowers only DEFAULT and HIGHEST, silently
+# degrading lax HIGH to the one-pass bf16 path (docs/TPU_NOTES.md), so a
+# "high" mode is deliberately not offered.  AMW_FFT_DOT_PREC selects:
 #   "highest" (default) — lax precision HIGHEST
-#   "high"              — lax precision HIGH (Mosaic may not honor it)
-#   "bf16x3"            — explicit 3-pass split built from plain bf16
-#                         dots (a_hi·b_hi + a_hi·b_lo + a_lo·b_hi), not
-#                         relying on Mosaic's precision handling
+#   "bf16x3"            — explicit 3-pass split from plain bf16 dots
+#                         (a_hi·b_hi + a_hi·b_lo + a_lo·b_hi), ~1e-5 rel
+#                         (parity must be re-gated on TPU before making
+#                         this the default)
 # MXU cost is otherwise controlled by keeping every DFT factor at radix
 # ≤ 128 (the C-axis stage splits C = C2·128 in-kernel: VPU radix-C2
 # butterfly + one 128-point matmul per chunk — 4x fewer MACs than a
 # single C×C matmul at C=512).
 _MODE = os.environ.get("AMW_FFT_DOT_PREC", "highest")
-_HI = {"high": jax.lax.Precision.HIGH,
-       "highest": jax.lax.Precision.HIGHEST,
+_HI = {"highest": jax.lax.Precision.HIGHEST,
        "bf16x3": jax.lax.Precision.HIGHEST}[_MODE]
 
 _DIMS = (((1,), (0,)), ((), ()))  # matrix @ block: contract lhs 1, rhs 0

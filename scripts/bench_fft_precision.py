@@ -11,8 +11,8 @@ Run twice (subprocesses — the precision is baked at import):
 
 It forks itself with AMW_FFT_DOT_PREC in {highest, bf16x3}, printing
 per-mode round-trip wall time and parity vs the float64 numpy oracle.
-("high" relies on Mosaic honoring lax HIGH; "bf16x3" is the same 3-pass
-split built from plain bf16 dots — pass modes as argv to override.)
+(Mosaic silently degrades lax HIGH to one-pass bf16, so the 3-pass split
+is hand-built from plain bf16 dots — pass modes as argv to override.)
 """
 from __future__ import annotations
 

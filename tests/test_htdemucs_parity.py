@@ -106,16 +106,23 @@ def test_separate_device_matches_host_oa(tiny):
     loop, including tail-segment cropping and stem selection."""
     cfg, _, params = tiny
     rng = np.random.default_rng(9)
-    for T in (int(cfg.segment_samples * 2.3), cfg.segment_samples // 2):
+    # T = 4.5 segments at batch=2 exercises the multi-window scan (6
+    # segments -> nb=3 windows -> nb_b=4 bucket): i>0 window offsets,
+    # cross-window accumulation of overlapping contributions, AND an
+    # all-padding window skipped via valid=0.
+    for T, batch in ((int(cfg.segment_samples * 2.3), 3),
+                     (cfg.segment_samples // 2, 3),
+                     (int(cfg.segment_samples * 4.5), 2)):
         mix = rng.standard_normal((2, T)).astype(np.float32) * 0.2
         for stems in (None, ("vocals",)):
-            dev = hj.separate(params, mix, cfg, batch=3, stems=stems)
-            host = hj.separate(params, mix, cfg, batch=3, stems=stems,
+            nb_b = hj.oa_plan(cfg, T, batch=batch)[3]
+            dev = hj.separate(params, mix, cfg, batch=batch, stems=stems)
+            host = hj.separate(params, mix, cfg, batch=batch, stems=stems,
                                host_oa=True)
             assert dev.shape == host.shape
             scale = max(np.abs(host).max(), 1e-6)
             err = np.abs(dev - host).max() / scale
-            assert err < 1e-4, (T, stems, err)
+            assert err < 1e-4, (T, stems, nb_b, err)
 
 
 def test_orbax_roundtrip(tiny, tmp_path):

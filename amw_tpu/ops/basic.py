@@ -26,8 +26,20 @@ def db_to_lin(db):
 
 
 def remove_dc_offset(x: jax.Array) -> jax.Array:
-    """Per-channel mean subtraction (channels = all leading axes)."""
-    return x - jnp.mean(x, axis=-1, keepdims=True)
+    """Per-channel mean subtraction (channels = all leading axes).
+
+    Under a bucket-padded graph the mean must be taken over the *valid*
+    samples (reference pipeline.py:134-138 averages the exact track): the
+    stage-loop invariant keeps padding at zero, so the sum already covers
+    only the valid region — divide by ``n_valid`` instead of the bucket
+    length (the SP path does the same via psum, parallel/timeshard.py)."""
+    from . import validctx
+
+    nv = validctx.n_valid()
+    if nv is None:
+        return x - jnp.mean(x, axis=-1, keepdims=True)
+    denom = jnp.maximum(nv, 1).astype(x.dtype)
+    return x - jnp.sum(x, axis=-1, keepdims=True) / denom
 
 
 def remove_intersample_peaks(x: jax.Array, headroom_db: float = 0.5) -> jax.Array:

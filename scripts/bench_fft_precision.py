@@ -74,10 +74,29 @@ def _run_mode() -> None:
                       "parity_max_err_dbfs": round(err_dbfs, 1)}))
 
 
+def _wait_for_backend() -> None:
+    """Relay-recovery probe loop (docs/TPU_NOTES.md): a failed backend init
+    is cached per process, so retry in FRESH subprocesses, and never kill a
+    hung probe — it completes when the relay's claim clears."""
+    deadline = time.time() + int(os.environ.get("BENCH_INIT_WAIT_SEC", "5400"))
+    while True:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True)
+        if r.returncode == 0:
+            return
+        if time.time() > deadline:
+            print(json.dumps({"error": "TPU backend unavailable"}))
+            raise SystemExit(2)
+        print("backend init failed; retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main() -> None:
     if os.environ.get("AMW_FFT_DOT_PREC"):
         _run_mode()
         return
+    _wait_for_backend()
     modes = sys.argv[1:] or ["highest", "bf16x3"]
     for mode in modes:
         env = dict(os.environ, AMW_FFT_DOT_PREC=mode)

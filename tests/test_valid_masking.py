@@ -85,6 +85,23 @@ def test_all_pro_modules_together():
     _assert_parity(re, rp, n)
 
 
+def test_dc_offset_track_padding_parity():
+    """A track with real DC offset: the padded graph's dc_offset stage must
+    average over n_valid, not the bucket length (basic.remove_dc_offset) —
+    dividing by the bucket length under-subtracts the DC by (1 - n/N) and
+    leaves an audible offset the exact-length graph removes."""
+    n = SR * 5 + 271
+    x = _track(n, seed=9) + np.array([[0.04], [-0.03]], np.float32)
+    xp = np.pad(x, [(0, 0), (0, BUCKET - n)])
+    pe, fe, _ = build_v2_job_graph(GraphSpec(SR, n, 2), None, {}, -14.0,
+                                   "standard")
+    pp, fp_, _ = build_v2_job_graph(GraphSpec(SR, BUCKET, 2), None, {},
+                                    -14.0, "standard")
+    re = fe(jnp.asarray(x), jax.device_put(pe))
+    rp = fp_(jnp.asarray(xp), jax.device_put(pp), np.int32(n))
+    _assert_parity(re, rp, n)
+
+
 def test_edm_style_club_target():
     # edm enables the exciter (os=1) and imager in the default chain.
     re, rp, n = _run_pair(SR * 5 + 531, {}, style="edm", target=-9.0)

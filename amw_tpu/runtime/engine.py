@@ -200,24 +200,11 @@ class MasteringEngine:
             return x
         return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
-    @staticmethod
-    def _pre_dc(x: np.ndarray, chain_config: dict | None) -> np.ndarray:
-        """Remove the true per-channel mean on the host before zero-padding.
-
-        The in-graph dc_offset op averages over the padded bucket length,
-        which would dilute the correction by n_valid/n_bucket; removing the
-        exact mean first makes the graph's dc stage a no-op (idempotent), so
-        bucket padding cannot perturb DC semantics.  Only applied when the
-        chain actually starts with an enabled dc_offset module."""
-        modules = (chain_config or {}).get("modules") if chain_config else None
-        if modules is not None:
-            has_dc = any(m.get("id") == "dc_offset" and m.get("enabled", True)
-                         for m in modules[:2])
-            if not has_dc:
-                return x
-        return x - x.mean(axis=-1, keepdims=True)
-
     # -- job runners -------------------------------------------------------
+    # (No host-side DC pre-pass: the in-graph dc_offset op averages over the
+    # traced n_valid — ops/basic.remove_dc_offset — so bucket padding cannot
+    # dilute the correction, and amount<1 blends of the dc module keep the
+    # reference's partial-removal semantics.)
 
     def master_v2_bytes(
         self, data: bytes, filename: str, *,
@@ -282,8 +269,7 @@ class MasteringEngine:
             lambda: self._built_v2(spec, chain_config, pro, target_lufs,
                                    style, use_ticks),
         )
-        audio = self._pre_dc(np.ascontiguousarray(audio, np.float32),
-                             chain_config)
+        audio = np.ascontiguousarray(audio, np.float32)
         xb = self._pad(audio, spec.n)
         nv = np.int32(n)
         ema_key = ("v2", spec, key)
@@ -370,8 +356,7 @@ class MasteringEngine:
         restarts."""
         from ..parallel.timeshard import build_sp_master
 
-        audio = self._pre_dc(np.ascontiguousarray(audio, np.float32),
-                             chain_config)
+        audio = np.ascontiguousarray(audio, np.float32)
         C, n = audio.shape
         key = json.dumps(
             {"cfg": chain_config, "pro": pro, "style": style,
@@ -569,7 +554,7 @@ class MasteringEngine:
                                    reference_env, reference_strength,
                                    use_ticks),
         )
-        audio = self._pre_dc(np.ascontiguousarray(audio, np.float32), None)
+        audio = np.ascontiguousarray(audio, np.float32)
         xb = self._pad(audio, spec.n)
         ema_key = ("v1", spec, key)
         t0 = time.monotonic()

@@ -47,10 +47,10 @@ def test_mesh_batch_mixed_lengths_match_exact_graphs():
     xb = np.zeros((4, 2, bucket), np.float32)
     for i, nv in enumerate(lengths):
         seg = _tracks(1, nv, seed=i)[0]
-        # pre-remove the exact per-track mean (the engine's _pre_dc does
-        # this host-side) so the in-graph dc stage is a no-op in both the
-        # padded and the exact graphs
-        xb[i, :, :nv] = seg - seg.mean(axis=-1, keepdims=True)
+        # raw tracks with a real DC offset: the in-graph dc stage must
+        # average over each track's n_valid, so padded output matches the
+        # exact graph with no host-side pre-centering
+        xb[i, :, :nv] = np.clip(seg + 0.02 * (i + 1), -1, 1)
     mesh = make_mesh(4)
     got = batch_master(xb, SR, mesh=mesh, nvb=np.asarray(lengths))
     for i, nv in enumerate(lengths):

@@ -272,6 +272,14 @@ def build_chain_ops(spec: GraphSpec, config: dict, *,
         # each saves a forward FFT or a whole pair per track (ops.fused):
         #   normalize_lufs → final_spectral_balance [→ style_eq]
         #   final_spectral_balance → style_eq
+        if mid == "dc_offset" and full and _is(idx + 1, "peak_guard"):
+            headroom = float(modules[idx + 1].get("headroom_db", 0.5))
+            skip_ids.add(idx + 1)
+            fns.append(lambda x, p, _h=headroom:
+                       basic.remove_dc_then_peak_guard(x, _h))
+            params_all.append([])
+            ids.append("dc_offset+peak_guard")
+            continue
         if (mid == "target_curve" and full
                 and str(item.get("phase_mode", "minimum")) == "minimum"
                 and not bool(item.get("eq_ms", False))

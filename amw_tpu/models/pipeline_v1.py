@@ -50,8 +50,10 @@ def build_v1_pipeline(
     def add(name, built):
         stages.append((name, built[0], built[1]))
 
-    add("dc_offset", ([], lambda x, p: basic.remove_dc_offset(x)))
-    add("peak_guard_in", ([], lambda x, p: basic.remove_intersample_peaks(x, 0.5)))
+    # dc + input peak guard fused: one reduce + one elementwise pass
+    # (ops/basic.remove_dc_then_peak_guard) instead of four full passes.
+    add("dc_offset+peak_guard_in",
+        ([], lambda x, p: basic.remove_dc_then_peak_guard(x, 0.5)))
     if denoise_strength > 0.01:
         add("spectral_denoise", build_spectral_denoise(spec, denoise_strength))
     fused_td = build_target_then_deesser(spec)

@@ -54,6 +54,48 @@ def remove_intersample_peaks(x: jax.Array, headroom_db: float = 0.5) -> jax.Arra
     return jnp.clip(x * scale, -1.0, 1.0)
 
 
+def remove_dc_then_peak_guard(x: jax.Array,
+                              headroom_db: float = 0.5) -> jax.Array:
+    """Fused ``remove_dc_offset`` → ``remove_intersample_peaks``
+    (pipeline.py:134-149, adjacent at the head of both the v1 pipeline and
+    the default v2 chain).
+
+    Algebraic fusion for HBM economy: the unfused pair costs four full
+    passes over the track (mean reduce, subtract write, abs-max reduce,
+    scale write); computing the per-channel mean/max/min in ONE reduce pass
+    and deriving ``max|x - m|`` as ``max(max(x) - m, m - min(x))`` (exact in
+    real arithmetic, ≤1 ulp from the sequential form) leaves one reduce +
+    one elementwise pass.
+
+    Reference NaN semantics are preserved: a non-finite value poisons that
+    channel's mean, the reference's ``nan_to_num`` after subtraction then
+    zeros the whole channel, so here a channel with a non-finite mean
+    contributes nothing to the peak and outputs zeros.  Under a padded
+    bucket the reduces anchor at ``n_valid`` (mean over the valid samples,
+    max/min masked) like the constituent ops."""
+    from . import validctx
+
+    nv = validctx.n_valid()
+    n = x.shape[-1]
+    if nv is None:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        x_max = jnp.max(x, axis=-1, keepdims=True)
+        x_min = jnp.min(x, axis=-1, keepdims=True)
+    else:
+        valid = jnp.arange(n) < nv
+        denom = jnp.maximum(nv, 1).astype(x.dtype)
+        mean = jnp.sum(x, axis=-1, keepdims=True) / denom
+        x_max = jnp.max(jnp.where(valid, x, -jnp.inf), axis=-1, keepdims=True)
+        x_min = jnp.min(jnp.where(valid, x, jnp.inf), axis=-1, keepdims=True)
+    ch_ok = jnp.isfinite(mean)
+    ch_peak = jnp.where(ch_ok, jnp.maximum(x_max - mean, mean - x_min), 0.0)
+    peak = jnp.max(ch_peak)
+    limit = db_to_lin(-headroom_db)
+    scale = jnp.where(peak > limit, limit / jnp.maximum(peak, 1e-12), 1.0)
+    y = jnp.clip((x - mean) * scale, -1.0, 1.0)
+    return jnp.where(ch_ok, y, 0.0)
+
+
 def output_edge_fade_in(x: jax.Array, sr: int, fade_ms: float = 6.0) -> jax.Array:
     """Linear fade-in over ~6 ms at track start (anti-click)."""
     n = x.shape[-1]

@@ -31,7 +31,7 @@ def stage_rows():
 def test_stage_list_complete(stage_rows):
     _, rows = stage_rows
     ids = [r["stage"] for r in rows]
-    assert ids[0] == "dc_offset"
+    assert ids[0] in ("dc_offset", "dc_offset+peak_guard")
     assert ids[-2:] == ["chain_finalize_clip", "v2_output_fade_in"]
     # stages may appear fused with adjacent LTI stages (ops.fused)
     assert any("dynamics" in s for s in ids)

@@ -22,12 +22,37 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 SOURCES = ("drums", "bass", "other", "vocals")
+
+# Inference compute dtype.  "bf16" halves the HBM traffic of the U-Net
+# activations and weights (the convs/attention already run bf16 MXU passes
+# at the default dot precision); norms, softmax, the STFT boundary and the
+# final de-normalization stay float32.  Neural separation tolerates the
+# ~1e-2 relative activation rounding (gated by
+# tests/test_htdemucs_parity.py::test_bf16_mode_close_to_f32) — opt-in via
+# AMW_HTDEMUCS_DTYPE=bf16 pending an on-TPU quality/throughput re-gate.
+_DTYPE = os.environ.get("AMW_HTDEMUCS_DTYPE", "f32")
+
+
+def _act_dtype():
+    return jnp.bfloat16 if _DTYPE == "bf16" else jnp.float32
+
+
+def inference_params(params: dict) -> dict:
+    """Cast the float32 leaves to the inference dtype ONCE (keep a single
+    device-resident copy) — casting inside the jitted forward would re-read
+    the full f32 parameter set from HBM on every call."""
+    if _act_dtype() == jnp.float32:
+        return params
+    return {k: (v.astype(jnp.bfloat16)
+                if hasattr(v, "dtype") and v.dtype == jnp.float32 else v)
+            for k, v in params.items()}
 
 
 # --- primitive ops matching torch semantics ---------------------------------
@@ -80,28 +105,42 @@ def conv_transpose2d(x, w, b, stride):
 
 
 def group_norm1(x, w, b, eps=1e-5):
-    """GroupNorm(num_groups=1) over channel-first [B, C, *spatial]."""
+    """GroupNorm(num_groups=1) over channel-first [B, C, *spatial].
+    Statistics in float32 regardless of the activation dtype (bf16 mean/var
+    over ~1e5 elements loses ~2 digits)."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
     axes = tuple(range(1, x.ndim))
-    mu = x.mean(axis=axes, keepdims=True)
-    var = x.var(axis=axes, keepdims=True)
-    xn = (x - mu) / jnp.sqrt(var + eps)
+    mu = x32.mean(axis=axes, keepdims=True)
+    var = x32.var(axis=axes, keepdims=True)
+    xn = (x32 - mu) / jnp.sqrt(var + eps)
     shape = (1, -1) + (1,) * (x.ndim - 2)
-    return xn * w.reshape(shape) + b.reshape(shape)
+    return (xn * w.astype(jnp.float32).reshape(shape)
+            + b.astype(jnp.float32).reshape(shape)).astype(dt)
 
 
 def layer_norm(x, w, b, eps=1e-5):
-    """LayerNorm over the last axis (channel-last)."""
-    mu = x.mean(axis=-1, keepdims=True)
-    var = x.var(axis=-1, keepdims=True)
-    return (x - mu) / jnp.sqrt(var + eps) * w + b
+    """LayerNorm over the last axis (channel-last); f32 statistics."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    y = (x32 - mu) / jnp.sqrt(var + eps) * w.astype(jnp.float32) \
+        + b.astype(jnp.float32)
+    return y.astype(dt)
 
 
 def group_norm_tokens(x, w, b, eps=1e-5):
     """demucs MyGroupNorm(1, C): GroupNorm over channel-first applied to
-    channel-last tokens [B, T, C] (normalizes over C AND T jointly)."""
-    mu = x.mean(axis=(1, 2), keepdims=True)
-    var = x.var(axis=(1, 2), keepdims=True)
-    return (x - mu) / jnp.sqrt(var + eps) * w + b
+    channel-last tokens [B, T, C] (normalizes over C AND T jointly); f32
+    statistics."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(axis=(1, 2), keepdims=True)
+    var = x32.var(axis=(1, 2), keepdims=True)
+    y = (x32 - mu) / jnp.sqrt(var + eps) * w.astype(jnp.float32) \
+        + b.astype(jnp.float32)
+    return y.astype(dt)
 
 
 def mha(q_in, kv_in, p, prefix, heads):
@@ -120,7 +159,8 @@ def mha(q_in, kv_in, p, prefix, heads):
     q = q.reshape(B, Tq, heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, Tk, heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(B, Tk, heads, hd).transpose(0, 2, 1, 3)
-    att = jax.nn.softmax(q @ k.transpose(0, 1, 3, 2) / math.sqrt(hd), axis=-1)
+    scores = (q @ k.transpose(0, 1, 3, 2)).astype(jnp.float32) / math.sqrt(hd)
+    att = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = (att @ v).transpose(0, 2, 1, 3).reshape(B, Tq, D)
     return out @ p[prefix + ".out_proj.weight"].T + p[prefix + ".out_proj.bias"]
 
@@ -374,6 +414,13 @@ def forward(params, mix, cfg: HTConfig):
     stdt = xt.std(axis=(1, 2), keepdims=True, ddof=1)
     xt = (xt - meant) / (1e-5 + stdt)
 
+    # Normalized inputs enter the U-Net at the inference dtype; the stats
+    # above and the de-normalization/iSTFT below stay float32 (promotion at
+    # the `* std + mean` step restores f32 automatically).
+    act = _act_dtype()
+    x = x.astype(act)
+    xt = xt.astype(act)
+
     saved, saved_t, lengths, lengths_t = [], [], [], []
     for idx in range(cfg.depth):
         lengths.append(x.shape[-1])
@@ -400,10 +447,11 @@ def forward(params, mix, cfg: HTConfig):
     pe2 = _sin_embedding_2d(bc, f, t)                   # [C, F, T]
     xtok = x.transpose(0, 3, 2, 1).reshape(b, t * f, bc)
     pe2 = jnp.asarray(pe2).transpose(2, 1, 0).reshape(1, t * f, bc)
+    pe2 = pe2.astype(x.dtype)  # keep bf16 tokens bf16 (f32 would promote)
     xtok = layer_norm(xtok, p["crosstransformer.norm_in.weight"],
                       p["crosstransformer.norm_in.bias"]) + pe2
     t2 = xt.shape[-1]
-    pe1 = jnp.asarray(_sin_embedding_1d(t2, bc))[None]
+    pe1 = jnp.asarray(_sin_embedding_1d(t2, bc))[None].astype(x.dtype)
     ttok = xt.transpose(0, 2, 1)
     ttok = layer_norm(ttok, p["crosstransformer.norm_in_t.weight"],
                       p["crosstransformer.norm_in_t.bias"]) + pe1
@@ -577,7 +625,8 @@ def _cfg_key(cfg: HTConfig):
             cfg.t_heads, cfg.depth, cfg.samplerate, cfg.sources,
             cfg.audio_channels, cfg.growth, cfg.t_hidden_scale,
             cfg.dconv_depth, cfg.dconv_comp, cfg.dconv_init,
-            cfg.freq_emb_scale, cfg.emb_scale, cfg.emb_smooth)
+            cfg.freq_emb_scale, cfg.emb_scale, cfg.emb_smooth,
+            _DTYPE)  # tests flip the module dtype; keep executables apart
 
 
 def _jitted_forward(cfg: HTConfig):

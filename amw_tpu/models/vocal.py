@@ -143,7 +143,9 @@ def _htdemucs():
                 from . import htdemucs_jax as hj
 
                 cfg, params = hj.load_params(path)
-                result = (cfg, jax.device_put(params))
+                # One host-side cast to the inference dtype (bf16 mode)
+                # before the single device_put — never per request.
+                result = (cfg, jax.device_put(hj.inference_params(params)))
             except Exception:  # noqa: BLE001 — fall back to DSP separator
                 result = None
         _ht_cache = result

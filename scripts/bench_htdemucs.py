@@ -7,6 +7,8 @@ Weights are random unless AMW_HTDEMUCS_CKPT points at a converted
 checkpoint — timing is weight-independent (same graph).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_htdemucs.py
+Set AMW_HTDEMUCS_DTYPE=bf16 to measure the bf16 inference mode (weights +
+activations bf16, norms/softmax/STFT f32 — see models/htdemucs_jax.py).
 """
 
 import sys
@@ -43,7 +45,9 @@ def main():
               f"{time.perf_counter()-t0:.1f}s "
               f"({sum(v.size for v in params.values())/1e6:.1f} M params)")
 
-    dev_params = jax.device_put(params)
+    dev_params = jax.device_put(hj.inference_params(params))
+    if hj._DTYPE != "f32":
+        print(f"inference dtype: {hj._DTYPE}")
     rng = np.random.default_rng(0)
     mix = jax.device_put(
         (0.1 * rng.standard_normal((1, 2, seg))).astype(np.float32))

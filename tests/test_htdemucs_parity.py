@@ -84,6 +84,28 @@ def test_forward_parity(tiny):
     assert err < 2e-3 * max(scale, 1.0), f"parity err {err} (scale {scale})"
 
 
+def test_bf16_mode_close_to_f32(tiny, monkeypatch):
+    """AMW_HTDEMUCS_DTYPE=bf16 (inference_params + bf16 activations) must
+    stay close to the f32 forward: norms/softmax/STFT remain f32, so the
+    error is bf16 activation rounding only — gate the stems at ≥ 30 dB SNR
+    vs the f32 output (separation quality is unaffected at that level)."""
+    cfg, _, params = tiny
+    rng = np.random.default_rng(7)
+    mix = (rng.standard_normal((1, 2, cfg.segment_samples)) * 0.2
+           ).astype(np.float32)
+    y32 = np.asarray(jax.jit(lambda p, x: hj.forward(p, x, cfg))(
+        jax.device_put(params), jnp.asarray(mix)))
+    monkeypatch.setattr(hj, "_DTYPE", "bf16")
+    p16 = jax.device_put(hj.inference_params(params))
+    assert any(v.dtype == jnp.bfloat16 for v in p16.values())
+    y16 = np.asarray(jax.jit(lambda p, x: hj.forward(p, x, cfg))(
+        p16, jnp.asarray(mix)).astype(jnp.float32))
+    assert y16.dtype == np.float32 and np.all(np.isfinite(y16))
+    snr = 10 * np.log10(np.sum(y32 ** 2) / max(np.sum((y32 - y16) ** 2),
+                                               1e-20))
+    assert snr > 30.0, f"bf16 SNR {snr:.1f} dB"
+
+
 def test_separate_segments(tiny):
     """separate(): overlapping segmented inference reconstructs ~the same
     stems as one full-length forward."""

@@ -61,14 +61,17 @@ def bot_token() -> str | None:
             or os.environ.get("AMW_TELEGRAM_BOT_TOKEN"))
 
 
-def _http_api(method: str, payload: dict) -> dict:
-    token = bot_token()
+def _http_api_tok(token: str, method: str, payload: dict) -> dict:
     req = urllib.request.Request(
         f"https://api.telegram.org/bot{token}/{method}",
         data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"})
     with urllib.request.urlopen(req, timeout=30) as resp:
         return json.loads(resp.read())
+
+
+def _http_api(method: str, payload: dict) -> dict:
+    return _http_api_tok(bot_token(), method, payload)
 
 
 def _http_download(file_id: str) -> bytes:
@@ -331,6 +334,148 @@ def create_link_code(user_id: int) -> str:
                   " created_at, used) VALUES (?,?,?,0)",
                   (code, user_id, time.time()))
     return code
+
+
+# --- notify/admin bot (reference: bot/notify_bot_setup.py,
+# notify_handlers.py — webhook /bot/notify/webhook) --------------------------
+#
+# A SECOND bot on the alert token (settings.telegram_bot_token — the same
+# token the notifier sends server alerts with): the admin chat gets a
+# bottom-menu of operational reports plus /broadcast relayed through the
+# USER bot.  The admin chat is trusted (the reference gates by webhook
+# secret + bot membership, notify_handlers.py:108 comment), so handlers
+# don't re-check user identity.
+
+NOTIFY_MENU = ("📊 Stats", "🧰 Jobs", "⚠️ Errors", "💰 Revenue",
+               "🖥 Server", "📢 Broadcast", "❓ Help")
+
+_NOTIFY_HINT = ("This chat is for <b>service notifications</b> and admin "
+                "reports.\nFor mastering, analysis and AI open the client "
+                "bot.")
+
+
+def notify_bot_token() -> str | None:
+    from .config import settings
+
+    tok = (settings.telegram_bot_token or "").strip()
+    return tok or None
+
+
+class NotifyBot:
+    """Admin/notify bot with injectable transport (tests pass fakes)."""
+
+    def __init__(self, api_call=None):
+        self.api = api_call or (
+            lambda m, p: _http_api_tok(notify_bot_token(), m, p))
+
+    def send_text(self, chat_id: int, text: str) -> None:
+        payload = {"chat_id": chat_id, "text": text, "parse_mode": "HTML",
+                   "disable_web_page_preview": True,
+                   "reply_markup": {"keyboard": [[{"text": t}] for t in
+                                                 NOTIFY_MENU],
+                                    "resize_keyboard": True}}
+        try:
+            self.api("sendMessage", payload)
+        except Exception as e:  # noqa: BLE001
+            logger.warning("notify sendMessage failed: %s", e)
+
+    async def handle_update(self, update: dict) -> None:
+        msg = update.get("message") or {}
+        chat_id = (msg.get("chat") or {}).get("id")
+        text = (msg.get("text") or "").strip()
+        if chat_id is None or not text:
+            return
+        if text.startswith("/start") or text.startswith("/help") \
+                or text == "❓ Help":
+            self.send_text(chat_id, _NOTIFY_HINT)
+        elif text.startswith("/broadcast") or text == "📢 Broadcast":
+            body = text.split(maxsplit=1)[1].strip() \
+                if text.startswith("/broadcast") and " " in text else ""
+            if not body:
+                self.send_text(chat_id,
+                               "Send:\n<code>/broadcast your message</code>")
+            else:
+                n = broadcast_to_users(body)
+                self.send_text(chat_id, f"📢 Sent to {n} user chat(s).")
+        elif text == "📊 Stats":
+            self.send_text(chat_id, _report_stats())
+        elif text == "🧰 Jobs":
+            self.send_text(chat_id, _report_jobs())
+        elif text == "⚠️ Errors":
+            self.send_text(chat_id, _report_errors())
+        elif text == "💰 Revenue":
+            self.send_text(chat_id, _report_revenue())
+        elif text == "🖥 Server":
+            from .server_metrics import server_metrics_text
+
+            self.send_text(chat_id, "🖥 <b>Server</b>\n"
+                           + server_metrics_text())
+
+
+def broadcast_to_users(body: str) -> int:
+    """Send ``body`` to every linked Telegram chat via the USER bot
+    (reference notify_handlers.py:108-131 relays through the user bot so
+    subscribers see the familiar sender)."""
+    if not bot_token():
+        return 0
+    ub = Bot()
+    with db.connect() as c:
+        rows = c.execute("SELECT DISTINCT telegram_id FROM users"
+                         " WHERE telegram_id IS NOT NULL").fetchall()
+    n = 0
+    for r in rows:
+        try:
+            ub.send_text(int(r["telegram_id"]), body[:4000])
+            n += 1
+        except Exception:  # noqa: BLE001
+            pass
+    return n
+
+
+def _report_stats() -> str:
+    with db.connect() as c:
+        users_n = c.execute("SELECT COUNT(*) n FROM users").fetchone()["n"]
+        day = time.time() - 86400
+        m24 = c.execute("SELECT COUNT(*) n FROM mastering_records"
+                        " WHERE created_at > ?", (day,)).fetchone()["n"]
+        m_all = c.execute(
+            "SELECT COUNT(*) n FROM mastering_records").fetchone()["n"]
+    return (f"📊 <b>Stats</b>\nUsers: {users_n}\n"
+            f"Masterings 24h: {m24}\nMasterings total: {m_all}")
+
+
+def _report_jobs() -> str:
+    c = jobs.counts()
+    return (f"🧰 <b>Jobs</b>\nRunning: {c['jobs_running']}\n"
+            f"Total tracked: {c['jobs_total']}")
+
+
+def _report_errors(limit: int = 10) -> str:
+    day = time.time() - 86400
+    with db.connect() as c:
+        rows = c.execute(
+            "SELECT error, created_at FROM mastering_jobs"
+            " WHERE status='error' AND created_at > ?"
+            " ORDER BY created_at DESC LIMIT ?", (day, limit)).fetchall()
+    if not rows:
+        return "⚠️ <b>Errors 24h</b>\nNone 🎉"
+    lines = [f"• {(r['error'] or '?')[:120]}" for r in rows]
+    return "⚠️ <b>Errors 24h</b>\n" + "\n".join(lines)
+
+
+def _report_revenue() -> str:
+    day = time.time() - 86400
+    month = time.time() - 30 * 86400
+    with db.connect() as c:
+        r24 = c.execute(
+            "SELECT COALESCE(SUM(amount), 0) s FROM transactions"
+            " WHERE status='succeeded' AND created_at > ?",
+            (day,)).fetchone()["s"]
+        r30 = c.execute(
+            "SELECT COALESCE(SUM(amount), 0) s FROM transactions"
+            " WHERE status='succeeded' AND created_at > ?",
+            (month,)).fetchone()["s"]
+    return f"💰 <b>Revenue</b>\n24h: {r24:.2f}\n30d: {r30:.2f}"
 
 
 # --- engagement drip campaigns (bot/engagement.py:21-106) ------------------

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import logging
 import time
 import uuid
 
@@ -80,7 +81,8 @@ def _json_safe(v):
 
 
 def _err(status: int, detail: str) -> web.HTTPException:
-    exc_cls = {400: web.HTTPBadRequest, 404: web.HTTPNotFound,
+    exc_cls = {400: web.HTTPBadRequest, 403: web.HTTPForbidden,
+               404: web.HTTPNotFound,
                409: web.HTTPConflict, 429: web.HTTPTooManyRequests,
                503: web.HTTPServiceUnavailable}.get(status, web.HTTPBadRequest)
     return exc_cls(text=json.dumps({"detail": detail}),
@@ -229,6 +231,30 @@ async def h_bot_webhook(request):
     except Exception:  # noqa: BLE001
         raise _err(400, "Invalid JSON")
     _spawn_job(request.app, bot.handle_update(update))
+    return web.json_response({"ok": True})
+
+
+async def h_notify_bot_webhook(request):
+    """Admin/notify bot webhook (reference: bot/notify_webhook_route.py:15):
+    optional secret-token check, then feed the update to the notify bot."""
+    from .config import settings
+
+    secret = (settings.telegram_bot_webhook_secret or "").strip()
+    if secret and request.headers.get(
+            "X-Telegram-Bot-Api-Secret-Token") != secret:
+        raise _err(403, "Invalid secret")
+    nbot = request.app.get("notify_bot")
+    if nbot is None:
+        raise _err(503, "Notify bot not configured")
+    try:
+        update = await request.json()
+    except Exception:  # noqa: BLE001
+        raise _err(400, "Invalid JSON")
+    try:
+        await nbot.handle_update(update)
+    except Exception:  # noqa: BLE001 — mirror the reference: log, ack anyway
+        logging.getLogger("amw_tpu.bot").exception(
+            "notify bot update failed")
     return web.json_response({"ok": True})
 
 
@@ -771,9 +797,12 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
     misc_routes.register_routes(app)
     admin_routes.ensure_initial_admin()
     app.router.add_post("/bot/webhook", h_bot_webhook)
+    app.router.add_post("/bot/notify/webhook", h_notify_bot_webhook)
     from . import bot as bot_mod
 
     app["bot"] = bot_mod.Bot() if bot_mod.bot_token() else None
+    app["notify_bot"] = (bot_mod.NotifyBot()
+                         if bot_mod.notify_bot_token() else None)
 
     async def _start_background(app):
         from .anomaly import anomaly_loop
@@ -915,6 +944,77 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
                                 content_type="application/javascript")
 
         app.router.add_get("/analytics/clarity.js", h_clarity)
+
+        # PWA icons + Open Graph image (reference: main.py:709-731 serves
+        # frontend/icons/*.png when present, else generated placeholders)
+        # and the PROGRESS.md status page (main.py:687-706).
+        _img_cache: dict = {}
+
+        def _brand_png(w: int, h: int, label: str, scale: int) -> bytes:
+            key = (w, h, label, scale)
+            png = _img_cache.get(key)
+            if png is None:
+                import numpy as _np
+
+                from ..utils.png import draw_text, encode_png
+
+                img = _np.zeros((h, w, 3), _np.uint8)
+                # vertical indigo->violet gradient, the site's accent ramp
+                t = _np.linspace(0.0, 1.0, h)[:, None]
+                img[..., 0] = (40 + 80 * t).astype(_np.uint8)
+                img[..., 1] = (30 + 30 * t).astype(_np.uint8)
+                img[..., 2] = (120 + 100 * t).astype(_np.uint8)
+                tw = len(label) * 6 * scale
+                draw_text(img, (w - tw) // 2, (h - 7 * scale) // 2, label,
+                          (255, 255, 255), scale=scale)
+                png = encode_png(img)
+                _img_cache[key] = png
+            return png
+
+        def _icon_handler(size: int):
+            async def h(request):
+                p = front / "icons" / f"icon-{size}.png"
+                if p.is_file():
+                    return web.FileResponse(p)
+                return web.Response(
+                    body=_brand_png(size, size, "MM", max(2, size // 24)),
+                    content_type="image/png",
+                    headers={"Cache-Control": "public, max-age=86400"})
+            return h
+
+        async def h_og_image(request):
+            p = front / "og-image.png"
+            if p.is_file():
+                return web.FileResponse(p)
+            return web.Response(
+                body=_brand_png(1200, 630, "MAGIC MASTER", 12),
+                content_type="image/png",
+                headers={"Cache-Control": "public, max-age=86400"})
+
+        async def h_progress_page(request):
+            import html as _html
+
+            pp = pathlib.Path(__file__).resolve().parent.parent.parent \
+                / "PROGRESS.md"
+            body = (f"<pre>{_html.escape(pp.read_text())}</pre>"
+                    if pp.is_file() else "<p>PROGRESS.md not found.</p>")
+            page = ("<!DOCTYPE html><html lang='en'><head>"
+                    "<meta charset='UTF-8'>"
+                    "<meta name='viewport' content="
+                    "'width=device-width,initial-scale=1'>"
+                    "<title>Build status — Magic Master</title>"
+                    "<style>body{background:#040408;color:#eee;"
+                    "font-family:system-ui,sans-serif;padding:1.5rem;"
+                    "max-width:900px;margin:0 auto;line-height:1.5}"
+                    "pre{white-space:pre-wrap;word-break:break-word}</style>"
+                    "</head><body><h1>Build status</h1>"
+                    + body + "</body></html>")
+            return web.Response(text=page, content_type="text/html")
+
+        app.router.add_get("/icons/icon-192.png", _icon_handler(192))
+        app.router.add_get("/icons/icon-512.png", _icon_handler(512))
+        app.router.add_get("/og-image.png", h_og_image)
+        app.router.add_get("/progress.html", h_progress_page)
     async def h_api_root(request):
         out = {"service": "Magic Master TPU API", "version": __version__}
         if settings.debug:

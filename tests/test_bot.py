@@ -229,3 +229,57 @@ def test_fsm_state_expires(env, monkeypatch):
     assert not ft.docs
     texts = [p.get("text", "") for m, p in ft.sent if m == "sendMessage"]
     assert any("Send a file first" in t for t in texts)
+
+
+def test_notify_bot_menu_and_reports(env):
+    """The admin/notify bot (reference: bot/notify_handlers.py): /start
+    shows the menu hint, menu buttons return operational reports."""
+    import time as _time
+
+    from amw_tpu.runtime.bot import NotifyBot
+
+    ft = FakeTransport()
+    nb = NotifyBot(api_call=ft.api)
+    _run(nb.handle_update({"message": {"chat": {"id": 7}, "text": "/start"}}))
+    assert any("service notifications" in p.get("text", "")
+               for _, p in ft.sent)
+    # reply keyboard present
+    assert any("keyboard" in (p.get("reply_markup") or {}) for _, p in ft.sent)
+
+    with db.connect() as c:
+        c.execute("INSERT INTO transactions (user_id, amount, currency,"
+                  " status, provider, plan, created_at)"
+                  " VALUES (1, 9.5, 'USD', 'succeeded', 'demo', 'pro', ?)",
+                  (_time.time(),))
+    for btn, frag in (("📊 Stats", "Stats"), ("🧰 Jobs", "Jobs"),
+                      ("⚠️ Errors", "Errors"), ("💰 Revenue", "9.5"),
+                      ("🖥 Server", "Server")):
+        ft2 = FakeTransport()
+        nb2 = NotifyBot(api_call=ft2.api)
+        _run(nb2.handle_update(
+            {"message": {"chat": {"id": 7}, "text": btn}}))
+        assert any(frag in p.get("text", "") for _, p in ft2.sent), btn
+
+
+def test_notify_bot_broadcast(env):
+    """/broadcast relays through the USER bot to every linked chat."""
+    from amw_tpu.runtime import bot as bot_mod
+    from amw_tpu.runtime import users
+    from amw_tpu.runtime.auth import hash_password
+
+    u = users.create_user("fan@example.com", hash_password("pw123456"))
+    users.update_user(int(u["id"]), telegram_id=42)
+
+    sent = []
+
+    class _FakeUserBot:
+        def send_text(self, chat_id, text, keyboard=None):
+            sent.append((chat_id, text))
+
+    orig_bot, orig_tok = bot_mod.Bot, bot_mod.bot_token
+    bot_mod.Bot, bot_mod.bot_token = _FakeUserBot, lambda: "tok"
+    try:
+        n = bot_mod.broadcast_to_users("hello there")
+    finally:
+        bot_mod.Bot, bot_mod.bot_token = orig_bot, orig_tok
+    assert n == 1 and sent == [(42, "hello there")]

@@ -408,3 +408,39 @@ def test_robots_sitemap_absolute_urls(app_factory):
         assert (await r.json())["service"].startswith("Magic Master")
 
     _client_test(app_factory, fn)
+
+
+def test_pwa_icons_og_image_progress_page(app_factory):
+    """PWA icons, the OG image and the PROGRESS.md status page (reference:
+    main.py:687-731) are served — generated placeholders when no static
+    files exist."""
+    async def fn(client):
+        for path in ("/icons/icon-192.png", "/icons/icon-512.png",
+                     "/og-image.png"):
+            r = await client.get(path)
+            assert r.status == 200, path
+            body = await r.read()
+            assert body[:8] == b"\x89PNG\r\n\x1a\n", path
+        r = await client.get("/progress.html")
+        assert r.status == 200
+        assert "Build status" in (await r.text())
+
+    _client_test(app_factory, fn)
+
+
+def test_notify_bot_webhook_unconfigured_and_secret(app_factory, monkeypatch):
+    """Without a notify-bot token the webhook answers 503; with a configured
+    secret a wrong X-Telegram-Bot-Api-Secret-Token is rejected 403
+    (reference: bot/notify_webhook_route.py:15-24)."""
+    from amw_tpu.runtime.config import settings
+
+    async def fn(client):
+        r = await client.post("/bot/notify/webhook", json={})
+        assert r.status == 503
+        monkeypatch.setattr(settings, "telegram_bot_webhook_secret", "s3cr3t")
+        r = await client.post("/bot/notify/webhook", json={},
+                              headers={"X-Telegram-Bot-Api-Secret-Token":
+                                       "wrong"})
+        assert r.status == 403
+
+    _client_test(app_factory, fn)

@@ -857,8 +857,21 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
 
     front = pathlib.Path(__file__).resolve().parent.parent.parent / "frontend"
     if front.is_dir():
+        def _page_response(request, path):
+            """Serve an HTML page; pages carrying the ``{{BASE}}`` token
+            (OG/Twitter meta need absolute URLs) get it rendered against
+            the configured public URL or this request's origin — same
+            policy as robots.txt/sitemap.xml below."""
+            text = path.read_text()
+            if "{{BASE}}" not in text:
+                return web.FileResponse(path)
+            base = (settings.public_base_url.rstrip("/")
+                    or str(request.url.origin()))
+            return web.Response(text=text.replace("{{BASE}}", base),
+                                content_type="text/html")
+
         async def h_index(request):
-            return web.FileResponse(front / "index.html")
+            return _page_response(request, front / "index.html")
 
         app.router.add_get("/", h_index)
         app.router.add_get("/app", h_index)
@@ -882,7 +895,7 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
         # (reference: FastAPI mounts each page explicitly, main.py:700-752).
         def _page(name: str):
             async def h(request):
-                return web.FileResponse(front / f"{name}.html")
+                return _page_response(request, front / f"{name}.html")
             return h
 
         for page_file in sorted(front.glob("*.html")):

@@ -444,3 +444,19 @@ def test_notify_bot_webhook_unconfigured_and_secret(app_factory, monkeypatch):
         assert r.status == 403
 
     _client_test(app_factory, fn)
+
+
+def test_og_meta_base_rendered(app_factory):
+    """Pages carry OG/Twitter meta; the {{BASE}} token must be rendered to
+    the request origin (absolute og:image, like the reference's SEO heads)
+    and never leak to the client."""
+    async def fn(client):
+        for path in ("/", "/landing", "/pricing"):
+            r = await client.get(path)
+            assert r.status == 200, path
+            text = await r.text()
+            assert "{{BASE}}" not in text, path
+            assert 'property="og:image"' in text, path
+            assert "/og-image.png" in text, path
+
+    _client_test(app_factory, fn)

@@ -82,7 +82,11 @@ def _wait_for_backend():
     outer watchdog still bounds the total run."""
     import subprocess
 
-    deadline = time.time() + int(os.environ.get("BENCH_INIT_WAIT_SEC", "900"))
+    # Default sized for the round-3 outage signature (docs/TPU_NOTES.md):
+    # backend-init failures can persist for hours, each probe hanging
+    # ~25 min — so wait most of the watchdog budget before giving up.
+    deadline = time.time() + int(os.environ.get(
+        "BENCH_INIT_WAIT_SEC", str(max(WATCHDOG_SEC - 900, 900))))
     while True:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
@@ -101,6 +105,9 @@ def main():
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_SEC)
     _wait_for_backend()
+    # Re-arm: an outage recovery may have eaten most of the budget — the
+    # measurement itself still deserves the full window.
+    signal.alarm(WATCHDOG_SEC)
     import jax
     import jax.numpy as jnp
 

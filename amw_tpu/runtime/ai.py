@@ -341,8 +341,19 @@ _CANNED = (
 
 
 def chat(messages: list[dict]) -> dict:
-    text = llm_chat(
-        [{"role": "system",
-          "content": "You are a helpful audio mastering assistant."}]
-        + messages[-10:], max_tokens=400)
+    # Ground the assistant in the generated product knowledge base
+    # (reference: ai.py:486-491 injects bot/knowledge_base.py into the
+    # system prompt as the sole source of truth).
+    from .knowledge import product_knowledge
+
+    last = next((m.get("content", "") for m in reversed(messages)
+                 if m.get("role") == "user"), "")
+    lang = "ru" if any("Ѐ" <= ch <= "ӿ" for ch in last) else "en"
+    system = ("You are the product's audio mastering assistant. Use the "
+              "PRODUCT_KNOWLEDGE section below as your sole source of truth "
+              "about features, styles, presets and limits; answer in the "
+              "user's language.\n\n## PRODUCT_KNOWLEDGE\n"
+              + product_knowledge(lang))
+    text = llm_chat([{"role": "system", "content": system}]
+                    + messages[-10:], max_tokens=400)
     return {"reply": text or _CANNED, "source": "llm" if text else "rules"}

@@ -478,6 +478,44 @@ def _report_revenue() -> str:
     return f"💰 <b>Revenue</b>\n24h: {r24:.2f}\n30d: {r30:.2f}"
 
 
+# --- Telegram channel posting (reference: bot/channel.py) -------------------
+
+
+def post_to_channel(text: str, api_call=None) -> bool:
+    """Post HTML to the configured channel (settings.user_bot_channel_id)
+    via the user bot token.  Returns False when unconfigured."""
+    from .config import settings
+
+    chat = (settings.user_bot_channel_id or "").strip()
+    if not chat or not bot_token():
+        return False
+    api = api_call or _http_api
+    try:
+        api("sendMessage", {"chat_id": chat, "text": text[:4000],
+                            "parse_mode": "HTML",
+                            "disable_web_page_preview": True})
+        return True
+    except Exception as e:  # noqa: BLE001
+        logger.warning("channel post failed: %s", e)
+        return False
+
+
+def post_channel_weekly_stats(api_call=None) -> bool:
+    """One channel post with a usage summary (cron, weekly — reference:
+    bot/engagement.py:91-106)."""
+    month = time.time() - 30 * 86400
+    with db.connect() as c:
+        u = c.execute("SELECT COUNT(*) n FROM users").fetchone()["n"]
+        m = c.execute("SELECT COUNT(*) n FROM mastering_records"
+                      " WHERE created_at > ?", (month,)).fetchone()["n"]
+    from .config import settings
+
+    base = (settings.public_base_url or "").rstrip("/")
+    return post_to_channel(
+        f"📊 Magic Master: {u} users, {m} masterings this month. {base}",
+        api_call=api_call)
+
+
 # --- engagement drip campaigns (bot/engagement.py:21-106) ------------------
 
 ENGAGEMENT_STAGES = (

@@ -119,3 +119,28 @@ def test_daily_limit_enforced(app_factory):
         assert r.status == 429
 
     _run(app_factory, fn)
+
+
+def test_chat_grounded_in_product_knowledge(monkeypatch):
+    """chat() injects the generated knowledge base into the system prompt
+    (reference: ai.py:486-491) and picks the language from the user text."""
+    from amw_tpu.runtime import ai
+    from amw_tpu.runtime.knowledge import product_knowledge
+
+    seen = {}
+
+    def fake_llm(messages, **kw):
+        seen["system"] = messages[0]["content"]
+        return "ok"
+
+    monkeypatch.setattr(ai, "llm_chat", fake_llm)
+    ai.chat([{"role": "user", "content": "what styles are there?"}])
+    assert "PRODUCT_KNOWLEDGE" in seen["system"]
+    assert "edm" in seen["system"] and "-9" in seen["system"]
+    ai.chat([{"role": "user", "content": "какие стили есть?"}])
+    assert "Стили мастеринга" in seen["system"]
+    # both language documents list every style and platform preset
+    for lang in ("en", "ru"):
+        doc = product_knowledge(lang)
+        for s in ("standard", "edm", "dry_vocal", "spotify", "club"):
+            assert s in doc, (lang, s)

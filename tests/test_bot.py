@@ -283,3 +283,22 @@ def test_notify_bot_broadcast(env):
     finally:
         bot_mod.Bot, bot_mod.bot_token = orig_bot, orig_tok
     assert n == 1 and sent == [(42, "hello there")]
+
+
+def test_channel_post_and_weekly_stats(env, monkeypatch):
+    """Channel posting (reference: bot/channel.py): unconfigured -> False;
+    configured -> one sendMessage to the channel id, and the weekly stats
+    post renders user/mastering counts."""
+    from amw_tpu.runtime import bot as bot_mod
+    from amw_tpu.runtime.config import settings
+
+    assert bot_mod.post_to_channel("hi") is False  # unconfigured
+
+    monkeypatch.setattr(settings, "user_bot_channel_id", "@mm_channel")
+    monkeypatch.setattr(bot_mod, "bot_token", lambda: "tok")
+    sent = []
+    ok = bot_mod.post_channel_weekly_stats(
+        api_call=lambda m, p: sent.append((m, p)))
+    assert ok and sent[0][0] == "sendMessage"
+    assert sent[0][1]["chat_id"] == "@mm_channel"
+    assert "masterings" in sent[0][1]["text"]

@@ -80,14 +80,46 @@ async def h_presets_info(request):
     })
 
 
+def _community_seed() -> tuple[list, bool, bool]:
+    """(items, extra_configured, extra_loaded): the shipped starter presets
+    (presets_community.json beside this module — reference: misc.py:154-181)
+    merged with an optional admin-provided file or directory of JSON files
+    (``community_presets_extra``)."""
+    items: list = []
+    base = pathlib.Path(__file__).resolve().parent / "presets_community.json"
+    try:
+        items.extend(json.loads(base.read_text()))
+    except Exception:  # noqa: BLE001 — a broken seed must not 500 the API
+        pass
+    extra = (settings.community_presets_extra or "").strip()
+    loaded = False
+    if extra:
+        p = pathlib.Path(extra)
+        files = sorted(p.glob("*.json")) if p.is_dir() else \
+            ([p] if p.is_file() else [])
+        for f in files:
+            try:
+                data = json.loads(f.read_text())
+                items.extend(data if isinstance(data, list) else [data])
+                loaded = True
+            except Exception:  # noqa: BLE001
+                pass
+    return items, bool(extra), loaded
+
+
 async def h_presets_community(request):
+    seed, extra_cfg, extra_loaded = _community_seed()
     items = users.list_community_presets()
     for it in items:
         try:
             it["config"] = json.loads(it.pop("config_json"))
         except Exception:  # noqa: BLE001
             it["config"] = None
-    return web.json_response({"items": items})
+    return web.json_response({
+        "items": seed + items,
+        "community_presets_extra_configured": extra_cfg,
+        "community_presets_extra_loaded": extra_loaded,
+    })
 
 
 async def h_extensions(request):

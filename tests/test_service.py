@@ -460,3 +460,25 @@ def test_og_meta_base_rendered(app_factory):
             assert "/og-image.png" in text, path
 
     _client_test(app_factory, fn)
+
+
+def test_community_presets_seed_and_extra(app_factory, monkeypatch, tmp_path):
+    """/api/presets/community ships the starter presets and merges an
+    admin-provided extra file (reference: misc.py:154-228)."""
+    from amw_tpu.runtime.config import settings
+
+    extra = tmp_path / "extra.json"
+    extra.write_text('[{"id": "my", "name": "Mine", "target_lufs": -11,'
+                     ' "style": "edm", "chain_config": null}]')
+    monkeypatch.setattr(settings, "community_presets_extra", str(extra))
+
+    async def fn(client):
+        r = await client.get("/api/presets/community")
+        assert r.status == 200
+        data = await r.json()
+        ids = [it["id"] for it in data["items"]]
+        assert "stream" in ids and "club" in ids and "my" in ids
+        assert data["community_presets_extra_configured"] is True
+        assert data["community_presets_extra_loaded"] is True
+
+    _client_test(app_factory, fn)

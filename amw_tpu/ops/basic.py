@@ -67,12 +67,17 @@ def remove_dc_then_peak_guard(x: jax.Array,
     real arithmetic, ≤1 ulp from the sequential form) leaves one reduce +
     one elementwise pass.
 
-    Reference NaN semantics are preserved: a non-finite value poisons that
-    channel's mean, the reference's ``nan_to_num`` after subtraction then
-    zeros the whole channel, so here a channel with a non-finite mean
-    contributes nothing to the peak and outputs zeros.  Under a padded
-    bucket the reduces anchor at ``n_valid`` (mean over the valid samples,
-    max/min masked) like the constituent ops."""
+    Reference non-finite semantics are preserved exactly.  A non-finite
+    value poisons that channel's mean; the reference's ``nan_to_num`` after
+    subtraction then maps the channel to: all-zero when the mean is NaN
+    (mixed ±inf or NaN present), else ∓1 at every sample that isn't itself
+    the poisoning ±inf (finite − (±inf) = ∓inf → ∓1) and 0 at the ±inf
+    samples (inf − inf = NaN → 0).  Those ±1 values participate in — and
+    dominate — the global peak.  All of this is derived analytically from
+    the same (mean, max, min) reductions, so the op stays one reduce + one
+    elementwise pass.  Under a padded bucket the reduces anchor at
+    ``n_valid`` (mean over the valid samples, max/min masked) like the
+    constituent ops."""
     from . import validctx
 
     nv = validctx.n_valid()
@@ -87,13 +92,30 @@ def remove_dc_then_peak_guard(x: jax.Array,
         mean = jnp.sum(x, axis=-1, keepdims=True) / denom
         x_max = jnp.max(jnp.where(valid, x, -jnp.inf), axis=-1, keepdims=True)
         x_min = jnp.min(jnp.where(valid, x, jnp.inf), axis=-1, keepdims=True)
+    inf = jnp.asarray(jnp.inf, x.dtype)
     ch_ok = jnp.isfinite(mean)
-    ch_peak = jnp.where(ch_ok, jnp.maximum(x_max - mean, mean - x_min), 0.0)
+    mean_pinf = mean == inf
+    mean_ninf = mean == -inf
+    # Post-nan_to_num per-channel peak: finite channels: max|x - mean|;
+    # mean=+inf: 1 iff any sample isn't itself +inf (those map to -1);
+    # mean=-inf: symmetric; mean=NaN: channel is all zeros.
+    ch_peak = jnp.where(
+        ch_ok, jnp.maximum(x_max - mean, mean - x_min),
+        jnp.where(mean_pinf, jnp.where(x_min < inf, 1.0, 0.0),
+                  jnp.where(mean_ninf, jnp.where(x_max > -inf, 1.0, 0.0),
+                            0.0)))
     peak = jnp.max(ch_peak)
     limit = db_to_lin(-headroom_db)
     scale = jnp.where(peak > limit, limit / jnp.maximum(peak, 1e-12), 1.0)
-    y = jnp.clip((x - mean) * scale, -1.0, 1.0)
-    return jnp.where(ch_ok, y, 0.0)
+    # Pre-scale values exactly as nan_to_num(x - mean) would produce them.
+    z = jnp.where(
+        ch_ok, x - mean,
+        jnp.where(mean_pinf,
+                  jnp.where(jnp.isnan(x) | (x == inf), 0.0, -1.0),
+                  jnp.where(mean_ninf,
+                            jnp.where(jnp.isnan(x) | (x == -inf), 0.0, 1.0),
+                            0.0)))
+    return jnp.clip(z * scale, -1.0, 1.0)
 
 
 def output_edge_fade_in(x: jax.Array, sr: int, fade_ms: float = 6.0) -> jax.Array:

@@ -65,8 +65,13 @@ B = 128
 # butterfly + one 128-point matmul per chunk — 4x fewer MACs than a
 # single C×C matmul at C=512).
 _MODE = os.environ.get("AMW_FFT_DOT_PREC", "highest")
-_HI = {"highest": jax.lax.Precision.HIGHEST,
-       "bf16x3": jax.lax.Precision.HIGHEST}[_MODE]
+if _MODE not in ("highest", "bf16x3"):
+    import warnings
+
+    warnings.warn(f"AMW_FFT_DOT_PREC={_MODE!r} is not a valid mode "
+                  "(valid: highest | bf16x3); falling back to 'highest'")
+    _MODE = "highest"
+_HI = jax.lax.Precision.HIGHEST
 
 _DIMS = (((1,), (0,)), ((), ()))  # matrix @ block: contract lhs 1, rhs 0
 

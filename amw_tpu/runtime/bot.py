@@ -342,9 +342,12 @@ def create_link_code(user_id: int) -> str:
 # A SECOND bot on the alert token (settings.telegram_bot_token — the same
 # token the notifier sends server alerts with): the admin chat gets a
 # bottom-menu of operational reports plus /broadcast relayed through the
-# USER bot.  The admin chat is trusted (the reference gates by webhook
-# secret + bot membership, notify_handlers.py:108 comment), so handlers
-# don't re-check user identity.
+# USER bot.  Admin commands are served ONLY to the configured
+# settings.telegram_admin_chat_id — anyone else (or everyone, when no
+# admin chat is configured) gets the help hint.  The reference
+# additionally gates by webhook secret + bot membership
+# (notify_handlers.py:108); the secret check lives in
+# service.h_notify_bot_webhook.
 
 NOTIFY_MENU = ("📊 Stats", "🧰 Jobs", "⚠️ Errors", "💰 Revenue",
                "🖥 Server", "📢 Broadcast", "❓ Help")
@@ -379,7 +382,21 @@ class NotifyBot:
         except Exception as e:  # noqa: BLE001
             logger.warning("notify sendMessage failed: %s", e)
 
+    @staticmethod
+    def _is_admin_chat(chat_id) -> bool:
+        from .config import settings
+
+        admin = str(settings.telegram_admin_chat_id or "").strip()
+        return bool(admin) and str(chat_id) == admin
+
     async def handle_update(self, update: dict) -> None:
+        self.handle_update_sync(update)
+
+    def handle_update_sync(self, update: dict) -> None:
+        """Synchronous body — the transport is blocking urllib and
+        /broadcast loops over every linked user, so the webhook offloads
+        this to a worker thread (service.h_notify_bot_webhook) instead of
+        running it on the event loop."""
         msg = update.get("message") or {}
         chat_id = (msg.get("chat") or {}).get("id")
         text = (msg.get("text") or "").strip()
@@ -387,6 +404,10 @@ class NotifyBot:
             return
         if text.startswith("/start") or text.startswith("/help") \
                 or text == "❓ Help":
+            self.send_text(chat_id, _NOTIFY_HINT)
+        elif not self._is_admin_chat(chat_id):
+            # Reports and /broadcast are admin-only; with no admin chat
+            # configured, nobody gets them (safe default).
             self.send_text(chat_id, _NOTIFY_HINT)
         elif text.startswith("/broadcast") or text == "📢 Broadcast":
             body = text.split(maxsplit=1)[1].strip() \
@@ -424,8 +445,13 @@ def broadcast_to_users(body: str) -> int:
                          " WHERE telegram_id IS NOT NULL").fetchall()
     n = 0
     for r in rows:
+        # Call the API directly (Bot.send_text swallows errors internally)
+        # so the returned count reflects DELIVERED messages, matching the
+        # reference's success accounting.
         try:
-            ub.send_text(int(r["telegram_id"]), body[:4000])
+            ub.api("sendMessage", {"chat_id": int(r["telegram_id"]),
+                                   "text": body[:4000],
+                                   "parse_mode": "HTML"})
             n += 1
         except Exception:  # noqa: BLE001
             pass

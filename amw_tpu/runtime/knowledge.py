@@ -77,8 +77,7 @@ def _styles_table(lang: str) -> str:
 
 
 def _presets_lines(lang: str) -> str:
-    tail = (", True Peak ≤ −1 dBTP" if lang != "ru"
-            else ", True Peak ≤ −1 dBTP")
+    tail = ", True Peak ≤ −1 dBTP"  # reads the same in EN and RU
     return "\n".join(
         f"- {name}: {lufs:g} LUFS" + (tail if name == "spotify" else "")
         for name, lufs in PRESET_LUFS.items())

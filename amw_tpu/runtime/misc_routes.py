@@ -82,26 +82,45 @@ async def h_presets_info(request):
 
 def _community_seed() -> tuple[list, bool, bool]:
     """(items, extra_configured, extra_loaded): the shipped starter presets
-    (presets_community.json beside this module — reference: misc.py:154-181)
+    (presets_community.json beside this module — reference: misc.py:151-197)
     merged with an optional admin-provided file or directory of JSON files
-    (``community_presets_extra``)."""
+    (``community_presets_extra``).  Mirrors the reference's validation:
+    only dict items carrying id + name + target_lufs, first id wins,
+    relative extra paths resolve against the package dir."""
     items: list = []
-    base = pathlib.Path(__file__).resolve().parent / "presets_community.json"
+    seen: set = set()
+
+    def _append_valid(data) -> bool:
+        added = False
+        for it in (data if isinstance(data, list) else []):
+            if not isinstance(it, dict):
+                continue
+            pid = it.get("id")
+            if not pid or pid in seen:
+                continue
+            if "name" in it and "target_lufs" in it:
+                seen.add(pid)
+                items.append(it)
+                added = True
+        return added
+
+    here = pathlib.Path(__file__).resolve().parent
     try:
-        items.extend(json.loads(base.read_text()))
+        _append_valid(json.loads((here / "presets_community.json")
+                                 .read_text()))
     except Exception:  # noqa: BLE001 — a broken seed must not 500 the API
         pass
     extra = (settings.community_presets_extra or "").strip()
     loaded = False
     if extra:
         p = pathlib.Path(extra)
+        if not p.is_absolute():
+            p = here / extra
         files = sorted(p.glob("*.json")) if p.is_dir() else \
             ([p] if p.is_file() else [])
         for f in files:
             try:
-                data = json.loads(f.read_text())
-                items.extend(data if isinstance(data, list) else [data])
-                loaded = True
+                loaded = _append_valid(json.loads(f.read_text())) or loaded
             except Exception:  # noqa: BLE001
                 pass
     return items, bool(extra), loaded

@@ -250,11 +250,17 @@ async def h_notify_bot_webhook(request):
         update = await request.json()
     except Exception:  # noqa: BLE001
         raise _err(400, "Invalid JSON")
-    try:
-        await nbot.handle_update(update)
-    except Exception:  # noqa: BLE001 — mirror the reference: log, ack anyway
-        logging.getLogger("amw_tpu.bot").exception(
-            "notify bot update failed")
+
+    async def _bg():
+        # Off the event loop: the notify bot's transport is blocking
+        # urllib, and /broadcast loops over every linked user.
+        try:
+            await asyncio.to_thread(nbot.handle_update_sync, update)
+        except Exception:  # noqa: BLE001 — mirror the reference: log only
+            logging.getLogger("amw_tpu.bot").exception(
+                "notify bot update failed")
+
+    _spawn_job(request.app, _bg())
     return web.json_response({"ok": True})
 
 
@@ -857,18 +863,35 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
 
     front = pathlib.Path(__file__).resolve().parent.parent.parent / "frontend"
     if front.is_dir():
+        # Page cache: token-bearing pages are static per (path, base), so
+        # read each file once and keep the rendered body per origin — no
+        # blocking read_text() on the event loop for the hottest public
+        # routes.  Bounded: pages are finite, bases are one configured URL
+        # or a handful of request origins behind the proxy.
+        _page_text: dict = {}
+        _page_rendered: dict = {}
+
         def _page_response(request, path):
             """Serve an HTML page; pages carrying the ``{{BASE}}`` token
             (OG/Twitter meta need absolute URLs) get it rendered against
             the configured public URL or this request's origin — same
             policy as robots.txt/sitemap.xml below."""
-            text = path.read_text()
-            if "{{BASE}}" not in text:
+            has_token = _page_text.get(path)
+            if has_token is None:
+                text = path.read_text()
+                has_token = (text if "{{BASE}}" in text else False)
+                _page_text[path] = has_token
+            if has_token is False:
                 return web.FileResponse(path)
             base = (settings.public_base_url.rstrip("/")
                     or str(request.url.origin()))
-            return web.Response(text=text.replace("{{BASE}}", base),
-                                content_type="text/html")
+            body = _page_rendered.get((path, base))
+            if body is None:
+                if len(_page_rendered) > 512:  # origin-spray guard
+                    _page_rendered.clear()
+                body = has_token.replace("{{BASE}}", base)
+                _page_rendered[(path, base)] = body
+            return web.Response(text=body, content_type="text/html")
 
         async def h_index(request):
             return _page_response(request, front / "index.html")

@@ -231,12 +231,16 @@ def test_fsm_state_expires(env, monkeypatch):
     assert any("Send a file first" in t for t in texts)
 
 
-def test_notify_bot_menu_and_reports(env):
+def test_notify_bot_menu_and_reports(env, monkeypatch):
     """The admin/notify bot (reference: bot/notify_handlers.py): /start
-    shows the menu hint, menu buttons return operational reports."""
+    shows the menu hint, menu buttons return operational reports — to the
+    configured admin chat only."""
     import time as _time
 
     from amw_tpu.runtime.bot import NotifyBot
+    from amw_tpu.runtime.config import settings
+
+    monkeypatch.setattr(settings, "telegram_admin_chat_id", "7")
 
     ft = FakeTransport()
     nb = NotifyBot(api_call=ft.api)
@@ -260,6 +264,18 @@ def test_notify_bot_menu_and_reports(env):
             {"message": {"chat": {"id": 7}, "text": btn}}))
         assert any(frag in p.get("text", "") for _, p in ft2.sent), btn
 
+    # A stranger's chat — and ANY chat when no admin id is configured —
+    # gets the help hint, never reports or /broadcast.
+    for admin_id, chat in (("7", 666), ("", 7)):
+        monkeypatch.setattr(settings, "telegram_admin_chat_id", admin_id)
+        for text in ("📊 Stats", "/broadcast pwn"):
+            ft3 = FakeTransport()
+            nb3 = NotifyBot(api_call=ft3.api)
+            _run(nb3.handle_update(
+                {"message": {"chat": {"id": chat}, "text": text}}))
+            assert len(ft3.sent) == 1
+            assert "service notifications" in ft3.sent[0][1].get("text", "")
+
 
 def test_notify_bot_broadcast(env):
     """/broadcast relays through the USER bot to every linked chat."""
@@ -273,8 +289,10 @@ def test_notify_bot_broadcast(env):
     sent = []
 
     class _FakeUserBot:
-        def send_text(self, chat_id, text, keyboard=None):
-            sent.append((chat_id, text))
+        def api(self, method, payload):
+            assert method == "sendMessage"
+            sent.append((payload["chat_id"], payload["text"]))
+            return {"ok": True}
 
     orig_bot, orig_tok = bot_mod.Bot, bot_mod.bot_token
     bot_mod.Bot, bot_mod.bot_token = _FakeUserBot, lambda: "tok"

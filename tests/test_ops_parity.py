@@ -341,3 +341,39 @@ def test_chain_peephole_target_dynamics():
         spec, default_chain_config(style="standard"), style="standard")
     assert "target_curve+dynamics" in ids
     assert "dynamics" not in ids and "target_curve" not in ids
+
+
+def test_fused_dc_peak_guard_matches_unfused_nonfinite():
+    """The fused dc+peak-guard reduce (ops/basic.remove_dc_then_peak_guard)
+    must match the unfused pair — including the reference's non-finite
+    semantics (pipeline.py:134-149): an inf-poisoned channel maps to ∓1
+    via nan_to_num after mean subtraction and dominates the global peak;
+    a NaN/mixed-inf channel zeroes out entirely."""
+    from amw_tpu.ops.basic import (remove_dc_offset,
+                                   remove_dc_then_peak_guard,
+                                   remove_intersample_peaks)
+
+    g = np.random.default_rng(3)
+    n = 4096
+    clean = (0.4 * g.standard_normal((2, n)) + 0.1).astype(np.float32)
+
+    cases = {"clean": clean}
+    for name, val in (("posinf", np.inf), ("neginf", -np.inf),
+                      ("nan", np.nan)):
+        x = clean.copy()
+        x[0, 100] = val
+        cases[name] = x
+    mixed = clean.copy()
+    mixed[0, 100], mixed[0, 200] = np.inf, -np.inf
+    cases["mixed_inf"] = mixed
+    nan_and_inf = clean.copy()
+    nan_and_inf[0, 100], nan_and_inf[0, 200] = np.inf, np.nan
+    cases["nan_and_inf"] = nan_and_inf
+
+    for name, x in cases.items():
+        xd = jnp.asarray(x)
+        want = np.asarray(remove_intersample_peaks(remove_dc_offset(xd)))
+        got = np.asarray(remove_dc_then_peak_guard(xd))
+        assert np.isfinite(got).all(), name
+        err = np.max(np.abs(got - want))
+        assert err < 1e-6, f"{name}: fused dc+peak err {err}"

@@ -468,8 +468,14 @@ def test_community_presets_seed_and_extra(app_factory, monkeypatch, tmp_path):
     from amw_tpu.runtime.config import settings
 
     extra = tmp_path / "extra.json"
+    # Malformed entries (non-dict, missing fields, duplicate id) must be
+    # filtered exactly like the reference's _load_community_presets.
     extra.write_text('[{"id": "my", "name": "Mine", "target_lufs": -11,'
-                     ' "style": "edm", "chain_config": null}]')
+                     ' "style": "edm", "chain_config": null},'
+                     ' "just-a-string", {"name": "no id"},'
+                     ' {"id": "stream", "name": "dup of seed",'
+                     ' "target_lufs": -10},'
+                     ' {"id": "noloud", "name": "missing lufs"}]')
     monkeypatch.setattr(settings, "community_presets_extra", str(extra))
 
     async def fn(client):
@@ -478,6 +484,9 @@ def test_community_presets_seed_and_extra(app_factory, monkeypatch, tmp_path):
         data = await r.json()
         ids = [it["id"] for it in data["items"]]
         assert "stream" in ids and "club" in ids and "my" in ids
+        assert ids.count("stream") == 1  # seed wins over the duplicate
+        assert "noloud" not in ids
+        assert all(isinstance(it, dict) for it in data["items"])
         assert data["community_presets_extra_configured"] is True
         assert data["community_presets_extra_loaded"] is True
 

@@ -15,7 +15,7 @@ from ..constants import DYNAMIC_EQ_MASTERING_BANDS
 from ..spec import GraphSpec
 from . import design
 from .basic import maximizer
-from .fdfilter import box_smooth_same
+# box smoothing now lives inside scan.deesser_gain_combine
 from .scan import ar_coefs, envelope_follower
 from .zphase import make_zp
 
@@ -49,19 +49,15 @@ def build_deesser(
 
     def fn(x, params):
         from . import validctx
+        from .scan import deesser_gain_combine
 
         sidechain = zp(x, params[0])
-        env = envelope_follower(jnp.abs(sidechain), att, rel)
-        reduction = jnp.where(env > thresh, thresh + (env - thresh) / ratio, env)
-        gain = jnp.where(env > 1e-10, reduction / (env + 1e-12), 1.0)
-        gain = jnp.clip(gain, 0.35, 1.0)
-        # ~1.5 ms box smoothing: shift-add moving average instead of a full
-        # track-length FFT pair (saves ~109 ms/batch on v5e, see fdfilter).
-        # The exact-length graph's smoothing sees zeros beyond the track end
-        # (box_smooth_same zero-pads) — reproduce that at the valid end.
-        gain = box_smooth_same(validctx.mask_tail(gain), k)
-        gain = jnp.clip(gain, 0.35, 1.0)
-        return x - sidechain + sidechain * gain
+        # Envelope -> gain -> ~1.5 ms box smoothing -> combine, fused into
+        # one Pallas pass on TPU (ops/scan.deesser_gain_combine; composed
+        # from the individual ops elsewhere).  Box semantics: zeros beyond
+        # the valid end, like the exact-length graph's box_smooth_same.
+        return deesser_gain_combine(x, sidechain, att, rel, thresh, ratio,
+                                    k, nv=validctx.n_valid())
 
     return params, fn
 

@@ -39,10 +39,9 @@ from . import design
 from .eq import (_db, _final_balance_bas, _style_bands, _target_curve_bas,
                  build_final_spectral_balance, build_style_eq,
                  build_target_curve)
-from .fdfilter import box_smooth_same
 from .meters import (block_energies, gated_loudness, k_weight_settle,
                      normalize_lufs_gain, plan_blocks)
-from .scan import ar_coefs, envelope_follower
+from .scan import ar_coefs, deesser_gain_combine, envelope_follower
 from .zphase import PreLTI, _edge_windows, make_zp, pack_complex, scipy_padlen
 from ..constants import FINAL_TRIM_DB
 
@@ -137,15 +136,11 @@ def build_target_then_deesser(
             sclr = band_zp(y3lr, pb)
         y3 = validctx.splice(y3_f, y3lr[0], y3lr[1], n, L, nv)
         sc = validctx.splice(sc_f, sclr[0], sclr[1], n, L, nv)
-        env = envelope_follower(jnp.abs(sc), att, rel)
-        reduction = jnp.where(env > thresh, thresh + (env - thresh) / ratio, env)
-        gain = jnp.where(env > 1e-10, reduction / (env + 1e-12), 1.0)
-        gain = jnp.clip(gain, 0.35, 1.0)
-        # The exact-length graph's box smoothing sees zeros beyond the track
-        # end (fdfilter.box_smooth_same zero-pads) — reproduce that at nv.
-        gain = box_smooth_same(validctx.mask_tail(gain, nv), k)
-        gain = jnp.clip(gain, 0.35, 1.0)
-        return y3 - sc + sc * gain
+        # Envelope -> gain -> box smoothing -> combine in one Pallas pass
+        # (ops/scan.deesser_gain_combine); zeros beyond the valid end like
+        # the exact-length graph's box_smooth_same.
+        return deesser_gain_combine(y3, sc, att, rel, thresh, ratio, k,
+                                    nv=nv)
 
     return params, fn
 

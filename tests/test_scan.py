@@ -114,3 +114,31 @@ def test_envelope_follower_pallas_path_matches_cpu():
         got = np.asarray(sc.envelope_follower(jnp.asarray(v), att, rel,
                                               min_chunk=4096))
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_deesser_gain_combine_fused_kernel_parity():
+    """The fully fused de-esser tail (env -> gain -> box -> combine in one
+    Pallas kernel, ops/scan.deesser_gain_combine) matches the composition
+    of the individual ops, with and without a valid-length mask."""
+    from amw_tpu.ops.scan import ar_coefs, deesser_gain_combine
+
+    rng = np.random.default_rng(0)
+    sr = 44100
+    # Short release keeps the warm-up window small enough for interpret.
+    att, rel = ar_coefs(sr, 0.004, 0.0085)
+    thresh = 10 ** (-6.0 / 20)
+    ratio, k = 3.0, 67
+    n = 40000
+    scs = (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+    y3 = (0.5 * rng.standard_normal((2, n))).astype(np.float32)
+
+    for nv in (None, 31000):
+        want = np.asarray(deesser_gain_combine(
+            jnp.asarray(y3), jnp.asarray(scs), att, rel, thresh, ratio, k,
+            nv=nv, force_pallas=False))
+        got = np.asarray(deesser_gain_combine(
+            jnp.asarray(y3), jnp.asarray(scs), att, rel, thresh, ratio, k,
+            nv=nv, force_pallas=True, interpret=True))
+        lim = n if nv is None else nv
+        err = np.max(np.abs(got[..., :lim] - want[..., :lim]))
+        assert err < 1e-5, f"nv={nv}: fused deesser tail err {err}"

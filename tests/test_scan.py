@@ -142,3 +142,35 @@ def test_deesser_gain_combine_fused_kernel_parity():
         lim = n if nv is None else nv
         err = np.max(np.abs(got[..., :lim] - want[..., :lim]))
         assert err < 1e-5, f"nv={nv}: fused deesser tail err {err}"
+
+
+def test_deesser_gain_combine_vmap_and_traced_nv():
+    """The fused de-esser kernel under vmap with per-track traced n_valid
+    (the micro-batcher's masked-batch shape) matches per-track unfused
+    results; also exercises a 96 kHz box width (k=145 > 2*HB tail rows)."""
+    import jax
+
+    from amw_tpu.ops.scan import ar_coefs, deesser_gain_combine
+
+    rng = np.random.default_rng(1)
+    sr = 96000
+    att, rel = ar_coefs(sr, 0.004, 0.004)
+    thresh = 10 ** (-6.0 / 20)
+    k = max(3, int(sr * 0.0015))
+    k += k % 2 == 0
+    n, B = 42000, 3
+    scb = (0.3 * rng.standard_normal((B, 2, n))).astype(np.float32)
+    y3b = (0.5 * rng.standard_normal((B, 2, n))).astype(np.float32)
+    nvs = [n, 33000, 39000]
+
+    fv = jax.vmap(lambda a, b, nv: deesser_gain_combine(
+        a, b, att, rel, thresh, 3.0, k, nv=nv,
+        force_pallas=True, interpret=True))
+    got = np.asarray(fv(jnp.asarray(y3b), jnp.asarray(scb),
+                        jnp.asarray(nvs)))
+    for i, nv in enumerate(nvs):
+        want = np.asarray(deesser_gain_combine(
+            jnp.asarray(y3b[i]), jnp.asarray(scb[i]), att, rel, thresh,
+            3.0, k, nv=jnp.asarray(nv), force_pallas=False))
+        err = np.max(np.abs(got[i, ..., :nv] - want[..., :nv]))
+        assert err < 1e-5, f"track {i} (nv={nv}): err {err}"

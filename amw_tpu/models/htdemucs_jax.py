@@ -35,13 +35,36 @@ SOURCES = ("drums", "bass", "other", "vocals")
 # at the default dot precision); norms, softmax, the STFT boundary and the
 # final de-normalization stay float32.  Neural separation tolerates the
 # ~1e-2 relative activation rounding (gated by
-# tests/test_htdemucs_parity.py::test_bf16_mode_close_to_f32) — opt-in via
-# AMW_HTDEMUCS_DTYPE=bf16 pending an on-TPU quality/throughput re-gate.
-_DTYPE = os.environ.get("AMW_HTDEMUCS_DTYPE", "f32")
+# tests/test_htdemucs_parity.py::test_bf16_mode_close_to_f32).  Default
+# "auto": bf16 on TPU backends, f32 elsewhere — gated on hardware by
+# scripts/bench_htdemucs_bf16ab.py (v5e: min stem SNR 30.5 dB vs f32,
+# released-shape batch-4 forward 102.8x -> 131.6x realtime).  Override
+# with AMW_HTDEMUCS_DTYPE={f32,bf16}.
+_DTYPE = os.environ.get("AMW_HTDEMUCS_DTYPE", "auto")
+if _DTYPE not in ("auto", "f32", "bf16"):
+    import warnings
+
+    warnings.warn(f"AMW_HTDEMUCS_DTYPE={_DTYPE!r} is not a valid mode "
+                  "(valid: auto | f32 | bf16); falling back to 'auto'")
+    _DTYPE = "auto"
+
+
+def _resolve_dtype() -> str:
+    """Late-bound mode: 'auto' picks bf16 iff the default backend is a TPU.
+    Resolved (and cached) at first trace, never at import — backend init is
+    expensive through the relay and must stay owned by the caller."""
+    global _DTYPE
+    if _DTYPE == "auto":
+        try:
+            _DTYPE = ("bf16" if jax.default_backend() in ("tpu", "axon")
+                      else "f32")
+        except Exception:  # backend not ready: don't cache a failure
+            return "f32"
+    return _DTYPE
 
 
 def _act_dtype():
-    return jnp.bfloat16 if _DTYPE == "bf16" else jnp.float32
+    return jnp.bfloat16 if _resolve_dtype() == "bf16" else jnp.float32
 
 
 def inference_params(params: dict) -> dict:
@@ -418,6 +441,12 @@ def forward(params, mix, cfg: HTConfig):
     # above and the de-normalization/iSTFT below stay float32 (promotion at
     # the `* std + mean` step restores f32 automatically).
     act = _act_dtype()
+    w0 = p.get("encoder.0.conv.weight")
+    if act == jnp.bfloat16 and w0 is not None and w0.dtype != act:
+        raise TypeError(
+            "htdemucs inference dtype is bf16 (auto on TPU) but the params "
+            "are float32 — pass them through inference_params(params) once "
+            "before forward(), or set AMW_HTDEMUCS_DTYPE=f32.")
     x = x.astype(act)
     xt = xt.astype(act)
 
@@ -626,7 +655,7 @@ def _cfg_key(cfg: HTConfig):
             cfg.audio_channels, cfg.growth, cfg.t_hidden_scale,
             cfg.dconv_depth, cfg.dconv_comp, cfg.dconv_init,
             cfg.freq_emb_scale, cfg.emb_scale, cfg.emb_smooth,
-            _DTYPE)  # tests flip the module dtype; keep executables apart
+            _resolve_dtype())  # tests flip the dtype; keep executables apart
 
 
 def _jitted_forward(cfg: HTConfig):

@@ -55,30 +55,48 @@ B = 128
 # be built BY HAND: Mosaic lowers only DEFAULT and HIGHEST, silently
 # degrading lax HIGH to the one-pass bf16 path (docs/TPU_NOTES.md), so a
 # "high" mode is deliberately not offered.  AMW_FFT_DOT_PREC selects:
-#   "highest" (default) — lax precision HIGHEST
-#   "bf16x3"            — explicit 3-pass split from plain bf16 dots
-#                         (a_hi·b_hi + a_hi·b_lo + a_lo·b_hi), ~1e-5 rel
-#                         (parity must be re-gated on TPU before making
-#                         this the default)
+#   "highest"        — lax precision HIGHEST (6-pass, full f32)
+#   "bf16x3"         — explicit 3-pass split from plain bf16 dots
+#                      (a_hi·b_hi + a_hi·b_lo + a_lo·b_hi), ~1e-5 rel
+#   "auto" (default) — bf16x3 on TPU backends, highest elsewhere.
+#                      Gated on the v5e (scripts/bench_fft_precision.py):
+#                      [16, 2^23] response pair 175 ms -> 126 ms, round-trip
+#                      parity -100.1 dBFS vs the f64 oracle (budget -90).
 # MXU cost is otherwise controlled by keeping every DFT factor at radix
 # ≤ 128 (the C-axis stage splits C = C2·128 in-kernel: VPU radix-C2
 # butterfly + one 128-point matmul per chunk — 4x fewer MACs than a
 # single C×C matmul at C=512).
-_MODE = os.environ.get("AMW_FFT_DOT_PREC", "highest")
-if _MODE not in ("highest", "bf16x3"):
+_MODE = os.environ.get("AMW_FFT_DOT_PREC", "auto")
+if _MODE not in ("auto", "highest", "bf16x3"):
     import warnings
 
     warnings.warn(f"AMW_FFT_DOT_PREC={_MODE!r} is not a valid mode "
-                  "(valid: highest | bf16x3); falling back to 'highest'")
-    _MODE = "highest"
+                  "(valid: auto | highest | bf16x3); falling back to 'auto'")
+    _MODE = "auto"
 _HI = jax.lax.Precision.HIGHEST
 
 _DIMS = (((1,), (0,)), ((), ()))  # matrix @ block: contract lhs 1, rhs 0
 
 
+def _resolve_mode() -> str:
+    """Late-bound mode: 'auto' picks bf16x3 iff the default backend is a
+    TPU (interpret-mode tests and any CPU fallback stay at HIGHEST, whose
+    tolerances they assert).  Resolved at first dot trace, cached; never
+    at import — backend init is expensive through the relay and must stay
+    owned by the caller."""
+    global _MODE
+    if _MODE == "auto":
+        try:
+            _MODE = ("bf16x3" if jax.default_backend() in ("tpu", "axon")
+                     else "highest")
+        except Exception:  # backend not ready: don't cache a failure
+            return "highest"
+    return _MODE
+
+
 def _dot(a, b):
     """f32 [m, k] @ [k, n] on the MXU at the module's precision mode."""
-    if _MODE != "bf16x3":
+    if _resolve_mode() != "bf16x3":
         return jax.lax.dot_general(a, b, _DIMS, precision=_HI,
                                    preferred_element_type=jnp.float32)
     bf = jnp.bfloat16

@@ -46,8 +46,8 @@ def main():
               f"({sum(v.size for v in params.values())/1e6:.1f} M params)")
 
     dev_params = jax.device_put(hj.inference_params(params))
-    if hj._DTYPE != "f32":
-        print(f"inference dtype: {hj._DTYPE}")
+    if hj._resolve_dtype() != "f32":
+        print(f"inference dtype: {hj._resolve_dtype()}")
     rng = np.random.default_rng(0)
     mix = jax.device_put(
         (0.1 * rng.standard_normal((1, 2, seg))).astype(np.float32))

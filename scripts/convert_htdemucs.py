@@ -118,6 +118,9 @@ def cmd_selftest(out_dir: str) -> int:
     from amw_tpu.models import htdemucs_jax as hj
     from amw_tpu.models.htdemucs_torch import HTDemucsTorch
 
+    # The selftest asserts f32 parity against the torch oracle — pin the
+    # module dtype so a TPU host's "auto" (bf16) mode can't skew it.
+    hj._DTYPE = "f32"
     cfg = hj.tiny_config()
     torch.manual_seed(0)
     model = HTDemucsTorch(cfg).eval()

@@ -138,14 +138,26 @@ def main():
     def fence(v):
         return float(v)
 
-    # Relay round-trip baseline.
+    # Relay round-trip baseline.  The RTT drifts during a run (a congested
+    # relay has measured 204 ms at startup vs ~30 ms steady) and it is
+    # SUBTRACTED from every section's wall time, so a stale high estimate
+    # can push single-dispatch latencies negative.  measure_relay() is
+    # re-run before the latency-sensitive sections and keeps the minimum
+    # seen (congestion noise is one-sided).
     ready = jax.device_put(np.ones(8, np.float32))
-    for _ in range(2):
-        fence(jnp.sum(ready))
-    t0 = time.perf_counter()
-    for _ in range(4):
-        fence(jnp.sum(ready))
-    relay = (time.perf_counter() - t0) / 4
+
+    def measure_relay():
+        nonlocal relay
+        for _ in range(2):
+            fence(jnp.sum(ready))
+        t0 = time.perf_counter()
+        for _ in range(4):
+            fence(jnp.sum(ready))
+        relay = min(relay, (time.perf_counter() - t0) / 4)
+        return relay
+
+    relay = float("inf")
+    measure_relay()
     log(f"relay round-trip: {relay*1e3:.0f} ms")
     RESULTS["relay_rtt_ms"] = round(relay * 1e3, 1)
 
@@ -191,11 +203,12 @@ def main():
     step1 = batched(1)
     x1 = jax.device_put(make_track(sr, dur, seed=0)[None])
     fence(step1(x1, params_dev))
+    measure_relay()  # refresh: p50 is a single dispatch, RTT-dominated
     lats = []
     for _ in range(5):
         t0 = time.perf_counter()
         fence(step1(x1, params_dev))
-        lats.append(time.perf_counter() - t0 - relay)
+        lats.append(max(0.0, time.perf_counter() - t0 - relay))
     p50 = float(np.median(lats))
     log(f"p50 single-track latency: {p50*1e3:.0f} ms")
     RESULTS["p50_latency_ms"] = round(p50 * 1e3, 1)
@@ -446,7 +459,9 @@ def main():
 
         cfg = hj.HTConfig()
         hparams = hj.init_params(cfg)
-        hdev = jax.device_put(hparams)
+        # inference_params: cast to the serving dtype (bf16 on TPU) once,
+        # host-side — forward() requires params already in the act dtype.
+        hdev = jax.device_put(hj.inference_params(hparams))
         seg = cfg.segment_samples
         g = np.random.default_rng(0)
         mixb = jax.device_put(

@@ -108,10 +108,14 @@ class TimedTicker:
         while not self._stop.wait(self.interval):
             frac = min((time.monotonic() - self._t0) / self.expected, 0.97)
             i = min(int(frac * len(self.names)), len(self.names) - 1)
-            if i > last:
-                last = i
-                pct = 5 + int(90 * (i + 1) / len(self.names))
-                self.report(min(pct, 97), f"Mastering: {self.names[i]} (est)")
+            # Emit every stage passed since the previous tick, not just the
+            # current position: a starved ticker thread (loaded host) would
+            # otherwise skip labels and SSE clients would see the stage list
+            # jump s2 -> s7.
+            for j in range(last + 1, i + 1):
+                pct = 5 + int(90 * (j + 1) / len(self.names))
+                self.report(min(pct, 97), f"Mastering: {self.names[j]} (est)")
+            last = max(last, i)
 
     def __exit__(self, *exc):
         self._stop.set()

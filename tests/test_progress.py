@@ -49,10 +49,22 @@ def test_timed_ticker_interpolates():
     names = [f"s{i}" for i in range(10)]
     with prog_mod.TimedTicker(names, lambda p, m: events.append((p, m)),
                               expected_sec=0.6, interval=0.05):
-        time.sleep(0.65)
+        # Gate on observed ticks, not elapsed wall time: under CI load the
+        # ticker thread may fire late, but each tick emits every stage it
+        # passed, so one late tick is enough to catch the labels up.
+        deadline = time.monotonic() + 6.0
+        while (len({m for _, m in events}) < 5
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
     labels = {m for _, m in events}
     assert len(labels) >= 5
     assert all("(est)" in m for m in labels)
+    # catch-up emission keeps the label sequence gap-free and ordered
+    import re
+
+    idx = [int(re.search(r": s(\d+) ", m).group(1)) for _, m in events]
+    assert idx == sorted(idx)
+    assert idx == list(range(min(idx), max(idx) + 1))
 
 
 def test_registry_tick_ordering():

@@ -115,6 +115,13 @@ function safeNext(raw, fallback) {
 }
 
 /* ---------- i18n ---------- */
+// ?lang=en|ru in the URL wins and persists — it is what the hreflang
+// alternate links on the public pages point crawlers and shared links at
+// (reference i18n.js honors the same parameter).
+const mmLangParam = new URLSearchParams(location.search).get("lang");
+if (mmLangParam === "ru" || mmLangParam === "en") {
+  localStorage.setItem("mm_lang", mmLangParam);
+}
 let mmLang = localStorage.getItem("mm_lang") ||
   ((navigator.language || "en").startsWith("ru") ? "ru" : "en");
 let mmDict = {};
@@ -218,7 +225,54 @@ async function mmHeader(active) {
     else location.href = "/login?next=" + encodeURIComponent(location.pathname);
   };
   applyI18n();
+  mmFooter();
   refreshWho();
+}
+
+/* Shared footer for the public pages: product / developer / support link
+   columns + API version line (reference pages carry the same footer grid;
+   ours is injected once here instead of duplicated per page). */
+const MM_FOOT = [
+  ["Product", [
+    ["/app", "Studio"],
+    ["/pricing", "Pricing"],
+    ["/blog", "Blog"],
+    ["/lufs-analyzer", "LUFS tool"],
+    ["/telegram-bot", "Telegram bot"],
+    ["/referral", "Referral"],
+  ]],
+  ["Guides", [
+    ["/suno-mastering", "Suno mastering"],
+    ["/udio-mastering", "Udio mastering"],
+    ["/podcast-mastering", "Podcast mastering"],
+  ]],
+  ["Developers", [
+    ["/status", "Status"],
+    ["/api/health", "Service health"],
+    ["/progress.html", "Build progress"],
+  ]],
+];
+
+function mmFooter() {
+  const host = document.querySelector("footer.mm");
+  if (!host || host.childElementCount) return;  // page brought its own
+  const cols = MM_FOOT.map(([title, links]) =>
+    `<div class="foot-col"><div class="muted" style="margin-bottom:6px">` +
+    `<b data-i18n="${title}">${title}</b></div>` +
+    links.map(([href, label]) =>
+      `<a href="${href}" style="display:block;margin-bottom:4px"` +
+      ` data-i18n="${label}">${label}</a>`).join("") + `</div>`).join("");
+  host.innerHTML =
+    `<div class="row" style="align-items:flex-start;gap:40px">${cols}</div>` +
+    `<div style="flex:1"></div>` +
+    `<div><div data-i18n="Audio mastering on TPU.">Audio mastering on TPU.</div>` +
+    `<div class="mono" id="mm-foot-version"></div></div>`;
+  applyI18n(host);
+  fetch("/api/version").then((r) => (r.ok ? r.json() : null)).then((d) => {
+    const el = $("mm-foot-version");
+    if (d && el) el.textContent = (d.version ? "v" + d.version : "") +
+      (d.build_date ? " · " + d.build_date : "");
+  }).catch(() => {});
 }
 
 async function refreshWho() {

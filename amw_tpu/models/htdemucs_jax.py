@@ -705,6 +705,8 @@ def _jitted_oa_scan(cfg: HTConfig, seg: int, stride: int, batch: int,
         span = (batch - 1) * stride + seg
 
         def run(pp, mix_pad, valids, idx, w):
+            if mix_pad.dtype == jnp.int16:  # lossless transfer compression
+                mix_pad = mix_pad.astype(jnp.float32) / 32768.0
             C = mix_pad.shape[0]
 
             def body(carry, iv):
@@ -821,9 +823,22 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
     # the fused whole-track executable count stays bounded; padding
     # windows carry valid=0 and contribute nothing.
     nb = (len(starts) + batch - 1) // batch
-    mix_dev = jax.device_put(
-        np.pad(np.ascontiguousarray(mix, dtype=np.float32),
-               ((0, 0), (0, t_ext - T))))
+    # Transfer compression: most uploads decode from 16-bit PCM, whose
+    # float samples are exactly i/32768.  When that round-trips
+    # losslessly, ship int16 over the host→device link (half the bytes —
+    # the mix upload dominates isolate-vocal time on relay-attached TPUs,
+    # docs/TPU_NOTES.md) and dequantize in-graph; anything else (24-bit,
+    # float sources) keeps the f32 path.  Bit-exact by construction, so
+    # both paths produce identical stems.
+    mixf = np.ascontiguousarray(mix, dtype=np.float32)
+    xi = np.round(mixf * 32768.0)
+    if (np.abs(xi).max(initial=0.0) <= 32767.0
+            and np.array_equal(xi.astype(np.float32) / np.float32(32768.0),
+                               mixf)):
+        mix_host = np.pad(xi.astype(np.int16), ((0, 0), (0, t_ext - T)))
+    else:
+        mix_host = np.pad(mixf, ((0, 0), (0, t_ext - T)))
+    mix_dev = jax.device_put(mix_host)
     valids = np.zeros((nb_b, batch), np.float32)
     n_seg = len(starts)
     for i in range(nb):

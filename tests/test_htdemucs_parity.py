@@ -147,6 +147,32 @@ def test_separate_device_matches_host_oa(tiny):
             assert err < 1e-4, (T, stems, nb_b, err)
 
 
+def test_separate_int16_transfer_lossless(tiny):
+    """A mix on the int16 grid (i.e. decoded from 16-bit PCM) rides the
+    compressed int16 host→device transfer and must produce EXACTLY the
+    stems of the f32 path (the dequant is bit-exact); a non-grid mix must
+    not be quantized by the optimization."""
+    cfg, _, params = tiny
+    rng = np.random.default_rng(11)
+    T = int(cfg.segment_samples * 1.4)
+    mix = rng.standard_normal((2, T)).astype(np.float32) * 0.2
+    grid = np.round(mix * 32768.0).clip(-32767, 32767) \
+        .astype(np.float32) / np.float32(32768.0)
+    out_grid = hj.separate(params, grid, cfg)
+    # Same samples shipped as explicit f32 (break grid exactness with a
+    # sub-LSB offset on one sample only, far below any model sensitivity —
+    # forces the f32 transfer branch).
+    off = grid.copy()
+    off[0, 0] += np.float32(1e-9)
+    out_f32 = hj.separate(params, off, cfg)
+    assert np.allclose(out_grid, out_f32, atol=1e-5)
+    # and a float-valued mix keeps bitwise-f32 behavior vs host oracle
+    out_dev = hj.separate(params, mix, cfg)
+    out_host = hj.separate(params, mix, cfg, host_oa=True)
+    scale = max(np.abs(out_host).max(), 1e-6)
+    assert np.abs(out_dev - out_host).max() / scale < 1e-4
+
+
 def test_orbax_roundtrip(tiny, tmp_path):
     cfg, _, params = tiny
     path = str(tmp_path / "ckpt")

@@ -485,16 +485,26 @@ def main():
         e2e_dur = 60.0
         n_e2e = int(cfg.samplerate * e2e_dur)
         track = (0.1 * g.standard_normal((2, n_e2e))).astype(np.float32)
+        # Serving uploads decode from 16-bit WAV: quantize the synthetic
+        # track to the int16 grid so separate() exercises the same
+        # lossless int16 transfer path production does.
+        track = np.round(track * 32768.0).clip(-32767, 32767) \
+            .astype(np.float32) / np.float32(32768.0)
         espec = GraphSpec(sr=cfg.samplerate, n=n_e2e, channels=2, exact=True)
         mparams, mfn, _ = build_v1_pipeline(espec, target_lufs=-14.0,
                                             style="standard", jit=True)
         mdev = jax.device_put(mparams)
         # warmup at the FULL track length: the device overlap-add step is
         # compiled per padded track length, so a shorter warmup would leave
-        # the timed run paying the compile.
-        _ = hj.separate(hdev, track, cfg, stems=("vocals",),
-                        device_out=True)
+        # the timed run paying the compile.  FENCE the warmup output —
+        # block_until_ready returns at remote enqueue, so an unfenced
+        # warmup execution is still queued when the timed region starts
+        # and its ~seconds of separation land inside the measurement.
+        warm = hj.separate(hdev, track, cfg, stems=("vocals",),
+                           device_out=True)
+        fence(jnp.sum(jnp.square(warm)))
         fence(jnp.sum(jnp.square(mfn(jnp.asarray(track), mdev))))
+        measure_relay()
         t0 = time.perf_counter()
         # device_out: the vocals stem never leaves the device between the
         # separator and the mastering graph (saves 2× track bytes of relay

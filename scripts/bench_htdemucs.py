@@ -113,9 +113,13 @@ def main():
     mparams, mfn, _ = build_v1_pipeline(spec, target_lufs=-14.0,
                                         style="standard", jit=True)
     mp_dev = jax.device_put(mparams)
-    # warm both graphs; weights stay device-resident across calls.
-    _ = hj.separate(dev_params, track[:, : cfg.segment_samples * 2], cfg,
-                    stems=("vocals",))
+    # warm both graphs; weights stay device-resident across calls.  Warm at
+    # the FULL track length (the scan executable keys on the window-count
+    # bucket) and fence it — an unfenced warmup is still queued when the
+    # timed region starts (block_until_ready returns at remote enqueue).
+    warm = hj.separate(dev_params, track, cfg, stems=("vocals",),
+                       device_out=True)
+    fence(jnp.sum(jnp.square(warm)))
     fence(jnp.sum(jnp.square(mfn(jnp.asarray(track), mp_dev))))
     t0 = time.perf_counter()
     vocals = hj.separate(dev_params, track, cfg, stems=("vocals",))[0]

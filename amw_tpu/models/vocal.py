@@ -172,7 +172,14 @@ def warmup_htdemucs(durations_sec) -> int:
         if nb_b in seen:
             continue
         seen.add(nb_b)
+        # Each bucket has TWO executables since the int16 transfer
+        # compression: int16-grid uploads (16-bit PCM sources — zeros
+        # qualify) and f32 uploads (24-bit/float sources — the sub-LSB
+        # fill forces that branch).  Warm both so neither source kind
+        # pays a compile at request time.
         hj.separate(params, np.zeros((2, T), np.float32), cfg,
+                    stems=("vocals",))
+        hj.separate(params, np.full((2, T), 1e-6, np.float32), cfg,
                     stems=("vocals",))
     return len(seen)
 

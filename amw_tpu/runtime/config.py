@@ -187,8 +187,8 @@ class Settings:
     htdemucs_checkpoint: str = ""
 
     # --- Misc reference-compat fields (config.py:26-35).
+    # (max_upload_mb_mp3 is declared with the upload limits above.)
     max_upload_mb: int = 100
-    max_upload_mb_mp3: int = 300
     allowed_extensions: str = "wav,mp3,flac"
     temp_dir: str = "/tmp/masterflow"
 

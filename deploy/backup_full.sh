@@ -11,6 +11,9 @@
 #   DB_PATH          sqlite file        (default <root>/amw_tpu.sqlite3)
 
 set -euo pipefail
+# The archive bundles the plaintext .env (secrets): keep everything this
+# script writes owner-only.
+umask 077
 
 SCRIPT_DIR="$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)"
 PROJECT_ROOT="$(cd "$SCRIPT_DIR/.." && pwd)"

@@ -49,6 +49,20 @@ sync_code() {
             --exclude '*.sqlite3' --exclude .env \
             "$SOURCE_ROOT/" "$INSTALL_DIR/"
     fi
+    # A checkout that lost the executable bit would silently disable the
+    # whole alert chain (systemd OnFailure requires an executable
+    # ExecStart; backup_full.sh skips non-executable ALERT_SCRIPT).
+    chmod +x "$INSTALL_DIR"/deploy/*.sh
+}
+
+pip_install() {
+    # A failed dependency install must not relaunch the service on stale
+    # or broken packages — fail the deploy loudly instead.
+    if ! "$VENV_DIR/bin/pip" install -q -r "$INSTALL_DIR/requirements.txt"; then
+        log "ERROR: pip install failed — NOT restarting the service."
+        log "Fix the dependency problem and re-run, or restart manually."
+        exit 1
+    fi
 }
 
 build_native() {
@@ -77,7 +91,7 @@ do_install() {
         log "creating venv (system site packages: keeps the image's jax/libtpu)"
         python3 -m venv --system-site-packages "$VENV_DIR"
     fi
-    "$VENV_DIR/bin/pip" install -q -r "$INSTALL_DIR/requirements.txt" || true
+    pip_install
     build_native
 
     mkdir -p "$CACHE_DIR" "$INSTALL_DIR/backups"
@@ -85,6 +99,10 @@ do_install() {
         cp "$INSTALL_DIR/deploy/env.production.example" "$INSTALL_DIR/.env"
         log "created .env from example — EDIT IT (jwt secret, tokens) before exposing the service"
     }
+    # .env holds the JWT secret / admin password / API keys and backups/
+    # bundles .env — owner-only, never world-readable.
+    chmod 600 "$INSTALL_DIR/.env"
+    chmod 700 "$INSTALL_DIR/backups"
     chown -R "$APP_USER:$APP_GROUP" "$INSTALL_DIR"
 
     log "systemd units"
@@ -110,7 +128,7 @@ do_install() {
 do_update() {
     need_root update
     sync_code
-    "$VENV_DIR/bin/pip" install -q -r "$INSTALL_DIR/requirements.txt" || true
+    pip_install
     build_native
     chown -R "$APP_USER:$APP_GROUP" "$INSTALL_DIR"
     systemctl restart "$SERVICE"

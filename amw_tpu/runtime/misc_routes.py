@@ -207,18 +207,33 @@ def reward_inviter_on_first_mastering(user_id: int) -> None:
                      settings.referral_reward_inviter_tokens)
 
 
-# --- blog (reference: routers/blog.py — markdown + YAML frontmatter) -------
+# --- blog (reference: routers/blog.py:316-384 — markdown + YAML
+# frontmatter rendered through the shared site shell) ------------------------
+#
+# Posts live in content/blog/*.md.  Each file is bilingual: YAML
+# frontmatter carries title/description plus *_ru variants, and the body
+# holds the English article followed by the Russian one after a
+# ``<!-- lang:ru -->`` marker.  ``?lang=ru`` serves the Russian variant
+# (same convention the static pages use via mm.js), and both variants
+# cross-link through hreflang alternates.
 
 BLOG_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "content" / "blog"
+_RU_MARKER = "<!-- lang:ru -->"
+_posts_cache: tuple | None = None  # (mtime_signature, posts)
 
 
 def _load_posts() -> list[dict]:
     import yaml
 
-    posts = []
+    global _posts_cache
     if not BLOG_DIR.is_dir():
-        return posts
-    for p in sorted(BLOG_DIR.glob("*.md")):
+        return []
+    files = sorted(BLOG_DIR.glob("*.md"))
+    sig = tuple((p.name, p.stat().st_mtime_ns) for p in files)
+    if _posts_cache and _posts_cache[0] == sig:
+        return _posts_cache[1]
+    posts = []
+    for p in files:
         text = p.read_text(encoding="utf-8")
         meta = {}
         body = text
@@ -230,42 +245,164 @@ def _load_posts() -> list[dict]:
                 except yaml.YAMLError:
                     meta = {}
                 body = parts[2]
+        body_en, _, body_ru = body.partition(_RU_MARKER)
         posts.append({
             "slug": p.stem,
-            "title": meta.get("title", p.stem),
             "date": str(meta.get("date", "")),
-            "description": meta.get("description", ""),
-            "body_md": body.strip(),
+            "author": str(meta.get("author", "Magic Master")),
+            "tags": meta.get("tags") or [],
+            "en": {"title": meta.get("title", p.stem),
+                   "description": meta.get("description", ""),
+                   "body_md": body_en.strip()},
+            "ru": {"title": meta.get("title_ru", meta.get("title", p.stem)),
+                   "description": meta.get("description_ru",
+                                           meta.get("description", "")),
+                   "body_md": (body_ru or body_en).strip()},
         })
     posts.sort(key=lambda x: x["date"], reverse=True)
+    _posts_cache = (sig, posts)
     return posts
 
 
-def _render_page(title: str, body_html: str) -> str:
-    return (f"<!doctype html><html><head><meta charset='utf-8'>"
-            f"<title>{title}</title></head><body>{body_html}</body></html>")
+def _req_lang(request) -> str:
+    return "ru" if request.query.get("lang") == "ru" else "en"
+
+
+def _base_url(request) -> str:
+    # Same policy as the static pages' {{BASE}} substitution
+    # (service.py): configured public URL wins, else this request's origin.
+    return (settings.public_base_url.rstrip("/")
+            or str(request.url.origin()).rstrip("/"))
+
+
+def _blog_shell(request, *, lang: str, title: str, description: str,
+                path: str, body_html: str, extra_head: str = "") -> str:
+    """Site chrome shared with the static pages: mm.css/mm.js header+footer,
+    canonical + en/ru hreflang alternates, OG/Twitter meta."""
+    import html as h
+
+    base = _base_url(request)
+    url = f"{base}{path}"
+    t, d = h.escape(title), h.escape(description)
+    return f"""<!doctype html>
+<html lang="{lang}">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<meta name="description" content="{d}">
+<link rel="stylesheet" href="/static/mm.css">
+<link rel="icon" href="/static/icon.svg" type="image/svg+xml">
+<title>{t} — Magic Master</title>
+<meta property="og:type" content="article">
+<meta property="og:url" content="{url}">
+<meta property="og:title" content="{t}">
+<meta property="og:description" content="{d}">
+<meta property="og:site_name" content="Magic Master">
+<meta property="og:image" content="{base}/og-image.png">
+<meta name="twitter:card" content="summary_large_image">
+<meta name="twitter:image" content="{base}/og-image.png">
+<link rel="canonical" href="{url}">
+<link rel="alternate" hreflang="en" href="{url}?lang=en">
+<link rel="alternate" hreflang="ru" href="{url}?lang=ru">
+<link rel="alternate" hreflang="x-default" href="{url}">
+{extra_head}
+<style>
+.post-body img{{max-width:100%}}
+.post-body table{{border-collapse:collapse;margin:14px 0}}
+.post-body th,.post-body td{{border:1px solid var(--border,#2a2a3a);padding:6px 12px}}
+.post-body h2{{margin-top:28px}}
+.post-meta{{opacity:.65;font-size:.85rem;margin-bottom:18px}}
+article.card{{max-width:860px;margin:0 auto}}
+</style>
+</head>
+<body>
+<div class="wrap">
+<header class="mm"></header>
+{body_html}
+<footer class="mm"></footer>
+</div>
+<script src="/static/mm.js"></script>
+<script>mmHeader();</script>
+</body>
+</html>"""
 
 
 async def h_blog_index(request):
+    import html as h
+
+    lang = _req_lang(request)
     posts = _load_posts()
+    qs = "?lang=ru" if lang == "ru" else ""
     items = "".join(
-        f'<li><a href="/blog/{p["slug"]}">{p["title"]}</a> '
-        f'<small>{p["date"]}</small></li>' for p in posts)
+        f'<div class="card"><h3><a href="/blog/{h.escape(p["slug"])}{qs}">'
+        f'{h.escape(p[lang]["title"])}</a></h3>'
+        f'<div class="post-meta">{h.escape(p["date"])}</div>'
+        f'<p class="muted">{h.escape(p[lang]["description"])}</p></div>'
+        for p in posts)
+    head = ("Блог Magic Master" if lang == "ru" else "Magic Master Blog")
+    sub = ("Гайды по мастерингу, LUFS и AI-музыке."
+           if lang == "ru" else
+           "Guides on mastering, LUFS and AI music.")
+    body = (f'<div class="hero" style="padding:24px 10px"><h1>{head}</h1>'
+            f'<p class="muted">{sub}</p></div>{items}')
     return web.Response(
-        text=_render_page("Blog", f"<h1>Blog</h1><ul>{items}</ul>"),
+        text=_blog_shell(request, lang=lang, title=head, description=sub,
+                         path="/blog", body_html=body),
         content_type="text/html")
 
 
 async def h_blog_post(request):
+    import html as h
+
     import markdown as md
 
     slug = request.match_info["slug"]
+    lang = _req_lang(request)
     for p in _load_posts():
-        if p["slug"] == slug:
-            html = md.markdown(p["body_md"])
-            return web.Response(
-                text=_render_page(p["title"], f"<h1>{p['title']}</h1>{html}"),
-                content_type="text/html")
+        if p["slug"] != slug:
+            continue
+        loc = p[lang]
+        body_html = md.markdown(loc["body_md"], extensions=["tables"])
+        base = _base_url(request)
+        schema = {
+            "@context": "https://schema.org",
+            "@type": "Article",
+            "headline": loc["title"],
+            "description": loc["description"],
+            "datePublished": p["date"],
+            "inLanguage": lang,
+            "author": {"@type": "Organization", "name": p["author"]},
+            "mainEntityOfPage": {"@type": "WebPage",
+                                 "@id": f"{base}/blog/{slug}"},
+        }
+        extra = ('<script type="application/ld+json">'
+                 + json.dumps(schema, ensure_ascii=False) + "</script>")
+        cta_title = ("Попробуйте Magic Master" if lang == "ru"
+                     else "Try Magic Master")
+        cta_sub = ("Загрузите трек — готовый мастер за секунды."
+                   if lang == "ru" else
+                   "Upload a track — a finished master in seconds.")
+        cta_btn = ("Открыть студию →" if lang == "ru"
+                   else "Open the studio →")
+        back = ("← Все статьи" if lang == "ru" else "← All posts")
+        qs = "?lang=ru" if lang == "ru" else ""
+        body = f"""<article class="card">
+<p><a href="/blog{qs}">{back}</a></p>
+<h1>{h.escape(loc["title"])}</h1>
+<div class="post-meta">{h.escape(p["date"])} · {h.escape(p["author"])}</div>
+<div class="post-body">{body_html}</div>
+<div class="card" style="text-align:center">
+<h3>{cta_title}</h3>
+<p class="muted">{cta_sub}</p>
+<a class="btn" href="/app">{cta_btn}</a>
+</div>
+</article>"""
+        return web.Response(
+            text=_blog_shell(request, lang=lang, title=loc["title"],
+                             description=loc["description"],
+                             path=f"/blog/{slug}", body_html=body,
+                             extra_head=extra),
+            content_type="text/html")
     raise _err(404, "Post not found")
 
 

@@ -26,19 +26,21 @@ Surface parity with the engine: ``sp_master`` accepts the same v2
 Reverb is supported when its wet IR fits in the halo (longer decays are
 rejected at build).
 
-Track-edge semantics: every local stage is compiled in THREE window
-variants — interior (halo-extended chunk), left-edge (window anchored at
-the track start) and right-edge (window ending exactly at the track end)
-— selected per device with ``lax.switch`` on ``axis_index``.  The edge
-windows reuse the single-chip builders' own scipy-exact odd-extension /
-steady-state edge machinery, so the FULL track (edges included) matches
-the single-chip graph to ≤ −90 dBFS (tests/test_timeshard.py); the
-window's far edge sits ≥ halo away from any kept sample, burying its
-misplaced transient below the filter settle tolerance.  Remaining caveat:
-when the last chunk's valid length is shorter than the halo (only
-possible for tracks barely longer than ``n_dev`` chunks), the
-second-to-last shard's right context crosses the track end and its last
-few samples degrade toward the old zero-history behavior.
+Track-edge semantics: every local stage is compiled in window variants —
+interior (halo-extended chunk), left-edge (window anchored at the track
+start) and right-edge (window ending exactly at the track end) — selected
+per device with ``lax.switch`` on ``axis_index``.  The edge windows reuse
+the single-chip builders' own scipy-exact odd-extension / steady-state
+edge machinery, so the FULL track (edges included) matches the
+single-chip graph to ≤ −90 dBFS (tests/test_timeshard.py); the window's
+far edge sits ≥ halo away from any kept sample, burying its misplaced
+transient below the filter settle tolerance.  When the last chunk's valid
+length is shorter than the halo (tracks barely longer than ``n_dev``
+chunks), the second-to-last shard's right context would cross the track
+end — that shard then runs a FOURTH variant whose window also ends
+exactly at the track end, keeping the full track exact; with only two
+shards no such window exists (it would be the whole track) and the
+builder rejects, routing the job to the single-device path.
 """
 
 from __future__ import annotations
@@ -185,6 +187,18 @@ def build_sp_master(
             f"track ({n_total} samples) too short for {n_dev}-way time "
             f"sharding (chunk {chunk}): last shard would hold no valid "
             f"samples — use fewer sp devices or the single-chip path")
+    # lv < halo: the second-to-last shard's right context crosses the track
+    # end, so its interior window would see zeros where the single-chip
+    # graph sees the op's own exact track-end extension.  That shard gets a
+    # fourth window variant ending exactly at the track end (below).  With
+    # only two shards that window would span the whole track — no cheaper
+    # than the single-chip graph — so reject and let the engine fall back.
+    need_r2 = lv < halo
+    if need_r2 and n_dev < 3:
+        raise ValueError(
+            f"track ({n_total} samples) too short for {n_dev}-way time "
+            f"sharding (last chunk {lv} < halo {halo}): the exact track-end "
+            f"window would cover the whole track — use the single-chip path")
     spec_ext = GraphSpec(sr=sr, n=n_ext, channels=channels, exact=False)
     # Track-edge windows: local ops are ALSO built at these lengths, whose
     # own (scipy-exact) edge machinery lands exactly on the track start /
@@ -194,6 +208,12 @@ def build_sp_master(
     # burying its (wrong-place) edge transient below the settle tolerance.
     spec_left = GraphSpec(sr=sr, n=chunk + halo, channels=channels, exact=True)
     spec_right = GraphSpec(sr=sr, n=halo + lv, channels=channels, exact=True)
+    # Fourth variant (lv < halo only): the second-to-last shard's window —
+    # left halo + own chunk + the last shard's lv valid samples — also ends
+    # exactly at the track end, so the op's exact machinery produces the
+    # true near-end samples instead of zero-history context.
+    spec_right2 = (GraphSpec(sr=sr, n=halo + chunk + lv, channels=channels,
+                             exact=True) if need_r2 else None)
 
     config = chain_config or default_chain_config(target_lufs=target_lufs,
                                                   style=style)
@@ -214,7 +234,10 @@ def build_sp_master(
         for that one stage rather than dropping the module entirely."""
         p, f = build(spec_ext)  # interior failure bypasses the module
         variants = {"i": (list(p), _amount(f, amount))}
-        for vkey, vspec in (("l", spec_left), ("r", spec_right)):
+        edge_specs = [("l", spec_left), ("r", spec_right)]
+        if need_r2:
+            edge_specs.append(("r2", spec_right2))
+        for vkey, vspec in edge_specs:
             try:
                 pv, fv = build(vspec)
                 variants[vkey] = (list(pv), _amount(fv, amount))
@@ -378,6 +401,23 @@ def build_sp_master(
                         axis=-1)
                 return y
 
+            def b_right2(_):
+                # Second-to-last shard when lv < halo: its right context
+                # crosses the track end, so the window (left halo + chunk +
+                # the last shard's lv valid samples) also ends exactly at
+                # the track end — exact near-end samples, not zero history.
+                if fns.get("r2") is None:  # build fallback
+                    return b_int(None)
+                y = fns["r2"](ext[..., :halo + chunk + lv], ps["r2"])
+                return y[..., halo:halo + chunk]
+
+            if need_r2:
+                branch = jnp.where(
+                    idx == n_dev - 1, 2,
+                    jnp.where(idx == n_dev - 2, 3,
+                              jnp.where(idx == 0, 1, 0)))
+                return jax.lax.switch(
+                    branch, [b_int, b_left, b_right, b_right2], 0)
             branch = jnp.where(idx == n_dev - 1, 2,
                                jnp.where(idx == 0, 1, 0))
             return jax.lax.switch(branch, [b_int, b_left, b_right], 0)

@@ -253,3 +253,41 @@ def test_sp_track_too_short_for_shards_raises():
     n = 61340  # ~1.4 s: chunk rounds to hop multiples past n/(n_dev)
     with pytest.raises(ValueError, match="too short"):
         build_sp_master(SR, n, 2, mesh)
+
+
+def test_sp_last_chunk_shorter_than_halo_exact(track):
+    """Boundary case (VERDICT r3 item 6): the last chunk's valid length lv
+    is SHORTER than the halo, so the second-to-last shard's right context
+    crosses the track end.  That shard runs the fourth window variant
+    (window ending exactly at the track end) — the full track, including
+    the second-to-last chunk's tail, must still match single-chip."""
+    # n chosen so chunk = 9*4410 = 39690 and lv = n - 7*chunk = 4418 < halo.
+    n = 8 * 8 * 4410 + 8
+    x = track[:, :n] - track[:, :n].mean(axis=-1, keepdims=True)
+    mesh = make_mesh(8, axis="sp")
+    got = sp_master(x, SR, mesh, target_lufs=-14.0, style="standard",
+                    halo=HALO)
+    # Sanity: this length really exercises the lv < halo branch.
+    from amw_tpu.parallel.timeshard import _round_up
+
+    chunk = _round_up(_round_up(n, 8) // 8, 4410)
+    lv = n - 7 * chunk
+    assert 0 < lv < HALO, (chunk, lv)
+    want = _single_chip_v2(x, {})
+    err = _full_err(got, want)
+    assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
+    # The previously-degraded region specifically: the second-to-last
+    # chunk's last samples (within halo of the track end).
+    tail = slice(6 * chunk + (chunk - HALO), 7 * chunk)
+    terr = np.max(np.abs(got[:, tail].astype(np.float64) - want[:, tail]))
+    assert 20 * np.log10(max(terr, 1e-12)) < -90.0, terr
+
+
+def test_sp_two_shards_lv_below_halo_rejected():
+    """With only two shards an exact track-end window would span the whole
+    track; the builder rejects so the engine serves single-device."""
+    from amw_tpu.parallel.timeshard import build_sp_master
+
+    mesh = make_mesh(2, axis="sp")
+    with pytest.raises(ValueError, match="single-chip|too short"):
+        build_sp_master(SR, 50000, 2, mesh)

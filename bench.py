@@ -3,13 +3,17 @@
 
 Workload = BASELINE config #1: 3-minute stereo 44.1 kHz track -> -14 LUFS
 "spotify" default chain (the reference's ``run_mastering_pipeline``), fused
-into one jitted graph and vmapped over a batch.  Prints ONE JSON line with
-the realtime factor per chip plus parity/latency extras.
+into one jitted graph and vmapped over a batch.  Prints ONE JSON line per
+completed section, each a full snapshot of the results so far — the LAST
+parseable line is the record, and it is complete after every section even
+if the driver kills the process mid-run (VERDICT r3: the final-emit-only
+design lost the whole round-3 record to a driver timeout).
 
-Section order is gate-first: headline throughput and oracle parity run
-before the slower-compiling extras (sustained masked batch, 48 kHz export,
-genre sweep), and the watchdog emits the best-so-far numbers (flagged
-``"partial"``) rather than zeros if the relay stalls late in the run.
+Compile cost: the persistent XLA compilation cache is enabled against
+``BENCH_CACHE_DIR`` (default ``.jax_cache`` next to this file, the same
+directory the deployed service uses) — on a warmed machine every graph in
+this file loads from disk in ~1 s instead of paying the 30-50 s remote
+compile, which keeps the whole run well inside the driver budget.
 
 Timing notes: on the axon relay backend ``block_until_ready`` returns at
 remote enqueue, so every measurement is fenced by fetching a scalar
@@ -25,19 +29,22 @@ import time
 
 import numpy as np
 
-# Budget: first-time compiles total ~6-10 min, plus up to ~15 min of relay
-# recovery if a previous TPU process just exited (docs/TPU_NOTES.md).
-WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "3600"))
+# Keep the watchdog WELL below the driver's budget: with per-section emits
+# a late stall costs only the unfinished sections, never the record.
+WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "1500"))
 
 RESULTS = {
     "metric": "realtime_factor_v1_chain",
     "value": 0.0,
     "unit": "x_realtime_per_chip",
     "vs_baseline": 0.0,
+    "sections": [],
 }
 
 
-def emit(extra=None):
+def emit(extra=None, section=None):
+    if section:
+        RESULTS["sections"].append(section)
     out = dict(RESULTS)
     if extra:
         out.update(extra)
@@ -86,7 +93,7 @@ def _wait_for_backend():
     # backend-init failures can persist for hours, each probe hanging
     # ~25 min — so wait most of the watchdog budget before giving up.
     deadline = time.time() + int(os.environ.get(
-        "BENCH_INIT_WAIT_SEC", str(max(WATCHDOG_SEC - 900, 900))))
+        "BENCH_INIT_WAIT_SEC", str(max(WATCHDOG_SEC - 300, 900))))
     while True:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
@@ -113,7 +120,16 @@ def main():
 
     from amw_tpu import refimpl
     from amw_tpu.models.pipeline_v1 import build_v1_pipeline
+    from amw_tpu.runtime import compile_cache
     from amw_tpu.spec import GraphSpec
+
+    cache_dir = os.environ.get(
+        "BENCH_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    if compile_cache.enable(cache_dir):
+        log(f"persistent compile cache: {cache_dir}")
+        RESULTS["compile_cache"] = True
 
     sr = 44100
     dur = 180.0
@@ -198,6 +214,7 @@ def main():
     rtf = micro * dur / dt
     log(f"throughput: {dt:.3f}s per batch of {micro} -> {rtf:.0f}x realtime")
     RESULTS.update({"value": round(rtf, 1), "batch": micro})
+    emit(section="throughput")
 
     # Single-track p50 latency (its own compiled graph).
     step1 = batched(1)
@@ -212,6 +229,7 @@ def main():
     p50 = float(np.median(lats))
     log(f"p50 single-track latency: {p50*1e3:.0f} ms")
     RESULTS["p50_latency_ms"] = round(p50 * 1e3, 1)
+    emit(section="p50")
 
     # CPU oracle baseline + parity on a shorter probe (the quality gate —
     # run it before the slow-compiling extras).
@@ -223,7 +241,7 @@ def main():
                                    style="standard")
         cpu_dt = time.perf_counter() - t0
         cpu_rtf = probe_dur / cpu_dt
-        log(f"CPU oracle: {cpu_dt:.1f}s for {probe_dur}s -> "
+        log(f"CPU oracle (1 core): {cpu_dt:.1f}s for {probe_dur}s -> "
             f"{cpu_rtf:.2f}x realtime")
 
         pspec = GraphSpec(sr=sr, n=int(sr * probe_dur), channels=2, exact=True)
@@ -246,8 +264,37 @@ def main():
             "out_lufs": round(out_lufs, 2),
             "out_true_peak_dbtp": round(tp, 2),
         })
+        emit(section="parity")
     except Exception as e:  # noqa: BLE001
         log(f"parity section failed: {type(e).__name__}: {str(e)[:200]}")
+
+    # Multi-core CPU oracle (VERDICT r3 weak #7): the reference serves
+    # concurrent jobs via 2+1 semaphore slots (jobs_store.py:19-20), so the
+    # defensible speedup denominator is the oracle thread-pooled across a
+    # batch, not one core.  numpy releases the GIL in its inner loops.
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        threads = min(os.cpu_count() or 1, 8)
+        jobs = [make_track(sr, probe_dur, seed=50 + i)
+                for i in range(threads)]
+        with ThreadPoolExecutor(threads) as pool:  # warm the pool
+            t0 = time.perf_counter()
+            list(pool.map(
+                lambda tr: refimpl.v1_pipeline(tr, sr, target_lufs=-14.0,
+                                               style="standard"), jobs))
+            mc_dt = time.perf_counter() - t0
+        mc_rtf = threads * probe_dur / mc_dt
+        log(f"CPU oracle ({threads} threads): {mc_dt:.1f}s for "
+            f"{threads}x{probe_dur}s -> {mc_rtf:.2f}x realtime")
+        RESULTS.update({
+            "cpu_oracle_rtf_multicore": round(mc_rtf, 2),
+            "cpu_oracle_threads": threads,
+            "vs_baseline_multicore": round(rtf / mc_rtf, 1),
+        })
+        emit(section="oracle_multicore")
+    except Exception as e:  # noqa: BLE001
+        log(f"multicore oracle failed: {type(e).__name__}: {str(e)[:160]}")
 
     # Sustained batch throughput (BASELINE config #4): stream 256 tracks of
     # MIXED valid lengths through the bucketed, valid-length-masked v2 path
@@ -286,6 +333,7 @@ def main():
             f"recompiles: 0 (single cached executable)")
         RESULTS.update({"sustained_tracks_per_min": round(sus_tpm, 1),
                         "sustained_rtf": round(sus_rtf, 1)})
+        emit(section="sustained")
     except Exception as e:  # noqa: BLE001
         log(f"sustained bench failed: {type(e).__name__}: {str(e)[:200]}")
 
@@ -320,6 +368,7 @@ def main():
         log(f"export path (48k resample + TPDF dither + int16): "
             f"{exp_dt:.3f}s -> {exp_rtf:.0f}x")
         RESULTS["export_path_rtf"] = round(exp_rtf, 1)
+        emit(section="export")
     except Exception as e:  # noqa: BLE001
         log(f"export bench failed: {type(e).__name__}: {str(e)[:200]}")
 
@@ -341,6 +390,7 @@ def main():
         sweep_rtf = micro * dur / dt2
         log(f"genre sweep (edm, -9 LUFS): {dt2:.3f}s -> {sweep_rtf:.0f}x")
         RESULTS["genre_sweep_rtf"] = round(sweep_rtf, 1)
+        emit(section="genre_sweep")
     except Exception as e:  # noqa: BLE001
         log(f"genre sweep failed: {type(e).__name__}: {str(e)[:160]}")
 
@@ -372,6 +422,7 @@ def main():
         log(f"TP-limited sweep (edm -9 + tplimit): out TP "
             f"{tp_lim:.2f} dBTP (gate <= -1.0), probe {tp_dt*1e3:.0f} ms")
         RESULTS["out_true_peak_dbtp_limited"] = round(tp_lim, 2)
+        emit(section="tp_gate")
     except Exception as e:  # noqa: BLE001
         log(f"TP-limited sweep failed: {type(e).__name__}: {str(e)[:160]}")
 
@@ -381,18 +432,20 @@ def main():
     # Deliberately run on the CPU backend: the restart-warm capability is
     # backend-agnostic, and a second live process must not contend for the
     # relay's device claim while this one holds it (docs/TPU_NOTES.md).
+    # (The TPU-backend evidence is this very run: with BENCH_CACHE_DIR
+    # warmed, the compile lines above read ~1 s instead of 30-50 s.)
     try:
         import subprocess
         import tempfile
 
-        cache_dir = tempfile.mkdtemp(prefix="amw_jaxcache_")
+        cc_dir = tempfile.mkdtemp(prefix="amw_jaxcache_")
         child = (
             "import os,sys,time,numpy as np\n"
             "sys.path.insert(0, '.')\n"
             "import jax\n"
             "jax.config.update('jax_platforms', 'cpu')\n"
             "from amw_tpu.runtime import compile_cache\n"
-            f"compile_cache.enable({cache_dir!r})\n"
+            f"compile_cache.enable({cc_dir!r})\n"
             "from amw_tpu.models.pipeline_v1 import build_v1_pipeline\n"
             "from amw_tpu.spec import GraphSpec\n"
             f"spec = GraphSpec(sr={sr}, n={int(sr * 20.0)}, channels=2, "
@@ -419,12 +472,13 @@ def main():
                 f"{times[0]:.1f}s -> restart first-job {times[1]:.1f}s")
             RESULTS["cold_first_job_s"] = round(times[0], 1)
             RESULTS["restart_first_job_s"] = round(times[1], 1)
+            emit(section="compile_cache")
     except Exception as e:  # noqa: BLE001
         log(f"compile-cache bench failed: {type(e).__name__}: {str(e)[:160]}")
 
     # Per-stage p50 map (VERDICT r2 item 6): marginal cost of each fused v1
     # stage at batch=micro via cumulative prefixes (see scripts/bench_stages
-    # for caveats near fused pairs).  The round-4 optimization map.
+    # for caveats near fused pairs).  The optimization map.
     try:
         stage_fns = raw_fn.stage_fns
         stage_ms = {}
@@ -449,11 +503,13 @@ def main():
             prev = dt_k
         log("stage marginal ms: " + json.dumps(stage_ms))
         RESULTS["stage_ms"] = stage_ms
+        emit(section="stage_map")
     except Exception as e:  # noqa: BLE001
         log(f"stage map failed: {type(e).__name__}: {str(e)[:160]}")
 
     # htdemucs (BASELINE config #5): released-shape forward RTF + the
-    # isolate-vocal -> master end-to-end number (VERDICT r2 item 2).
+    # isolate-vocal -> master end-to-end number (VERDICT r2 item 2), now
+    # with the e2e budget split into stages (VERDICT r3 item 4).
     try:
         from amw_tpu.models import htdemucs_jax as hj
 
@@ -479,6 +535,51 @@ def main():
         h_rtf = 4 * cfg.segment / hdt
         log(f"htdemucs fwd batch=4: {hdt*1e3:.0f} ms -> {h_rtf:.0f}x realtime")
         RESULTS["htdemucs_fwd_rtf"] = round(h_rtf, 1)
+        emit(section="htdemucs_fwd")
+
+        # Quality gate (VERDICT r3 item 5): held-out vocal SNR of the
+        # committed trained tiny checkpoint vs the mixture-as-estimate
+        # baseline (same metric tests/test_htdemucs_parity.py floors at
+        # 8 dB; training measured ~13.8 dB).
+        try:
+            import importlib.util
+            import pathlib
+
+            from amw_tpu.models.vocal import htdemucs_checkpoint_path
+
+            root = pathlib.Path(__file__).resolve().parent
+            tspec = importlib.util.spec_from_file_location(
+                "train_htdemucs_tiny",
+                root / "scripts" / "train_htdemucs_tiny.py")
+            train_mod = importlib.util.module_from_spec(tspec)
+            tspec.loader.exec_module(train_mod)
+            os.environ["AMW_HTDEMUCS_CKPT"] = "bundled"
+            try:
+                qcfg, qparams = hj.load_params(htdemucs_checkpoint_path())
+            finally:
+                os.environ.pop("AMW_HTDEMUCS_CKPT", None)
+            rng = np.random.default_rng(987654)  # held-out seed
+            stems = train_mod.synth_batch(rng, 4, qcfg.segment_samples,
+                                          qcfg.samplerate)
+            qmix = stems.sum(axis=1).astype(np.float32)
+            pred = np.asarray(jax.jit(
+                lambda p, x: hj.forward(p, x, qcfg))(
+                jax.device_put(dict(qparams)), jnp.asarray(qmix)))
+            vt = stems[:, 3]
+
+            def snr(est):
+                return 10 * np.log10(np.sum(vt ** 2)
+                                     / max(np.sum((est - vt) ** 2), 1e-12))
+
+            s_model, s_base = snr(pred[:, 3]), snr(qmix)
+            log(f"htdemucs quality: vocal SNR {s_model:.1f} dB vs mixture "
+                f"baseline {s_base:.1f} dB (held-out)")
+            RESULTS["htdemucs_vocal_snr_db"] = round(float(s_model), 1)
+            RESULTS["htdemucs_mixture_snr_db"] = round(float(s_base), 1)
+            emit(section="htdemucs_quality")
+        except Exception as e:  # noqa: BLE001
+            log(f"htdemucs quality gate failed: "
+                f"{type(e).__name__}: {str(e)[:160]}")
 
         # isolate -> master e2e: separate a 60 s track (vocals stem picked
         # on device), then the fused v1 chain on the stem.
@@ -505,6 +606,32 @@ def main():
         fence(jnp.sum(jnp.square(warm)))
         fence(jnp.sum(jnp.square(mfn(jnp.asarray(track), mdev))))
         measure_relay()
+
+        # Stage split (each stage fenced separately; sums slightly above
+        # the pipelined e2e number below, which fences once).
+        e2e_stage_ms = {}
+        t0 = time.perf_counter()
+        vocals = hj.separate(hdev, track, cfg, stems=("vocals",),
+                             device_out=True)[0]
+        fence(jnp.sum(jnp.square(vocals)))
+        e2e_stage_ms["upload+separate"] = round(
+            (time.perf_counter() - t0 - relay) * 1e3, 1)
+        t0 = time.perf_counter()
+        mastered = mfn(jnp.clip(vocals, -1.0, 1.0), mdev)
+        fence(jnp.sum(jnp.square(mastered)))
+        e2e_stage_ms["master"] = round(
+            (time.perf_counter() - t0 - relay) * 1e3, 1)
+        # Upload alone (device_put of the int16 mix + fence).
+        xi16 = np.round(track * 32768.0).astype(np.int16)
+        t0 = time.perf_counter()
+        up = jax.device_put(xi16)
+        fence(jnp.sum(up.astype(jnp.float32)))
+        e2e_stage_ms["upload_alone"] = round(
+            (time.perf_counter() - t0 - relay) * 1e3, 1)
+        log(f"e2e stage split: {json.dumps(e2e_stage_ms)}")
+        RESULTS["htdemucs_e2e_stage_ms"] = e2e_stage_ms
+
+        # Headline e2e: one pipelined pass, single fence at the end.
         t0 = time.perf_counter()
         # device_out: the vocals stem never leaves the device between the
         # separator and the mastering graph (saves 2× track bytes of relay
@@ -518,10 +645,11 @@ def main():
         log(f"isolate+master e2e ({e2e_dur:.0f}s track): {e2e:.2f}s -> "
             f"{e2e_rtf:.1f}x realtime")
         RESULTS["htdemucs_e2e_rtf"] = round(e2e_rtf, 1)
+        emit(section="htdemucs_e2e")
     except Exception as e:  # noqa: BLE001
         log(f"htdemucs bench failed: {type(e).__name__}: {str(e)[:160]}")
 
-    emit()
+    emit(section="done")
 
 
 if __name__ == "__main__":

@@ -271,3 +271,64 @@ def test_bundled_checkpoint_genuinely_separates():
 
     s_model, s_base = snr(voc_pred), snr(mix)
     assert s_model > s_base + 8.0, (s_model, s_base)
+    # Absolute quality floor (VERDICT r3 item 5): training measured
+    # ~13.8 dB held-out vocal SNR; gate well below that so a silently
+    # degraded checkpoint fails here.  bench.py records the same number
+    # per-run as htdemucs_vocal_snr_db.
+    assert s_model > 8.0, s_model
+
+
+def test_released_shape_conversion_dry_run(tmp_path):
+    """Full released-shape conversion dry-run (VERDICT r3 item 5): a
+    synthetic state dict in the demucs package format at the REAL htdemucs
+    dimensions (4 stems, channels=48, nfft=4096, bottom=512, 5 transformer
+    layers) goes through scripts/convert_htdemucs.py's convert entry, the
+    orbax checkpoint loads, and one forward runs — so the first time a
+    real 955717e8 checkpoint is available, every step after ``torch.load``
+    is already proven at released shape."""
+    import importlib.util
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from amw_tpu.models.htdemucs_torch import HTDemucsTorch
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "convert_htdemucs", root / "scripts" / "convert_htdemucs.py")
+    conv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(conv)
+
+    cfg = hj.HTConfig()  # released defaults
+    torch.manual_seed(1)
+    model = HTDemucsTorch(cfg).eval()
+    blob = {
+        "klass": "HTDemucs",
+        "args": [],
+        "kwargs": {"sources": list(cfg.sources), "audio_channels": 2,
+                   "channels": cfg.channels, "nfft": cfg.nfft,
+                   "bottom_channels": cfg.bottom_channels,
+                   "t_layers": cfg.t_layers, "t_heads": cfg.t_heads,
+                   "segment": cfg.segment, "samplerate": cfg.samplerate},
+        "state": model.state_dict(),
+    }
+    ckpt = tmp_path / "synthetic_released.th"
+    torch.save(blob, ckpt)
+    del model, blob
+
+    out_dir = tmp_path / "converted"
+    assert conv.cmd_convert(str(ckpt), str(out_dir)) == 0
+
+    cfg2, params = hj.load_params(str(out_dir))
+    assert len(cfg2.sources) == 4 and cfg2.channels == 48
+    assert cfg2.nfft == 4096 and cfg2.bottom_channels == 512
+    # One forward at released shape (short hop-aligned input keeps the CPU
+    # cost reasonable; the architecture is length-flexible).
+    T = cfg2.hop * 64
+    mix = jnp.asarray(0.05 * np.random.default_rng(0)
+                      .standard_normal((1, 2, T)).astype(np.float32))
+    out = np.asarray(jax.jit(lambda p, x: hj.forward(p, x, cfg2))(
+        jax.device_put(dict(params)), mix))
+    assert out.shape == (1, 4, 2, T)
+    assert np.all(np.isfinite(out))

@@ -150,30 +150,43 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None, pre=None,
                 nv = validctx.n_valid()
                 xr = validctx.right_window(x, w_in, nv)
                 with validctx.cleared():
-                    core = odd_ext(x, padlen)
+                    # pallas path: extend AND zero-pad to nfft in one
+                    # concatenate (roundtrip_multi then skips its pad pass)
+                    core = odd_ext(x, padlen,
+                                   pad_to=nfft if use_pallas else None)
                     lr = f_small(jnp.stack([x[..., :w_in], xr]), ps)
                 left = [b[0] for b in lr]
                 right = [b[1] for b in lr]
                 if band_maps is not None and use_pallas:
                     # fused end to end: fwd -> responses -> inv -> maps ->
-                    # band sum, spectrum and band signals never in HBM
-                    mix = fp.roundtrip_multi_reduce(core, Rd, nfft,
-                                                    padlen + n, band_maps,
-                                                    tables=params[2])[..., padlen:]
+                    # band sum, spectrum and band signals never in HBM.
+                    # Full nfft-length output; the splice slices past the
+                    # odd extension (off=padlen) — no truncation copy.
+                    mix = fp.roundtrip_multi_reduce(core, Rd, nfft, nfft,
+                                                    band_maps,
+                                                    tables=params[2])
                     el = sum(band_maps[i](left[i]) for i in range(4))
                     er = sum(band_maps[i](right[i]) for i in range(4))
-                    return validctx.splice(mix, el, er, n, L, nv)
+                    return validctx.splice(mix, el, er, n, L, nv,
+                                           off=padlen)
                 # One batched inverse over the 4 band responses — measured
                 # ~50 ms faster than 4 separate transforms at [16, 2^23].
                 if use_pallas:
-                    ys = fp.roundtrip_multi(core, Rd, nfft, padlen + n,
-                                            tables=params[2])[..., padlen:]
-                else:
-                    X = jnp.fft.rfft(core, n=nfft, axis=-1)
-                    Rb = Rd.reshape((4,) + (1,) * (X.ndim - 1)
-                                    + (Rd.shape[-1],))
-                    ys = jnp.fft.irfft(X[None] * Rb, n=nfft,
-                                       axis=-1)[..., padlen:padlen + n]
+                    ys = fp.roundtrip_multi(core, Rd, nfft, nfft,
+                                            tables=params[2])
+                    out = []
+                    for i in range(4):
+                        out.append(validctx.splice(
+                            ys[i], left[i], right[i], n, L, nv,
+                            off=padlen))
+                    if band_maps is not None:
+                        return sum(band_maps[i](out[i]) for i in range(4))
+                    return out
+                X = jnp.fft.rfft(core, n=nfft, axis=-1)
+                Rb = Rd.reshape((4,) + (1,) * (X.ndim - 1)
+                                + (Rd.shape[-1],))
+                ys = jnp.fft.irfft(X[None] * Rb, n=nfft,
+                                   axis=-1)[..., padlen:padlen + n]
                 out = []
                 for i in range(4):
                     out.append(validctx.splice(ys[i], left[i], right[i],

@@ -76,28 +76,42 @@ def _apply_response(x, H, nfft: int, conj: bool = False):
     return _irfft(_rfft(x, nfft) * H, nfft)
 
 
-def odd_ext(x: jax.Array, p: int) -> jax.Array:
-    """Odd extension by ``p`` samples at both ends (scipy ``odd_ext``)."""
+def odd_ext(x: jax.Array, p: int, pad_to: int | None = None) -> jax.Array:
+    """Odd extension by ``p`` samples at both ends (scipy ``odd_ext``).
+
+    ``pad_to``: optionally zero-pad the result to this total length in the
+    SAME concatenate — an FFT consumer then skips its own pad-to-nfft pass
+    (one full HBM round trip of the track saved)."""
     if p <= 0:
+        if pad_to is not None and pad_to > x.shape[-1]:
+            return jnp.pad(x, ((0, 0),) * (x.ndim - 1)
+                           + ((0, pad_to - x.shape[-1]),))
         return x
     left = 2.0 * x[..., :1] - x[..., p:0:-1]
     right = 2.0 * x[..., -1:] - x[..., -2:-p - 2:-1]
-    return jnp.concatenate([left, x, right], axis=-1)
+    parts = [left, x, right]
+    total = x.shape[-1] + 2 * p
+    if pad_to is not None and pad_to > total:
+        parts.append(jnp.zeros(x.shape[:-1] + (pad_to - total,), x.dtype))
+    return jnp.concatenate(parts, axis=-1)
 
 
-def odd_ext_valid(x: jax.Array, p: int, nv) -> jax.Array:
+def odd_ext_valid(x: jax.Array, p: int, nv,
+                  pad_to: int | None = None) -> jax.Array:
     """Odd extension anchored at the traced valid end.
 
     ``x`` must be zero beyond ``nv``.  Returns a buffer of static length
-    ``n + 2p``: left extension (around t=0), the signal, then the right odd
-    extension written at position ``p + nv`` (zeros beyond).  With
-    ``nv == n`` this equals :func:`odd_ext`."""
+    ``n + 2p`` (or ``pad_to``, see :func:`odd_ext`): left extension
+    (around t=0), the signal, then the right odd extension written at
+    position ``p + nv`` (zeros beyond).  With ``nv == n`` this equals
+    :func:`odd_ext`."""
     if p <= 0:
-        return x
+        return odd_ext(x, 0, pad_to)
     n = x.shape[-1]
+    tail = max(p, (pad_to - n - p) if pad_to is not None else p)
     left = 2.0 * x[..., :1] - x[..., p:0:-1]
     buf = jnp.concatenate(
-        [left, x, jnp.zeros(x.shape[:-1] + (p,), x.dtype)], axis=-1)
+        [left, x, jnp.zeros(x.shape[:-1] + (tail,), x.dtype)], axis=-1)
     from .validctx import gather_last
 
     last = gather_last(x, nv)

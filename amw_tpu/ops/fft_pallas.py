@@ -94,21 +94,66 @@ def _resolve_mode() -> str:
     return _MODE
 
 
+def _split(a):
+    """f32 → (hi, lo) bf16 planes with hi + lo ≈ a to ~2^-16 relative."""
+    bf = jnp.bfloat16
+    ah = a.astype(bf)
+    return ah, (a - ah.astype(jnp.float32)).astype(bf)
+
+
+def _dot3(ah, al, bh, bl):
+    """3-pass bf16 product of pre-split operands (lax HIGH semantics: the
+    dropped a_lo·b_lo term is ~2^-16 relative — far below the bf16
+    rounding of the three kept passes)."""
+    d = lambda u, v: jax.lax.dot_general(
+        u, v, _DIMS, preferred_element_type=jnp.float32)
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
 def _dot(a, b):
     """f32 [m, k] @ [k, n] on the MXU at the module's precision mode."""
     if _resolve_mode() != "bf16x3":
         return jax.lax.dot_general(a, b, _DIMS, precision=_HI,
                                    preferred_element_type=jnp.float32)
-    bf = jnp.bfloat16
-    ah = a.astype(bf)
-    al = (a - ah.astype(jnp.float32)).astype(bf)
-    bh = b.astype(bf)
-    bl = (b - bh.astype(jnp.float32)).astype(bf)
-    d = lambda u, v: jax.lax.dot_general(
-        u, v, _DIMS, preferred_element_type=jnp.float32)
-    # Dropped a_lo·b_lo term is ~2^-16 relative — far below the bf16
-    # rounding of the three kept passes; matches lax HIGH semantics.
-    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+    return _dot3(*_split(a), *_split(b))
+
+
+# Complex-dot shape: "kara" (default) evaluates the complex product with 3
+# real contractions (Karatsuba: M1=ar·br, M2=ai·bi, M3=(ar+ai)·(br+bi),
+# re=M1-M2, im=M3-M1-M2) — 9 bf16 MXU passes instead of 12 and 6 operand
+# splits instead of 8.  The recombination roughly doubles the error
+# constant on the imaginary plane (measured round-trip parity stays well
+# inside the -90 dBFS budget — see scripts/bench_fft_stages.py).
+# AMW_FFT_CPLX=split4 restores the 4-contraction form (shared splits, so
+# it is bitwise-identical to the round-3 kernels at lower VPU cost).
+_CPLX = os.environ.get("AMW_FFT_CPLX", "kara")
+
+
+def _cdot(ar, ai, br, bi):
+    """Complex contraction (a @ b) with a's minor axis against b's major:
+    returns (re, im).  Shared bf16 splits across the real contractions."""
+    if _resolve_mode() != "bf16x3":
+        d = lambda u, v: jax.lax.dot_general(
+            u, v, _DIMS, precision=_HI, preferred_element_type=jnp.float32)
+        if _CPLX == "kara":
+            m1 = d(ar, br)
+            m2 = d(ai, bi)
+            m3 = d(ar + ai, br + bi)
+            return m1 - m2, m3 - m1 - m2
+        return d(ar, br) - d(ai, bi), d(ar, bi) + d(ai, br)
+    arh, arl = _split(ar)
+    aih, ail = _split(ai)
+    brh, brl = _split(br)
+    bih, bil = _split(bi)
+    if _CPLX == "kara":
+        m1 = _dot3(arh, arl, brh, brl)
+        m2 = _dot3(aih, ail, bih, bil)
+        ash, asl = _split(ar + ai)
+        bsh, bsl = _split(br + bi)
+        m3 = _dot3(ash, asl, bsh, bsl)
+        return m1 - m2, m3 - m1 - m2
+    return (_dot3(arh, arl, brh, brl) - _dot3(aih, ail, bih, bil),
+            _dot3(arh, arl, bih, bil) + _dot3(aih, ail, brh, brl))
 
 
 def plan_ok(nfft: int) -> bool:
@@ -129,15 +174,15 @@ def _tables(nfft: int, inverse: bool):
     wa = np.exp(sign * 1j * np.pi * np.outer(np.arange(A), np.arange(A)) / A)
     wb = np.exp(sign * 1j * np.pi * np.outer(np.arange(B), np.arange(B)) / B)
     wc = np.exp(sign * 1j * np.pi * np.outer(np.arange(C), np.arange(C)) / C)
-    # Stage-1 twiddle exp(sign·2πi·a'(bC+c)/N), stored [B, A, C] so each
-    # grid step streams its (A, C) slab alongside the data block.  (A
-    # (128,1)-blocked [A,B] factor table is not a legal Mosaic block, and
-    # computing the angle in-kernel in f32 costs ~6e-5 relative twiddle
-    # error — above the -90 dBFS budget — so the f64-accurate table wins.)
-    b_idx = np.arange(B)[:, None, None]
-    a_idx = np.arange(A)[None, :, None]
-    c_idx = np.arange(C)[None, None, :]
-    t1 = np.exp(sign * 1j * np.pi * a_idx * (b_idx * C + c_idx) / nfft)
+    # Stage-1 twiddle exp(sign·2πi·a'·col/N) stored [A, B·C] — elementwise
+    # aligned with the data's [A, B·C] view, so any lane-tile width slices
+    # both identically (AMW_FFT_A_COLS).  (A (128,1)-blocked [A,B] factor
+    # table is not a legal Mosaic block, and computing the angle in-kernel
+    # in f32 costs ~6e-5 relative twiddle error — above the -90 dBFS
+    # budget — so the f64-accurate table wins.)
+    a_idx = np.arange(A)[:, None]
+    col = np.arange(B * C)[None, :]
+    t1 = np.exp(sign * 1j * np.pi * a_idx * col / nfft)
     t2 = np.exp(sign * 1j * np.pi * np.outer(np.arange(B), np.arange(C)) / (B * C))
     f32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
     return tuple(map(f32, (wa, wb, wc, t1, t2)))
@@ -220,20 +265,20 @@ def _cmul(ar, ai, br, bi):
 
 def _dot_l(Fr, Fi, xr, xi):
     """(F @ x): contract x's sublane axis."""
-    return (_dot(Fr, xr) - _dot(Fi, xi)), (_dot(Fr, xi) + _dot(Fi, xr))
+    return _cdot(Fr, Fi, xr, xi)
 
 
 def _dot_r(xr, xi, Fr, Fi):
     """(x @ F): contract x's lane axis."""
-    return (_dot(xr, Fr) - _dot(xi, Fi)), (_dot(xr, Fi) + _dot(xi, Fr))
+    return _cdot(xr, xi, Fr, Fi)
 
 
 def _stage_a_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
                     or_ref, oi_ref, *, pre, scale):
     xr = xr_ref[0]
     xi = xi_ref[0]
-    twr = t1r_ref[0]
-    twi = t1i_ref[0]
+    twr = t1r_ref[...]
+    twi = t1i_ref[...]
     if pre:
         xr, xi = _cmul(xr, xi, twr, twi)
     yr, yi = _dot_l(fr_ref[...], fi_ref[...], xr, xi)
@@ -252,7 +297,7 @@ def _stage_a_real_in_kernel(xr_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
     xr = xr_ref[0]
     yr = _dot(fr_ref[...], xr)
     yi = _dot(fi_ref[...], xr)
-    yr, yi = _cmul(yr, yi, t1r_ref[0], t1i_ref[0])
+    yr, yi = _cmul(yr, yi, t1r_ref[...], t1i_ref[...])
     or_ref[0] = yr
     oi_ref[0] = yi
 
@@ -260,8 +305,21 @@ def _stage_a_real_in_kernel(xr_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
 def _stage_a_real_out_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref,
                              t1i_ref, or_ref, *, scale):
     """Final inverse stage A keeping only the REAL output: two dots."""
-    xr, xi = _cmul(xr_ref[0], xi_ref[0], t1r_ref[0], t1i_ref[0])
+    xr, xi = _cmul(xr_ref[0], xi_ref[0], t1r_ref[...], t1i_ref[...])
     or_ref[0] = (_dot(fr_ref[...], xr) - _dot(fi_ref[...], xi)) * scale
+
+
+def _stage_a_inv_join_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref,
+                             t1i_ref, o_ref, *, scale):
+    """Inverse stage A for packed rows, writing BOTH planes into one output
+    array laid out [K, 2, R2, ...] — the caller reshapes to [K, 2·R2, n]
+    (real rows then imag rows per response), replacing the
+    ``jnp.concatenate([Yr, Yi])`` that cost a full extra HBM round trip of
+    the K output planes (2 GB at K=4, [16, 2^23])."""
+    xr, xi = _cmul(xr_ref[0, 0], xi_ref[0, 0], t1r_ref[...], t1i_ref[...])
+    yr, yi = _dot_l(fr_ref[...], fi_ref[...], xr, xi)
+    o_ref[0, 0, 0] = yr * scale
+    o_ref[0, 1, 0] = yi * scale
 
 
 def _cstage_fwd(xr, xi, wr, wi, ctr, cti, nfft):
@@ -415,7 +473,20 @@ def _stage_cb_multi_kernel(xr_ref, xi_ref, fbr_ref, fbi_ref, t2r_ref,
 
 def _const_spec(shape):
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda j, r: (0,) * nd)
+    return pl.BlockSpec(shape, lambda *idx: (0,) * nd)
+
+
+def _a_cols(C: int) -> int:
+    """Lane-tile width (in units of C) for the stage-A grid.  Wider tiles
+    cut the grid-step count at the cost of VMEM.  Measured on v5e at
+    [8 packed rows, 2^23]: m=2 helps the FLAT layout (stage A 4.75 ->
+    4.17 ms) but HURTS the production vmapped roundtrip (48.8 -> 59.2 ms
+    at R2=1 per element), and m=4 fails remote compile — so the default
+    stays 1; flat-batch callers may set ``AMW_FFT_A_COLS=2``."""
+    m = int(os.environ.get("AMW_FFT_A_COLS", "1"))
+    while m > 1 and (B % m or (C * m) * A * 4 > (4 << 20)):
+        m //= 2
+    return max(m, 1)
 
 
 def _stage_a(xr, xi, nfft, inverse, tables, interpret=False,
@@ -429,42 +500,69 @@ def _stage_a(xr, xi, nfft, inverse, tables, interpret=False,
     R = xr.shape[0]
     xr3 = xr.reshape(R, A, B * C)
     scale = (1.0 / nfft) if inverse else 1.0
-    spec_x = pl.BlockSpec((1, A, C), lambda j, r: (r, 0, j))
-    spec_t1 = pl.BlockSpec((1, A, C), lambda j, r: (j, 0, 0))
+    m = _a_cols(C)
+    spec_x = pl.BlockSpec((1, A, C * m), lambda j, r: (r, 0, j))
+    spec_t1 = pl.BlockSpec((A, C * m), lambda j, r: (0, j))
     f_specs = [_const_spec((A, A)), _const_spec((A, A))]
     wa_in = (jnp.asarray(wa[0]), jnp.asarray(wa[1]))
-    t1_in = (t1r.reshape(B, A, C), t1i.reshape(B, A, C))
+    grid = (B // m, R)
     if real_in and not inverse:
         out = pl.pallas_call(
             _stage_a_real_in_kernel,
-            grid=(B, R),
+            grid=grid,
             in_specs=[spec_x] + f_specs + [spec_t1, spec_t1],
             out_specs=[spec_x, spec_x],
             out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)] * 2,
             interpret=interpret,
-        )(xr3, *wa_in, *t1_in)
+        )(xr3, *wa_in, t1r, t1i)
         return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
     xi3 = xi.reshape(R, A, B * C)
     if real_out and inverse:
         out = pl.pallas_call(
             functools.partial(_stage_a_real_out_kernel, scale=scale),
-            grid=(B, R),
+            grid=grid,
             in_specs=[spec_x, spec_x] + f_specs + [spec_t1, spec_t1],
             out_specs=[spec_x],
             out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)],
             interpret=interpret,
-        )(xr3, xi3, *wa_in, *t1_in)
+        )(xr3, xi3, *wa_in, t1r, t1i)
         return out[0].reshape(R, nfft), None
     kern = functools.partial(_stage_a_kernel, pre=inverse, scale=scale)
     out = pl.pallas_call(
         kern,
-        grid=(B, R),
+        grid=grid,
         in_specs=[spec_x, spec_x] + f_specs + [spec_t1, spec_t1],
         out_specs=[spec_x, spec_x],
         out_shape=[jax.ShapeDtypeStruct(xr3.shape, jnp.float32)] * 2,
         interpret=interpret,
-    )(xr3, xi3, *wa_in, *t1_in)
+    )(xr3, xi3, *wa_in, t1r, t1i)
     return out[0].reshape(R, nfft), out[1].reshape(R, nfft)
+
+
+def _stage_a_inv_join(Yr, Yi, K: int, nfft: int, tables, interpret=False):
+    """Packed inverse stage A over K response planes of R2 packed rows:
+    [K·R2, nfft] (re, im) → ONE [K, 2·R2, nfft] array ordered (real rows,
+    imag rows) per response — no post-kernel concatenate."""
+    C = nfft // (A * B)
+    R2 = Yr.shape[0] // K
+    wa, _, _, _, _ = _tables(nfft, True)
+    t1r, t1i, _, _ = _tabs(tables, True)
+    yr4 = Yr.reshape(K, R2, A, B * C)
+    yi4 = Yi.reshape(K, R2, A, B * C)
+    spec_x = pl.BlockSpec((1, 1, A, C), lambda j, k, r: (k, r, 0, j))
+    spec_t1 = pl.BlockSpec((A, C), lambda j, k, r: (0, j))
+    spec_o = pl.BlockSpec((1, 2, 1, A, C), lambda j, k, r: (k, 0, r, 0, j))
+    out = pl.pallas_call(
+        functools.partial(_stage_a_inv_join_kernel, scale=1.0 / nfft),
+        grid=(B, K, R2),
+        in_specs=[spec_x, spec_x,
+                  _const_spec((A, A)), _const_spec((A, A)),
+                  spec_t1, spec_t1],
+        out_specs=spec_o,
+        out_shape=jax.ShapeDtypeStruct((K, 2, R2, A, B * C), jnp.float32),
+        interpret=interpret,
+    )(yr4, yi4, jnp.asarray(wa[0]), jnp.asarray(wa[1]), t1r, t1i)
+    return out.reshape(K, 2 * R2, nfft)
 
 
 def _bc_tables(nfft, inverse, tables):
@@ -679,8 +777,7 @@ def apply_response(x, resp_perm, nfft: int, tables=None,
             Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
             Yr, Yi = _stage_cb(Xr, Xi, nfft, tables, resp=resp_perm,
                                interpret=interpret)
-        Yr, Yi = _stage_a(Yr, Yi, nfft, True, tables, interpret)
-        out = jnp.concatenate([Yr, Yi], axis=0)
+        out = _stage_a_inv_join(Yr, Yi, 1, nfft, tables, interpret)[0]
         return out[:, :m].reshape(lead + (m,))
     Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret,
                       real_in=True)
@@ -763,11 +860,9 @@ def roundtrip_multi(x, resps_perm, nfft: int, n_out: int,
             Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
             Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables,
                                      interpret)
-        Yr, Yi = _stage_a(Yr, Yi, nfft, True, tables, interpret)
-        # [K*R2, nfft] planes -> [K, R, n_out] (real rows then imag rows)
-        Yr = Yr.reshape(K, R2, nfft)
-        Yi = Yi.reshape(K, R2, nfft)
-        out = jnp.concatenate([Yr, Yi], axis=1)
+        # single-array inverse stage A: [K, R, nfft] with real rows then
+        # imag rows per response — no concatenate pass.
+        out = _stage_a_inv_join(Yr, Yi, K, nfft, tables, interpret)
         return out[..., :n_out].reshape((K,) + tuple(lead) + (n_out,))
     Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret, real_in=True)
     if _fused_rt():
@@ -802,10 +897,9 @@ def roundtrip_multi_reduce(x, resps_perm, nfft: int, n_out: int, band_fns,
             Xr, Xi = _stage_bc(Xr, Xi, nfft, tables, interpret)
             Yr, Yi = _stage_cb_multi(Xr, Xi, resps_perm, nfft, tables,
                                      interpret)
-        mr, mi = _reduce_stage_a_packed(
+        out = _reduce_stage_a_packed(
             Yr, Yi, resps_perm.shape[0], R2, nfft, band_fns, tables,
             interpret)
-        out = jnp.concatenate([mr, mi], axis=0)
         return out[:, :n_out].reshape(tuple(lead) + (n_out,))
     Xr, Xi = _stage_a(xr, None, nfft, False, tables, interpret, real_in=True)
     if _fused_rt():
@@ -839,8 +933,8 @@ def _stage_a_reduce_kernel(yr_ref, yi_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
     map fused in and the bands summed in-VMEM.  Blocks hold strided time
     samples, which is fine for per-sample maps; the output array is the
     summed time signal in natural order."""
-    twr = t1r_ref[0]
-    twi = t1i_ref[0]
+    twr = t1r_ref[...]
+    twi = t1i_ref[...]
     acc = None
     for k in range(K):
         xr, xi = _cmul(yr_ref[k, 0], yi_ref[k, 0], twr, twi)
@@ -851,13 +945,13 @@ def _stage_a_reduce_kernel(yr_ref, yi_ref, fr_ref, fi_ref, t1r_ref, t1i_ref,
 
 
 def _stage_a_reduce_packed_kernel(yr_ref, yi_ref, fr_ref, fi_ref, t1r_ref,
-                                  t1i_ref, or_ref, oi_ref, *, K, scale,
-                                  band_fns):
+                                  t1i_ref, o_ref, *, K, scale, band_fns):
     """Packed-rows variant of :func:`_stage_a_reduce_kernel`: full complex
     inverse stage A, per-band maps applied to EACH plane (both planes hold
-    real packed signals), band sums kept per plane."""
-    twr = t1r_ref[0]
-    twi = t1i_ref[0]
+    real packed signals), band sums kept per plane.  Both plane sums land
+    in ONE output array [2, R2, ...] (no post-kernel concatenate)."""
+    twr = t1r_ref[...]
+    twi = t1i_ref[...]
     acc_r = acc_i = None
     for k in range(K):
         xr, xi = _cmul(yr_ref[k, 0], yi_ref[k, 0], twr, twi)
@@ -866,21 +960,21 @@ def _stage_a_reduce_packed_kernel(yr_ref, yi_ref, fr_ref, fi_ref, t1r_ref,
         zi = band_fns[k](zi * scale)
         acc_r = zr if acc_r is None else acc_r + zr
         acc_i = zi if acc_i is None else acc_i + zi
-    or_ref[0] = acc_r
-    oi_ref[0] = acc_i
+    o_ref[0, 0] = acc_r
+    o_ref[1, 0] = acc_i
 
 
 def _reduce_stage_a_packed(Yr, Yi, K, R2, nfft, band_fns, tables, interpret):
-    """Packed-rows reduce: returns (real-plane rows, imag-plane rows),
-    each [R2, nfft]."""
+    """Packed-rows reduce: returns ONE [2·R2, nfft] array (real-plane rows
+    then imag-plane rows)."""
     C = nfft // (A * B)
     wa, _, _, _, _ = _tables(nfft, True)
     t1r, t1i, _, _ = _tabs(tables, True)
     yr4 = Yr.reshape(K, R2, A, B * C)
     yi4 = Yi.reshape(K, R2, A, B * C)
     spec_y = pl.BlockSpec((K, 1, A, C), lambda j, r: (0, r, 0, j))
-    spec_o = pl.BlockSpec((1, A, C), lambda j, r: (r, 0, j))
-    spec_t1 = pl.BlockSpec((1, A, C), lambda j, r: (j, 0, 0))
+    spec_o = pl.BlockSpec((2, 1, A, C), lambda j, r: (0, r, 0, j))
+    spec_t1 = pl.BlockSpec((A, C), lambda j, r: (0, j))
     out = pl.pallas_call(
         functools.partial(_stage_a_reduce_packed_kernel, K=K,
                           scale=1.0 / nfft, band_fns=tuple(band_fns)),
@@ -888,12 +982,11 @@ def _reduce_stage_a_packed(Yr, Yi, K, R2, nfft, band_fns, tables, interpret):
         in_specs=[spec_y, spec_y,
                   _const_spec((A, A)), _const_spec((A, A)),
                   spec_t1, spec_t1],
-        out_specs=[spec_o, spec_o],
-        out_shape=[jax.ShapeDtypeStruct((R2, A, B * C), jnp.float32)] * 2,
+        out_specs=spec_o,
+        out_shape=jax.ShapeDtypeStruct((2, R2, A, B * C), jnp.float32),
         interpret=interpret,
-    )(yr4, yi4, jnp.asarray(wa[0]), jnp.asarray(wa[1]),
-      t1r.reshape(B, A, C), t1i.reshape(B, A, C))
-    return out[0].reshape(R2, nfft), out[1].reshape(R2, nfft)
+    )(yr4, yi4, jnp.asarray(wa[0]), jnp.asarray(wa[1]), t1r, t1i)
+    return out.reshape(2 * R2, nfft)
 
 
 def _reduce_stage_a(Yr, Yi, K, R, nfft, band_fns, tables, interpret):
@@ -906,7 +999,7 @@ def _reduce_stage_a(Yr, Yi, K, R, nfft, band_fns, tables, interpret):
     yi4 = Yi.reshape(K, R, A, B * C)
     spec_y = pl.BlockSpec((K, 1, A, C), lambda j, r: (0, r, 0, j))
     spec_o = pl.BlockSpec((1, A, C), lambda j, r: (r, 0, j))
-    spec_t1 = pl.BlockSpec((1, A, C), lambda j, r: (j, 0, 0))
+    spec_t1 = pl.BlockSpec((A, C), lambda j, r: (0, j))
     out = pl.pallas_call(
         functools.partial(_stage_a_reduce_kernel, K=K, scale=1.0 / nfft,
                           band_fns=tuple(band_fns)),
@@ -917,8 +1010,7 @@ def _reduce_stage_a(Yr, Yi, K, R, nfft, band_fns, tables, interpret):
         out_specs=spec_o,
         out_shape=jax.ShapeDtypeStruct((R, A, B * C), jnp.float32),
         interpret=interpret,
-    )(yr4, yi4, jnp.asarray(wa[0]), jnp.asarray(wa[1]),
-      t1r.reshape(B, A, C), t1i.reshape(B, A, C))
+    )(yr4, yi4, jnp.asarray(wa[0]), jnp.asarray(wa[1]), t1r, t1i)
     return out.reshape(R, nfft)
 
 

@@ -122,8 +122,10 @@ def build_target_then_deesser(
         with validctx.cleared():
             if use_pallas:
                 # spectrum kept in VMEM across fwd/resp/inv (fft_pallas
-                # roundtrip_multi) — saves 4 nfft-plane HBM passes
-                ys = fp.roundtrip_multi(x, R2, nfft, n, tables=params[3])
+                # roundtrip_multi) — saves 4 nfft-plane HBM passes.  Full
+                # nfft-length outputs: the splice slices to n (no separate
+                # truncation copy).
+                ys = fp.roundtrip_multi(x, R2, nfft, nfft, tables=params[3])
             else:
                 X = jnp.fft.rfft(x, n=nfft, axis=-1)
                 # one batched irfft over both responses (faster than two)
@@ -254,8 +256,11 @@ def build_normalize_then_final(
         xr = validctx.right_window(x, w, nv)
         with validctx.cleared():
             if use_pallas:
+                # full nfft-length outputs: block_energies frames only the
+                # plan's span and the splice slices to n — the [..., :n]
+                # truncation copy is elided.
                 R2, tgt, ps, tabs = params
-                z = fp.roundtrip_multi(x, R2, nfft, n, tables=tabs)
+                z = fp.roundtrip_multi(x, R2, nfft, nfft, tables=tabs)
             else:
                 Hk_d, tgt, R_d, ps = params
                 X = jnp.fft.rfft(x, n=nfft, axis=-1)

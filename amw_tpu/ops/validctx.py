@@ -81,17 +81,25 @@ def right_window(x: jax.Array, w: int, nv=None) -> jax.Array:
 
 
 def splice(fast: jax.Array, yl: jax.Array, yr: jax.Array, n: int, L: int,
-           nv=None) -> jax.Array:
+           nv=None, off: int = 0) -> jax.Array:
     """Edge-window splice anchored at the valid end.
 
-    ``fast``: full-length interior result; ``yl``/``yr``: exact left/right
-    window results (only their outer ``L`` samples are used).  Without a
-    context this is the static concatenate used by the hybrid strategy."""
+    ``fast``: interior result; ``yl``/``yr``: exact left/right window
+    results (only their outer ``L`` samples are used).  Without a context
+    this is the static concatenate used by the hybrid strategy.
+
+    ``fast`` may be LONGER than ``n`` (e.g. a full nfft-length Pallas FFT
+    output, optionally with a leading odd-extension of ``off`` samples):
+    the splice's own slice performs the truncation, so callers skip the
+    separate ``[..., off:off+n]`` copy — a full extra HBM round trip of
+    the track at [16, 2^23]."""
     nv = n_valid() if nv is None else nv
     if nv is None:
         return jnp.concatenate(
-            [yl[..., :L], fast[..., L:n - L], yr[..., -L:]], axis=-1)
-    out = jnp.concatenate([yl[..., :L], fast[..., L:]], axis=-1)
+            [yl[..., :L], fast[..., off + L:off + n - L], yr[..., -L:]],
+            axis=-1)
+    out = jnp.concatenate([yl[..., :L], fast[..., off + L:off + n]],
+                          axis=-1)
     start = jnp.maximum(nv - L, L)
     out = jax.lax.dynamic_update_slice_in_dim(out, yr[..., -L:], start,
                                               axis=-1)

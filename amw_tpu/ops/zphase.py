@@ -81,7 +81,10 @@ class ZP:
 
             n = x.shape[-1]
             p = min(self.padlen, max(n - 1, 0))
-            core = odd_ext(x, p) if nv is None else odd_ext_valid(x, p, nv)
+            # extend + zero-pad to nfft in one concatenate; apply_response
+            # then skips its own pad pass.
+            core = (odd_ext(x, p, pad_to=self.nfft) if nv is None
+                    else odd_ext_valid(x, p, nv, pad_to=self.nfft))
             y = fp.apply_response(core, resp, self.nfft, tables=params[1])
             return validctx.mask_tail(y[..., p:p + n], nv)
         H = unpack_complex(resp) if self.exact else resp

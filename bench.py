@@ -194,7 +194,12 @@ def main():
             f = batched(trial)
             t0 = time.perf_counter()
             fence(f(xb, params_dev))
-            log(f"micro-batch={trial} compiled+ran in {time.perf_counter()-t0:.1f}s")
+            dt_c = time.perf_counter() - t0
+            log(f"micro-batch={trial} compiled+ran in {dt_c:.1f}s")
+            # Warm-cache telemetry: with <repo>/.jax_cache populated by a
+            # previous run this reads ~1-4 s (persistent-cache hit through
+            # the relay, docs/TPU_NOTES.md round-4) instead of 30-60 s.
+            RESULTS.setdefault("compile_s", {})["chain"] = round(dt_c, 1)
             micro, step = trial, f
             break
         except Exception as e:  # noqa: BLE001
@@ -315,8 +320,9 @@ def main():
             g.integers(int(0.8 * n), n, size=micro).astype(np.int32))
         t0 = time.perf_counter()
         fence(vstep(xb, vp, nvb))
-        log(f"masked v2 batch={micro} compiled+ran in "
-            f"{time.perf_counter()-t0:.1f}s")
+        dt_c = time.perf_counter() - t0
+        log(f"masked v2 batch={micro} compiled+ran in {dt_c:.1f}s")
+        RESULTS.setdefault("compile_s", {})["masked_v2"] = round(dt_c, 1)
         total_tracks = 256
         n_disp = max(1, total_tracks // micro)
         acc = None
@@ -525,7 +531,9 @@ def main():
         hfwd = jax.jit(lambda p, x: jnp.sum(jnp.square(hj.forward(p, x, cfg))))
         t0 = time.perf_counter()
         fence(hfwd(hdev, mixb))
-        log(f"htdemucs batch=4 compiled+ran in {time.perf_counter()-t0:.1f}s")
+        dt_c = time.perf_counter() - t0
+        log(f"htdemucs batch=4 compiled+ran in {dt_c:.1f}s")
+        RESULTS.setdefault("compile_s", {})["htdemucs"] = round(dt_c, 1)
         t0 = time.perf_counter()
         acc = None
         for _ in range(3):
@@ -562,9 +570,12 @@ def main():
             stems = train_mod.synth_batch(rng, 4, qcfg.segment_samples,
                                           qcfg.samplerate)
             qmix = stems.sum(axis=1).astype(np.float32)
+            # inference_params: the bf16-auto serving mode rejects raw f32
+            # params (same cast the fwd section above does).
             pred = np.asarray(jax.jit(
                 lambda p, x: hj.forward(p, x, qcfg))(
-                jax.device_put(dict(qparams)), jnp.asarray(qmix)))
+                jax.device_put(hj.inference_params(dict(qparams))),
+                jnp.asarray(qmix)))
             vt = stems[:, 3]
 
             def snr(est):

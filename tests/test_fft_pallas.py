@@ -219,13 +219,17 @@ def test_apply_response_real_impulse_flag_unpacked_path():
     assert np.max(np.abs(got - want)) < 1e-4
 
 
-def test_bf16x3_dot_mode_roundtrip_accuracy(monkeypatch):
+@pytest.mark.parametrize("cplx", ["kara", "split4"])
+def test_bf16x3_dot_mode_roundtrip_accuracy(monkeypatch, cplx):
     """The explicit 3-pass bf16 dot split (AMW_FFT_DOT_PREC=bf16x3) must
     hold a ~1e-5 relative round-trip error — the accuracy class of lax
     HIGH — so it stays far inside the -90 dBFS chain budget while halving
-    the MXU passes vs HIGHEST.  (Mode is read at trace time from the
-    module global; the env var only seeds it at import.)"""
+    the MXU passes vs HIGHEST, under BOTH complex-dot shapes (the default
+    3-contraction Karatsuba form and the 4-contraction split4 form — see
+    fft_pallas._cdot).  (Mode is read at trace time from the module
+    global; the env var only seeds it at import.)"""
     monkeypatch.setattr(fp, "_MODE", "bf16x3")
+    monkeypatch.setattr(fp, "_CPLX", cplx)
     g = np.random.default_rng(11)
     n = NFFT - 4096
     x = g.standard_normal((2, n)).astype(np.float32)

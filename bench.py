@@ -484,7 +484,10 @@ def main():
 
     # Per-stage p50 map (VERDICT r2 item 6): marginal cost of each fused v1
     # stage at batch=micro via cumulative prefixes (see scripts/bench_stages
-    # for caveats near fused pairs).  The optimization map.
+    # for caveats near fused pairs).  The optimization map.  Each prefix is
+    # timed as the best of 3 timed pairs — a single 2-rep sample through the
+    # relay carries ~±90 ms of scheduling noise (round-3's map showed an
+    # IDENTITY style_eq stage at 179.8 ms marginal), best-of filters it.
     try:
         stage_fns = raw_fn.stage_fns
         stage_ms = {}
@@ -499,14 +502,17 @@ def main():
             jit_k = jax.jit(lambda x, p, f=fn_k: jnp.sum(jnp.square(
                 jax.vmap(f, in_axes=(0, None))(x, p))))
             fence(jit_k(xb, params_dev))
-            t0 = time.perf_counter()
-            acc = None
-            for _ in range(2):
-                acc = jit_k(xb, params_dev)
-            fence(acc)
-            dt_k = (time.perf_counter() - t0 - relay) / 2
-            stage_ms[names[k - 1]] = round(max(dt_k - prev, 0.0) * 1e3, 1)
-            prev = dt_k
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                acc = None
+                for _ in range(2):
+                    acc = jit_k(xb, params_dev)
+                fence(acc)
+                dt = (time.perf_counter() - t0 - relay) / 2
+                best = dt if best is None else min(best, dt)
+            stage_ms[names[k - 1]] = round(max(best - prev, 0.0) * 1e3, 1)
+            prev = best
         log("stage marginal ms: " + json.dumps(stage_ms))
         RESULTS["stage_ms"] = stage_ms
         emit(section="stage_map")

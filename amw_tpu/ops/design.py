@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -161,7 +162,16 @@ def zero_phase_power(ba_pairs, nfft: int) -> np.ndarray:
 
 def next_fft_size(n: int) -> int:
     """Smallest FFT size >= n from the set {2^k, 3·2^k, 5·2^k} (sizes XLA's
-    TPU FFT handles efficiently).  Falls back to next power of two."""
+    TPU FFT handles efficiently).  Falls back to next power of two.
+
+    On TPU backends, a size the Pallas staged FFT supports (ops/fft_pallas
+    ``plan_ok``: 2^19..2^24) is preferred over a smaller XLA-only size when
+    the padding overhead stays under ``AMW_FFT_PREFER_PALLAS_MAX`` (default
+    1.75x): the Pallas kernels measure ~3x faster than XLA's FFT per
+    sample (and >10x for multi-response batched inverses, whose XLA
+    lowering is pathological — 223 ms vs 8.7 ms at [16, 2^20] K=2/K=4 on
+    v5e), so up-rounding 3·2^k -> 2^(k+2) is a net win.  CPU/interpret
+    behavior is unchanged (no backend, no preference)."""
     if n <= 16:
         return 16
     best = 1 << (n - 1).bit_length()
@@ -170,6 +180,14 @@ def next_fft_size(n: int) -> int:
         size = mult << k
         if size >= n:
             best = min(best, size)
+    if best & (best - 1):  # non-pow2 pick: consider the Pallas pow2 plan
+        from . import fft_pallas as fp
+
+        pow2 = 1 << (n - 1).bit_length()
+        limit = float(os.environ.get("AMW_FFT_PREFER_PALLAS_MAX", "1.75"))
+        if (fp.plan_ok(pow2) and not fp.plan_ok(best)
+                and pow2 <= limit * best and fp.enabled(pow2)):
+            return pow2
     return best
 
 

@@ -160,7 +160,7 @@ def plan_ok(nfft: int) -> bool:
     if nfft % (A * B):
         return False
     c = nfft // (A * B)
-    return 128 <= c <= 1024 and (c & (c - 1)) == 0
+    return 32 <= c <= 1024 and (c & (c - 1)) == 0
 
 
 # ---------------------------------------------------------------------------
@@ -210,20 +210,28 @@ def _tabs(tables, inverse):
     return tables[off:off + 4]
 
 
-C1 = 128  # lane-sized sub-factor of the C axis (C = C2·C1, C2 = C // 128)
+C1 = 128  # lane-sized sub-factor of the C axis (C = C2·C1 when C ≥ 128)
+
+
+def _c1(nfft: int) -> int:
+    """Per-plan C sub-factor: 128-lane chunks when C ≥ 128; a direct
+    C-point DFT (C2 = 1, trivial butterfly) for the small plans C ∈
+    {32, 64} (nfft 2^19/2^20 — the 10-40 s track-bucket transforms)."""
+    return min(nfft // (A * B), C1)
 
 
 @functools.lru_cache(maxsize=None)
 def _ctab(nfft: int, inverse: bool):
-    """Stage-C composite tables: W_{C1} (the 128-point DFT matmul), the
+    """Stage-C composite tables: W_{c1} (the c1-point DFT matmul), the
     chunk twiddle ct[k2', c1] = W_C^{c1·k2'}, and the radix-C2 butterfly
     matrix wm[c2, k2'] = W_{C2}^{c2·k2'} (scalar consts, unrolled on the
     VPU).  All ≤ 64 KB — inlined as kernel constants."""
     C = nfft // (A * B)
-    C2 = C // C1
+    c1 = _c1(nfft)
+    C2 = C // c1
     sign = 2.0 if inverse else -2.0
-    w128 = np.exp(sign * 1j * np.pi * np.outer(np.arange(C1), np.arange(C1)) / C1)
-    ct = np.exp(sign * 1j * np.pi * np.outer(np.arange(C2), np.arange(C1)) / C)
+    w128 = np.exp(sign * 1j * np.pi * np.outer(np.arange(c1), np.arange(c1)) / c1)
+    ct = np.exp(sign * 1j * np.pi * np.outer(np.arange(C2), np.arange(c1)) / C)
     wm = np.exp(sign * 1j * np.pi * np.outer(np.arange(C2), np.arange(C2)) / C2)
     f32 = lambda m: (m.real.astype(np.float32), m.imag.astype(np.float32))
     return f32(w128), f32(ct), wm  # wm stays complex128 (python scalars)
@@ -233,13 +241,14 @@ def _ctab(nfft: int, inverse: bool):
 def _perm(nfft: int) -> np.ndarray:
     """k at stored position (a', b', p): k = a' + A·b' + A·B·k_c(p), where
     the composite C stage leaves its own digits permuted too:
-    k_c(p) = p//C1 + C2·(p % C1) (chunk k2' written at lanes k2'·C1)."""
+    k_c(p) = p//c1 + C2·(p % c1) (chunk k2' written at lanes k2'·c1)."""
     C = nfft // (A * B)
-    C2 = C // C1
+    c1 = _c1(nfft)
+    C2 = C // c1
     a = np.arange(A)[:, None, None]
     b = np.arange(B)[None, :, None]
     p = np.arange(C)[None, None, :]
-    kc = p // C1 + C2 * (p % C1)
+    kc = p // c1 + C2 * (p % c1)
     return (a + A * b + A * B * kc).ravel()
 
 
@@ -325,13 +334,14 @@ def _stage_a_inv_join_kernel(xr_ref, xi_ref, fr_ref, fi_ref, t1r_ref,
 def _cstage_fwd(xr, xi, wr, wi, ctr, cti, nfft):
     """Composite forward C transform of a [S, C] tile: radix-C2 butterfly
     across the C2 lane chunks (VPU, scalar twiddles), chunk twiddle, then
-    one 128-point matmul per chunk.  Output chunk k2' at lanes k2'·C1.
-    ``wr/wi``: W_{C1} planes; ``ctr/cti``: [C2, C1] chunk twiddle planes
+    one c1-point matmul per chunk.  Output chunk k2' at lanes k2'·c1.
+    ``wr/wi``: W_{c1} planes; ``ctr/cti``: [C2, c1] chunk twiddle planes
     (kernel inputs — Pallas rejects captured array constants)."""
     _, _, wm = _ctab(nfft, False)
     C2 = wm.shape[0]
-    chunks_r = [xr[:, c2 * C1:(c2 + 1) * C1] for c2 in range(C2)]
-    chunks_i = [xi[:, c2 * C1:(c2 + 1) * C1] for c2 in range(C2)]
+    c1 = wr.shape[0]
+    chunks_r = [xr[:, c2 * c1:(c2 + 1) * c1] for c2 in range(C2)]
+    chunks_i = [xi[:, c2 * c1:(c2 + 1) * c1] for c2 in range(C2)]
     out_r, out_i = [], []
     for k2 in range(C2):
         yr = yi = None
@@ -353,10 +363,11 @@ def _cstage_inv(xr, xi, wr, wi, ctr, cti, nfft):
     conj chunk twiddle — then conj radix-C2 recombination to input order."""
     _, _, wm = _ctab(nfft, True)
     C2 = wm.shape[0]
+    c1 = wr.shape[0]
     ws_r, ws_i = [], []
     for k2 in range(C2):
-        vr, vi = _dot_r(xr[:, k2 * C1:(k2 + 1) * C1],
-                        xi[:, k2 * C1:(k2 + 1) * C1], wr, wi)
+        vr, vi = _dot_r(xr[:, k2 * c1:(k2 + 1) * c1],
+                        xi[:, k2 * c1:(k2 + 1) * c1], wr, wi)
         vr, vi = _cmul(vr, vi, ctr[k2:k2 + 1], cti[k2:k2 + 1])
         ws_r.append(vr)
         ws_i.append(vi)
@@ -482,11 +493,15 @@ def _a_cols(C: int) -> int:
     [8 packed rows, 2^23]: m=2 helps the FLAT layout (stage A 4.75 ->
     4.17 ms) but HURTS the production vmapped roundtrip (48.8 -> 59.2 ms
     at R2=1 per element), and m=4 fails remote compile — so the default
-    stays 1; flat-batch callers may set ``AMW_FFT_A_COLS=2``."""
+    stays 1; flat-batch callers may set ``AMW_FFT_A_COLS=2``.
+
+    For the small plans (C < 128) a floor of 128//C is forced: Mosaic
+    requires ≥128 lanes per block, so C=64/32 tiles must span 2/4 of the
+    C-axis groups."""
     m = int(os.environ.get("AMW_FFT_A_COLS", "1"))
     while m > 1 and (B % m or (C * m) * A * 4 > (4 << 20)):
         m //= 2
-    return max(m, 1)
+    return max(m, 1, C1 // C)
 
 
 def _stage_a(xr, xi, nfft, inverse, tables, interpret=False,
@@ -549,12 +564,14 @@ def _stage_a_inv_join(Yr, Yi, K: int, nfft: int, tables, interpret=False):
     t1r, t1i, _, _ = _tabs(tables, True)
     yr4 = Yr.reshape(K, R2, A, B * C)
     yi4 = Yi.reshape(K, R2, A, B * C)
-    spec_x = pl.BlockSpec((1, 1, A, C), lambda j, k, r: (k, r, 0, j))
-    spec_t1 = pl.BlockSpec((A, C), lambda j, k, r: (0, j))
-    spec_o = pl.BlockSpec((1, 2, 1, A, C), lambda j, k, r: (k, 0, r, 0, j))
+    m = _a_cols(C)
+    spec_x = pl.BlockSpec((1, 1, A, C * m), lambda j, k, r: (k, r, 0, j))
+    spec_t1 = pl.BlockSpec((A, C * m), lambda j, k, r: (0, j))
+    spec_o = pl.BlockSpec((1, 2, 1, A, C * m),
+                          lambda j, k, r: (k, 0, r, 0, j))
     out = pl.pallas_call(
         functools.partial(_stage_a_inv_join_kernel, scale=1.0 / nfft),
-        grid=(B, K, R2),
+        grid=(B // m, K, R2),
         in_specs=[spec_x, spec_x,
                   _const_spec((A, A)), _const_spec((A, A)),
                   spec_t1, spec_t1],
@@ -567,9 +584,10 @@ def _stage_a_inv_join(Yr, Yi, K: int, nfft: int, tables, interpret=False):
 
 def _bc_tables(nfft, inverse, tables):
     """Inputs + specs shared by the fused B/C drivers: W_B (inline-sized
-    const), T2 (runtime table), W_C1 and chunk twiddle (inline-sized)."""
+    const), T2 (runtime table), W_c1 and chunk twiddle (inline-sized)."""
     C = nfft // (A * B)
-    C2 = C // C1
+    c1 = _c1(nfft)
+    C2 = C // c1
     _, wb, _, _, _ = _tables(nfft, inverse)
     _, _, t2r, t2i = _tabs(tables, inverse)
     (wcr, wci), (ctr, cti), _ = _ctab(nfft, inverse)
@@ -577,7 +595,7 @@ def _bc_tables(nfft, inverse, tables):
            jnp.asarray(wcr), jnp.asarray(wci),
            jnp.asarray(ctr), jnp.asarray(cti)]
     shapes = [(B, B), (B, B), (B, C), (B, C),
-              (C1, C1), (C1, C1), (C2, C1), (C2, C1)]
+              (c1, c1), (c1, c1), (C2, c1), (C2, c1)]
     return ins, shapes
 
 
@@ -972,13 +990,14 @@ def _reduce_stage_a_packed(Yr, Yi, K, R2, nfft, band_fns, tables, interpret):
     t1r, t1i, _, _ = _tabs(tables, True)
     yr4 = Yr.reshape(K, R2, A, B * C)
     yi4 = Yi.reshape(K, R2, A, B * C)
-    spec_y = pl.BlockSpec((K, 1, A, C), lambda j, r: (0, r, 0, j))
-    spec_o = pl.BlockSpec((2, 1, A, C), lambda j, r: (0, r, 0, j))
-    spec_t1 = pl.BlockSpec((A, C), lambda j, r: (0, j))
+    m = _a_cols(C)
+    spec_y = pl.BlockSpec((K, 1, A, C * m), lambda j, r: (0, r, 0, j))
+    spec_o = pl.BlockSpec((2, 1, A, C * m), lambda j, r: (0, r, 0, j))
+    spec_t1 = pl.BlockSpec((A, C * m), lambda j, r: (0, j))
     out = pl.pallas_call(
         functools.partial(_stage_a_reduce_packed_kernel, K=K,
                           scale=1.0 / nfft, band_fns=tuple(band_fns)),
-        grid=(B, R2),
+        grid=(B // m, R2),
         in_specs=[spec_y, spec_y,
                   _const_spec((A, A)), _const_spec((A, A)),
                   spec_t1, spec_t1],
@@ -997,13 +1016,14 @@ def _reduce_stage_a(Yr, Yi, K, R, nfft, band_fns, tables, interpret):
     t1r, t1i, _, _ = _tabs(tables, True)
     yr4 = Yr.reshape(K, R, A, B * C)
     yi4 = Yi.reshape(K, R, A, B * C)
-    spec_y = pl.BlockSpec((K, 1, A, C), lambda j, r: (0, r, 0, j))
-    spec_o = pl.BlockSpec((1, A, C), lambda j, r: (r, 0, j))
-    spec_t1 = pl.BlockSpec((A, C), lambda j, r: (0, j))
+    m = _a_cols(C)
+    spec_y = pl.BlockSpec((K, 1, A, C * m), lambda j, r: (0, r, 0, j))
+    spec_o = pl.BlockSpec((1, A, C * m), lambda j, r: (r, 0, j))
+    spec_t1 = pl.BlockSpec((A, C * m), lambda j, r: (0, j))
     out = pl.pallas_call(
         functools.partial(_stage_a_reduce_kernel, K=K, scale=1.0 / nfft,
                           band_fns=tuple(band_fns)),
-        grid=(B, R),
+        grid=(B // m, R),
         in_specs=[spec_y, spec_y,
                   _const_spec((A, A)), _const_spec((A, A)),
                   spec_t1, spec_t1],

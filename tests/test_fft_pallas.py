@@ -76,7 +76,9 @@ def test_inv_multi_matches_separate():
 def test_plan_gate():
     assert fp.plan_ok(1 << 21)
     assert fp.plan_ok(1 << 23)
-    assert not fp.plan_ok(1 << 20)     # C would be 64
+    assert fp.plan_ok(1 << 20)         # C=64: direct C-point DFT plan
+    assert fp.plan_ok(1 << 19)         # C=32
+    assert not fp.plan_ok(1 << 18)     # C below 32
     assert not fp.plan_ok(3 << 21)     # C not a power of two
     assert not fp.plan_ok(1 << 25)     # C above 1024
 
@@ -242,3 +244,43 @@ def test_bf16x3_dot_mode_roundtrip_accuracy(monkeypatch, cplx):
                         n=NFFT, axis=-1)[..., :n]
     err = np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-9)
     assert err < 3e-5, err
+
+
+@pytest.mark.parametrize("nfft", [1 << 19, 1 << 20])
+def test_small_plan_roundtrip_and_reduce(nfft):
+    """C < 128 plans (nfft 2^19/2^20 — the 10-40 s track buckets, where the
+    three dominant v1 stages previously fell back to XLA's FFT): the
+    composite C stage degenerates to a direct C-point DFT (C2=1) and stage
+    A tiles 128//C C-groups per block for lane legality.  Full parity of
+    apply_response, roundtrip_multi, and the reduce path vs numpy."""
+    assert fp.plan_ok(nfft)
+    g = np.random.default_rng(7)
+    n = nfft - 5000
+    x = g.standard_normal((4, n)).astype(np.float32) * 0.3
+    f = np.fft.rfftfreq(nfft, 1 / 44100.0)
+    H = (1.0 + 0.4 * np.cos(f / 3000.0)) * np.exp(-f / 15000.0)
+    gains = (1.0, 0.7, 0.5, 0.3)
+    X = np.fft.rfft(x, n=nfft, axis=-1)
+
+    resp = fp.permute_full_response(H, nfft)
+    got = np.asarray(fp.apply_response(
+        jnp.asarray(x), jnp.asarray(resp), nfft, n_out=n, interpret=True))
+    want = np.fft.irfft(X * H, n=nfft, axis=-1)[..., :n]
+    assert np.max(np.abs(got - want)) < 2e-5
+
+    resps = np.stack([fp.permute_full_response(H * gk, nfft)
+                      for gk in gains])
+    ys = np.asarray(fp.roundtrip_multi(
+        jnp.asarray(x), jnp.asarray(resps), nfft, nfft, interpret=True))
+    for k, gk in enumerate(gains):
+        want_k = np.fft.irfft(X * (H * gk), n=nfft, axis=-1)
+        assert np.max(np.abs(ys[k] - want_k)) < 2e-5
+
+    maps = [lambda v: v, lambda v: 0.5 * v, lambda v: v * 0.25,
+            lambda v: -v]
+    yr = np.asarray(fp.roundtrip_multi_reduce(
+        jnp.asarray(x), jnp.asarray(resps), nfft, nfft, maps,
+        interpret=True))
+    want_r = sum(mp(np.fft.irfft(X * (H * gk), n=nfft, axis=-1))
+                 for mp, gk in zip(maps, gains))
+    assert np.max(np.abs(yr - want_r)) < 2e-5

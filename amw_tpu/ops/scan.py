@@ -28,6 +28,7 @@ initialisation.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,19 +58,82 @@ def _use_pallas() -> bool:
     return plat in ("tpu", "axon")
 
 
+def _groups_cap() -> int:
+    """Interleaved 128-lane groups per kernel step (AMW_SCAN_GROUPS).
+
+    The envelope recurrence is a ~5-op dependency chain per sample; on a
+    single (1, 128) state row the VPU sits latency-bound (old single-group
+    de-esser: 46.4 ms e2e at [16, 7.9M] on v5e — far off the HBM floor).
+    Running S independent window groups side by side widens the state to
+    (1, S*128): Mosaic splits each vector op into S independent lane
+    tiles, so the chains interleave and the pipeline fills.  Measured on
+    v5e: envelope 24.6 -> 16.4 ms and de-esser 46.4 -> 40.6 ms at S=4;
+    S=8 was no faster for the envelope and OVERFLOWS VMEM in the
+    de-esser's gain-mode kernel (the iota/compare temporaries on top of
+    the 5 (TB, R) buffers) — hence the default cap of 4."""
+    try:
+        return max(1, min(16, int(os.environ.get("AMW_SCAN_GROUPS", "4"))))
+    except ValueError:
+        return 4
+
+
+def _pick_groups(m_rows: int) -> tuple[int, int]:
+    """Largest power-of-two group count S (≤ cap) for ``m_rows`` sequences
+    and the padded row count (a multiple of 128*S)."""
+    cap = _groups_cap()
+    g = -(-m_rows // 128)
+    s = 1
+    while s * 2 <= min(cap, g):
+        s *= 2
+    return s, -(-m_rows // (128 * s)) * (128 * s)
+
+
+def _env_loop(pl, xt_ref, ot_ref, e_ref, t_block, attack, release, TB):
+    """The shared recurrence inner loop over one (TB, R) time-major block.
+
+    Loads ALIGNED 8-row slabs (one VMEM read per 8 steps) and stores one
+    (8, R) slab per iteration — measured at the HBM floor on v5e (the
+    per-row ds-load/store variant paid ~2x the loop cost).  The S lane
+    tiles of the (1, R) state are independent chains, so the ~5-op
+    dependency chain per sample pipelines across groups."""
+
+    @pl.when(t_block == 0)
+    def _():
+        # env[0] = v[0]: both branches of the recurrence fix e=v there.
+        e_ref[0:1, :] = xt_ref[0:1, :]
+
+    def body(j, e):
+        blk = xt_ref[pl.ds(j * 8, 8), :]
+        rows = []
+        for u in range(8):
+            row = jax.lax.slice_in_dim(blk, u, u + 1, axis=0)
+            coef = jnp.where(row > e, attack, release)
+            e = coef * e + (1.0 - coef) * row
+            rows.append(e)
+        ot_ref[pl.ds(j * 8, 8), :] = jnp.concatenate(rows, axis=0)
+        return e
+
+    e = jax.lax.fori_loop(0, TB // 8, body, e_ref[0:1, :])
+    e_ref[0:1, :] = e
+
+
 def _env_pallas(wm: jax.Array, attack: float, release: float,
-                skip: int = 0) -> jax.Array:
+                skip: int = 0, groups: int | None = None) -> jax.Array:
     """Pallas TPU kernel for the envelope recurrence.
 
     ``wm``: [M, T] windows in their NATURAL layout (sequences on sublanes,
     time on lanes; M a multiple of 128, T a multiple of the time block).
-    Each block is transposed to time-major IN-KERNEL via an identity
-    matmul on the MXU (exact at Precision.HIGHEST — every output is a
-    single product by 1.0), the recurrence runs over the TB time rows with
+    Each 128-row group is transposed to time-major IN-KERNEL with the
+    VPU transpose (measured faster than the earlier MXU identity-matmul
+    transpose, and exact), the recurrence runs over the TB time rows with
     the state carried in a VMEM scratch row, and the result is transposed
     back before the store.  An earlier variant required a pre-transposed
     [T, M] input; the XLA transpose of the ~1 GB window array cost ~75 ms
     at batch 8 — 7x the kernel itself.
+
+    ``groups``: number S of independent 128-row groups advanced side by
+    side per grid step (state row (1, S*128)) — see :func:`_groups_cap`;
+    default = the largest power of two dividing M//128 (≤ cap).
 
     ``skip``: number of leading TIME BLOCKS (warm-up region) to drop from
     the output — the returned array is [M, T - skip*TB].  Warm-up blocks
@@ -82,56 +146,41 @@ def _env_pallas(wm: jax.Array, attack: float, release: float,
 
     M, T = wm.shape
     TB = 512
-    assert T % TB == 0 and M % 128 == 0 and 0 <= skip < T // TB
-    hi = jax.lax.Precision.HIGHEST
+    if groups is None:
+        groups, _ = _pick_groups(M)
+        while M % (128 * groups):
+            groups //= 2
+    S = groups
+    R = S * 128
+    assert T % TB == 0 and M % R == 0 and 0 <= skip < T // TB
 
-    def tdot(a, b):  # out[i, j] = sum_s a[s, i] b[s, j]  (= a.T @ b)
-        return jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=jnp.float32)
-
-    def kernel(x_ref, i128_ref, itb_ref, o_ref, xt_ref, ot_ref, e_ref):
+    def kernel(x_ref, o_ref, xt_ref, ot_ref, e_ref):
         t_block = pl.program_id(1)
-        xt_ref[...] = tdot(x_ref[...], i128_ref[...])  # [TB, 128]
-
-        @pl.when(t_block == 0)
-        def _():
-            # env[0] = v[0]: both branches of the recurrence fix e=v there.
-            e_ref[0:1, :] = xt_ref[0:1, :]
-
-        U = 8  # unrolled steps per fori iteration (TB % U == 0)
-
-        def body(j, e):  # all values kept 2-D (1, 128) for Mosaic layouts
-            for u in range(U):
-                row = xt_ref[pl.ds(j * U + u, 1), :]
-                coef = jnp.where(row > e, attack, release)
-                e = coef * e + (1.0 - coef) * row
-                ot_ref[pl.ds(j * U + u, 1), :] = e
-            return e
-
-        e = jax.lax.fori_loop(0, TB // U, body, e_ref[0:1, :])
-        e_ref[0:1, :] = e
-        o_ref[...] = tdot(ot_ref[...], itb_ref[...])  # [128, TB]
+        for s in range(S):
+            sl = slice(s * 128, (s + 1) * 128)
+            xt_ref[:, sl] = x_ref[sl, :].T  # [TB, R] time-major
+        _env_loop(pl, xt_ref, ot_ref, e_ref, t_block, attack, release, TB)
+        for s in range(S):
+            sl = slice(s * 128, (s + 1) * 128)
+            o_ref[sl, :] = ot_ref[:, sl].T  # [R, TB]
 
     def out_index(m, t):
         return (m, jnp.maximum(t - skip, 0))
 
     return pl.pallas_call(
         kernel,
-        grid=(M // 128, T // TB),
+        grid=(M // R, T // TB),
         in_specs=[
-            pl.BlockSpec((128, TB), lambda m, t: (m, t),
+            pl.BlockSpec((R, TB), lambda m, t: (m, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda m, t: (0, 0)),
-            pl.BlockSpec((TB, TB), lambda m, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((128, TB), out_index,
+        out_specs=pl.BlockSpec((R, TB), out_index,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, T - skip * TB), wm.dtype),
-        scratch_shapes=[pltpu.VMEM((TB, 128), wm.dtype),
-                        pltpu.VMEM((TB, 128), wm.dtype),
-                        pltpu.VMEM((1, 128), wm.dtype)],
-    )(wm, jnp.eye(128, dtype=wm.dtype), jnp.eye(TB, dtype=wm.dtype))
+        scratch_shapes=[pltpu.VMEM((TB, R), wm.dtype),
+                        pltpu.VMEM((TB, R), wm.dtype),
+                        pltpu.VMEM((1, R), wm.dtype)],
+    )(wm)
 
 
 def _env_blocks(windows: jax.Array, attack: float, release: float,
@@ -144,10 +193,10 @@ def _env_blocks(windows: jax.Array, attack: float, release: float,
         M = int(np.prod(shape[:-1]))
         TB = 512
         T_pad = -(-Tw // TB) * TB
-        M_pad = -(-M // 128) * 128
+        S, M_pad = _pick_groups(M)
         wm = windows.reshape(M, Tw)  # natural layout — no transpose
         wm = jnp.pad(wm, ((0, M_pad - M), (0, T_pad - Tw)))
-        out = _env_pallas(wm, attack, release)
+        out = _env_pallas(wm, attack, release, groups=S)
         return out[:M, :Tw].reshape(shape)
     w_t = jnp.moveaxis(windows, -1, 0)
     e0 = w_t[0]
@@ -194,26 +243,32 @@ def envelope_follower(
         env = _env_blocks(v[..., None, :], attack_coef, release_coef, unroll)
         return env[..., 0, :]
 
-    # Window k = W-sample warm-up prefix (tail of chunk k-1) + chunk k.
-    # Built as K contiguous lane slices of one extended buffer — measured
-    # 3.8 ms vs 20.4 ms for the strided-concat formulation at [16, 7.9M]
-    # on v5e (XLA lowers a concat of two strided views into a generic copy
-    # loop; contiguous slices stay at copy bandwidth).  The chunk is sized
-    # as large as possible while keeping ~128 parallel sequences (rows × K)
-    # for the Pallas kernel's lane tiles, so the warm-up overlap costs
-    # ~(C+W)/C ≈ 1.1-1.6x of the data rather than the 2x a chunk==warmup
-    # scheme costs.
+    # Chunk k = W-sample warm-up prefix (tail of chunk k-1) + C kept
+    # samples.  The chunk is sized as large as possible while keeping
+    # ~cap*128 parallel sequences (rows × K) for the Pallas kernel's
+    # interleaved lane groups, so the warm-up overlap costs
+    # ~(C+W)/C ≤ 2x of the data — a good trade for the S-way ILP.
     rows = int(np.prod(v.shape[:-1])) if v.ndim > 1 else 1
-    k_target = max(1, -(-128 // max(rows, 1)))
+    k_target = max(1, -(-(_groups_cap() * 128) // max(rows, 1)))
     TB = 512
     # W and C rounded to the kernel's time block so the trimmed-output
     # kernel can drop the warm-up region by block index (no XLA slice).
     W = -(-W // TB) * TB
     C = -(-max(W, min_chunk, -(-n // k_target)) // TB) * TB
     K = -(-n // C)  # ceil
+    if _use_pallas():
+        # No materialized overlapping-window matrix: the kernel reads the
+        # warm-up and body views through separate block index maps.
+        P, A = _win_views(v.reshape(rows, n), W, C, K)
+        M = rows * K
+        S, M_pad = _pick_groups(M)
+        P = jnp.pad(P, ((0, M_pad - M), (0, 0)))
+        A = jnp.pad(A, ((0, M_pad - M), (0, 0)))
+        env = _win_scan_pallas(P, A, attack=attack_coef,
+                               release=release_coef, groups=S)[:M]
+        env = env.reshape(v.shape[:-1] + (K * C,))
+        return env[..., :n]
     pad = K * C - n
-    # Left warm-up: v[0] repeated (fixed point => exact chunk 0); right
-    # padding: edge value (outputs discarded).
     ext = jnp.concatenate(
         [
             jnp.broadcast_to(v[..., :1], v.shape[:-1] + (W,)),
@@ -226,15 +281,6 @@ def envelope_follower(
         [jax.lax.slice_in_dim(ext, k * C, k * C + W + C, axis=-1)
          for k in range(K)],
         axis=-2)  # [..., K, W + C]
-    if _use_pallas():
-        M = rows * K
-        M_pad = -(-M // 128) * 128
-        wm = windows.reshape(M, W + C)
-        wm = jnp.pad(wm, ((0, M_pad - M), (0, 0)))
-        env = _env_pallas(wm, attack_coef, release_coef,
-                          skip=W // TB)[:M]  # [M, C]: warm-up dropped
-        env = env.reshape(v.shape[:-1] + (K * C,))
-        return env[..., :n]
     env = _env_blocks(windows, attack_coef, release_coef, unroll)
     env = env[..., W:]  # [..., K, C]
     env = env.reshape(v.shape[:-1] + (K * C,))
@@ -250,7 +296,7 @@ def envelope_follower_xsr(
 
 
 # ---------------------------------------------------------------------------
-# Fully fused de-esser tail: envelope -> gain -> box smoothing -> combine
+# De-esser tail: envelope -> gain (one Pallas pass) -> box -> combine
 # ---------------------------------------------------------------------------
 #
 # The de-esser (reference pipeline.py:1200-1264) ends with
@@ -260,150 +306,152 @@ def envelope_follower_xsr(
 #   gain   = clip(box_k(mask_tail(gain)), 0.35, 1)     # ~1.5 ms boxcar
 #   out    = y3 - sc + sc * gain
 #
-# Composed from the individual ops this costs ~6 extra full-track HBM
-# passes after the envelope kernel (gain write+read, pallas box
-# read+write, combine 3 reads + 1 write).  Here the whole tail runs
-# inside the envelope Pallas kernel: it reads the SIGNED sidechain
-# windows and the dry signal, carries the previous gain blocks in VMEM
-# for the centered box (one extra lookahead time-block per window), and
-# writes the finished audio.  HBM traffic: read sc-windows (~1.1x) +
-# read y3 (1x) + write out (1x).
+# The envelope recurrence and the pointwise gain map run in one windowed
+# Pallas pass (_win_scan_pallas in gain mode — the gain math rides the
+# envelope kernel's registers for free); the k-wide boxcar then runs in
+# the bandwidth-bound fdfilter._box_pallas halo kernel and the final
+# combine fuses into one XLA elementwise pass.  A round-3 variant fused
+# the box and combine INTO the envelope kernel (carrying gain context
+# blocks in VMEM); it saved ~4 ms of HBM but paid serial VPU shift-adds
+# for the box — unfusing it won on v5e (46.4 -> 40.6 ms e2e at
+# [16, 7.9M] together with the windowing, grouping and loop fixes; the
+# remaining gap to the ~6 ms HBM floor is recurrence latency).
 #
 # Box semantics match ops.fdfilter.box_smooth_same(validctx.mask_tail(g)):
 # gain contributions at global positions outside [0, n_valid) are zero
 # (the 'same' convolution's zero padding / the padded-bucket tail mask) —
 # enforced in-kernel by masking each gain block with its global sample
-# index before it enters the box window.
+# index before the box sees it.
 
 
-def _deesser_pallas(wm, y3w, aux, *, attack, release, thresh, ratio, k,
-                    floor, skip, interpret=False):
-    """Pallas kernel: windows of SIGNED sidechain ``wm`` [M, W + C + TB],
-    dry blocks ``y3w`` [M, C], aux int32 [2, M] (row 0: global offset of
-    each window's kept region; row 1: n_valid broadcast).  Returns
-    ``y3 + sc * (gain - 1)`` as [M, C].
+def _win_views(x2: jax.Array, W: int, C: int, K: int):
+    """Warm-up/body views for the windowed kernels, from ``x2`` [rows, n].
 
-    Grid (m, t) with t fastest; output for time-block t-1 is written while
-    block t's gain is computed (the box needs h = k//2 lookahead samples),
-    so each window carries one extra trailing time-block whose gain is
-    used only as right-context."""
+    Returns ``(P, A)``: the body ``A`` [rows*K, C] is a FREE reshape of
+    the right-padded signal (window k's kept chunk), and the warm-up
+    ``P`` [rows*K, W] holds the W samples preceding each chunk (the tail
+    of the previous chunk; x[0] replicated for chunk 0 — the recurrence's
+    fixed point, reproducing env[0] = v[0]).  Replaces the materialized
+    overlapping-window matrix (1.6 GB of XLA copies ≈ 12 ms at
+    [16, 7.9M] on v5e) with one pad copy + one W-slab copy (≈ 1 ms)."""
+    rows, n = x2.shape
+    pad = K * C - n
+    a3 = jnp.pad(x2, ((0, 0), (0, pad))).reshape(rows, K, C)
+    p0 = jnp.broadcast_to(x2[:, :1, None], (rows, 1, W))
+    P = jnp.concatenate([p0, a3[:, :-1, C - W:]], axis=1)
+    return P.reshape(rows * K, W), a3.reshape(rows * K, C)
+
+
+def _win_scan_pallas(pw, aw, *, attack, release, groups, aux=None,
+                     gain=None, take_abs=False, interpret=False):
+    """Windowed envelope kernel over warm-up ``pw`` [M, W] + body ``aw``
+    [M, C] (see :func:`_win_views`).  Returns the per-chunk result [M, C]:
+    the envelope itself, or (``gain`` mode) the de-esser's pre-box gain
+    curve ``clip(reduction(env)/env, floor, 1)`` zeroed outside the valid
+    global range given by ``aux`` int32 [2, M] (row 0: chunk global
+    offset; row 1: n_valid).
+
+    The warm-up and body ride separate in_specs whose index maps clamp —
+    Pallas skips refetching a block whose index did not change, so the
+    kernel reads each input byte once and never needs the overlapping
+    window matrix in HBM."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    M, T = wm.shape
+    M, W = pw.shape
+    C = aw.shape[-1]
     TB = 512
-    h = k // 2
-    HB = -(-h // 8) * 8  # carried gain-tail rows (sublane-aligned)
-    assert T % TB == 0 and M % 128 == 0 and HB <= TB
-    C = T - (skip + 1) * TB
-    assert C > 0 and C % TB == 0 and y3w.shape == (M, C)
+    S = groups
+    R = S * 128
+    assert W % TB == 0 and C % TB == 0 and M % R == 0
+    wb = W // TB
     cb = C // TB
-    hi = jax.lax.Precision.HIGHEST
-    inv_k = 1.0 / k
+    g_mode = gain is not None
+    if g_mode:
+        thresh, ratio, floor = gain
 
-    def tdot(a, b):  # out[i, j] = sum_s a[s, i] b[s, j]  (= a.T @ b)
-        return jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())), precision=hi,
-            preferred_element_type=jnp.float32)
-
-    def kernel(x_ref, y3_ref, aux_ref, i128_ref, itb_ref, o_ref,
-               xt_ref, g_ref, gp_ref, gt_ref, bb_ref, xn_ref, e_ref):
+    def kernel(*refs):
+        if g_mode:
+            p_ref, a_ref, aux_ref, o_ref, xt_ref, ot_ref, e_ref = refs
+        else:
+            p_ref, a_ref, o_ref, xt_ref, ot_ref, e_ref = refs
         t_block = pl.program_id(1)
-        # |sc| time-major via in-kernel MXU transpose (see _env_pallas).
-        xt_ref[...] = jnp.abs(tdot(x_ref[...], i128_ref[...]))  # [TB, 128]
 
-        @pl.when(t_block == 0)
+        def load(ref):
+            for s in range(S):
+                sl = slice(s * 128, (s + 1) * 128)
+                blk = ref[sl, :]
+                xt_ref[:, sl] = (jnp.abs(blk) if take_abs else blk).T
+
+        @pl.when(t_block < wb)
         def _():
-            e_ref[0:1, :] = xt_ref[0:1, :]
+            load(p_ref)
 
-        U = 8
+        @pl.when(t_block >= wb)
+        def _():
+            load(a_ref)
 
-        def body(j, e):
-            for u in range(U):
-                row = xt_ref[pl.ds(j * U + u, 1), :]
-                coef = jnp.where(row > e, attack, release)
-                e = coef * e + (1.0 - coef) * row
-                g_ref[pl.ds(j * U + u, 1), :] = e
-            return e
+        _env_loop(pl, xt_ref, ot_ref, e_ref, t_block, attack, release, TB)
 
-        e = jax.lax.fori_loop(0, TB // U, body, e_ref[0:1, :])
-        e_ref[0:1, :] = e
-
-        # Gain from the envelope, vectorized over the block; zero outside
-        # the window's valid global range (mask_tail + 'same' zero pad).
-        env = g_ref[...]
-        red = jnp.where(env > thresh, thresh + (env - thresh) / ratio, env)
-        g = jnp.where(env > 1e-10, red / (env + 1e-12), 1.0)
-        g = jnp.clip(g, floor, 1.0)
-        gidx = (aux_ref[0:1, :]
-                + (t_block - skip) * TB
-                + jax.lax.broadcasted_iota(jnp.int32, (TB, 128), 0))
-        g = jnp.where((gidx >= 0) & (gidx < aux_ref[1:2, :]), g, 0.0)
-        g_ref[...] = g
-
-        # Box for the PREVIOUS block: context rows [TB-h, TB+h) around it
-        # live in gt (tail of t-2), gp (t-1) and g (head of t).
-        bb_ref[0:HB, :] = gt_ref[...]
-        bb_ref[HB:HB + TB, :] = gp_ref[...]
-        bb_ref[HB + TB:HB + TB + HB, :] = g_ref[0:HB, :]
-        acc = bb_ref[HB - h:HB - h + TB, :]
-        for d in range(1, k):
-            acc = acc + bb_ref[HB - h + d:HB - h + d + TB, :]
-        box = jnp.clip(acc * inv_k, floor, 1.0)
-        gn = tdot(box, itb_ref[...])  # [128, TB] natural layout
-        o_ref[...] = y3_ref[...] + xn_ref[...] * (gn - 1.0)
-
-        # Carries for the next step (garbage at t=0/1 lands in clobbered
-        # warm-up output blocks).
-        gt_ref[...] = gp_ref[TB - HB:TB, :]
-        gp_ref[...] = g_ref[...]
-        xn_ref[...] = x_ref[...]
+        if g_mode:
+            env = ot_ref[...]
+            red = jnp.where(env > thresh,
+                            thresh + (env - thresh) / ratio, env)
+            g = jnp.where(env > 1e-10, red / (env + 1e-12), 1.0)
+            g = jnp.clip(g, floor, 1.0)
+            gidx = (aux_ref[0:1, :]
+                    + (t_block - wb) * TB
+                    + jax.lax.broadcasted_iota(jnp.int32, (TB, R), 0))
+            g = jnp.where((gidx >= 0) & (gidx < aux_ref[1:2, :]), g, 0.0)
+            ot_ref[...] = g
+        for s in range(S):
+            sl = slice(s * 128, (s + 1) * 128)
+            o_ref[sl, :] = ot_ref[:, sl].T
 
     def out_index(m, t):
-        return (m, jnp.clip(t - 1 - skip, 0, cb - 1))
+        return (m, jnp.clip(t - wb, 0, cb - 1))
 
+    in_specs = [
+        pl.BlockSpec((R, TB), lambda m, t: (m, jnp.minimum(t, wb - 1)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, TB), out_index, memory_space=pltpu.VMEM),
+    ]
+    args = [pw, aw]
+    if g_mode:
+        in_specs.append(pl.BlockSpec((2, R), lambda m, t: (0, m),
+                                     memory_space=pltpu.VMEM))
+        args.append(aux)
     return pl.pallas_call(
         kernel,
-        grid=(M // 128, T // TB),
-        in_specs=[
-            pl.BlockSpec((128, TB), lambda m, t: (m, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, TB), out_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda m, t: (0, m),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda m, t: (0, 0)),
-            pl.BlockSpec((TB, TB), lambda m, t: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((128, TB), out_index,
+        grid=(M // R, wb + cb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, TB), out_index,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, C), wm.dtype),
-        scratch_shapes=[pltpu.VMEM((TB, 128), wm.dtype),
-                        pltpu.VMEM((TB, 128), wm.dtype),
-                        pltpu.VMEM((TB, 128), wm.dtype),
-                        pltpu.VMEM((HB, 128), wm.dtype),
-                        pltpu.VMEM((TB + 2 * HB, 128), wm.dtype),
-                        pltpu.VMEM((128, TB), wm.dtype),
-                        pltpu.VMEM((1, 128), wm.dtype)],
-        interpret=interpret,
-    )(wm, y3w, aux, jnp.eye(128, dtype=wm.dtype),
-      jnp.eye(TB, dtype=wm.dtype))
+        out_shape=jax.ShapeDtypeStruct((M, C), aw.dtype),
+        scratch_shapes=[pltpu.VMEM((TB, R), aw.dtype),
+                        pltpu.VMEM((TB, R), aw.dtype),
+                        pltpu.VMEM((1, R), aw.dtype)],
+        # only pass interpret when set: tests force interpret mode by
+        # monkey-patching pallas_call with a partial, which an explicit
+        # interpret=False here would override
+        **({"interpret": True} if interpret else {}),
+    )(*args)
 
 
 def deesser_gain_combine(y3, sc, attack, release, thresh, ratio, k, *,
                          floor=0.35, nv=None, eps=1e-8, min_chunk=16384,
                          force_pallas=None, interpret=False):
     """``y3 - sc + sc * gain`` with the de-esser's smoothed gain curve,
-    fused into one Pallas pass on TPU (composition of the individual ops
+    envelope+gain in one Pallas pass on TPU, then the halo box kernel and
+    a fused combine (composition of the individual ops
     elsewhere).  ``nv``: traced valid length (None = whole track)."""
+    from .fdfilter import box_smooth_same
+
     n = y3.shape[-1]
     TB = 512
     use = _use_pallas() if force_pallas is None else force_pallas
     W0 = warmup_len(attack, release, eps)
-    h = k // 2
-    if (not use or k <= 1 or h > 448 or k >= TB
-            or n <= max(2 * W0, 2 * min_chunk, 2 * TB)):
-        from .fdfilter import box_smooth_same
-
+    if not use or n <= max(2 * W0, 2 * min_chunk, 2 * TB):
         env = envelope_follower(jnp.abs(sc), attack, release,
                                 eps=eps, min_chunk=min_chunk)
         red = jnp.where(env > thresh, thresh + (env - thresh) / ratio, env)
@@ -418,33 +466,25 @@ def deesser_gain_combine(y3, sc, attack, release, thresh, ratio, k, *,
 
     lead = y3.shape[:-1]
     rows = int(np.prod(lead)) if lead else 1
-    k_target = max(1, -(-128 // max(rows, 1)))
+    k_target = max(1, -(-(_groups_cap() * 128) // max(rows, 1)))
     W = -(-W0 // TB) * TB
     C = -(-max(W, min_chunk, -(-n // k_target)) // TB) * TB
     K = -(-n // C)
-    pad = K * C - n
     nv_s = jnp.asarray(n if nv is None else nv, jnp.int32)
 
-    sc2 = sc.reshape(rows, n)
-    y32 = y3.reshape(rows, n)
-    ext = jnp.concatenate(
-        [jnp.broadcast_to(sc2[:, :1], (rows, W)), sc2,
-         jnp.broadcast_to(sc2[:, -1:], (rows, pad + TB))], axis=-1)
-    windows = jnp.stack(
-        [jax.lax.slice_in_dim(ext, kk * C, kk * C + W + C + TB, axis=-1)
-         for kk in range(K)], axis=-2)  # [rows, K, W + C + TB]
+    P, A = _win_views(sc.reshape(rows, n), W, C, K)
     M = rows * K
-    M_pad = -(-M // 128) * 128
-    wm = windows.reshape(M, W + C + TB)
-    wm = jnp.pad(wm, ((0, M_pad - M), (0, 0)))
-    y3w = jnp.pad(y32, ((0, 0), (0, pad))).reshape(M, C)
-    y3w = jnp.pad(y3w, ((0, M_pad - M), (0, 0)))
+    S, M_pad = _pick_groups(M)
+    P = jnp.pad(P, ((0, M_pad - M), (0, 0)))
+    A = jnp.pad(A, ((0, M_pad - M), (0, 0)))
     off = (np.tile(np.arange(K, dtype=np.int32), rows) * np.int32(C))
     off = np.pad(off, (0, M_pad - M))
     aux = jnp.stack([jnp.asarray(off),
                      jnp.broadcast_to(nv_s, (M_pad,))]).astype(jnp.int32)
-    out = _deesser_pallas(
-        wm, y3w, aux, attack=attack, release=release, thresh=thresh,
-        ratio=ratio, k=k, floor=floor, skip=W // TB, interpret=interpret)
-    out = out[:M].reshape(lead + (K * C,))
-    return out[..., :n]
+    gain = _win_scan_pallas(
+        P, A, attack=attack, release=release, groups=S, aux=aux,
+        gain=(thresh, ratio, floor), take_abs=True, interpret=interpret)
+    gain = gain[:M].reshape(lead + (K * C,))[..., :n]
+    gain = box_smooth_same(gain, k)
+    gain = jnp.clip(gain, floor, 1.0)
+    return y3 - sc + sc * gain

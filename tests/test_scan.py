@@ -116,6 +116,62 @@ def test_envelope_follower_pallas_path_matches_cpu():
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_env_pallas_grouped_matches_single():
+    """S>1 interleaved lane groups (the v5e ILP layout) must be bit-equal
+    to the single-group kernel: grouping only changes op scheduling."""
+    import functools
+    from unittest import mock
+
+    from jax.experimental import pallas as pl
+
+    from amw_tpu.ops import scan as sc
+
+    rng = np.random.default_rng(11)
+    M, T = 512, 2048
+    wm = jnp.asarray(np.abs(rng.standard_normal((M, T))).astype(np.float32))
+    att, rel = 0.994, 0.9997
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        single = np.asarray(sc._env_pallas(wm, att, rel, groups=1))
+        grouped = np.asarray(sc._env_pallas(wm, att, rel, groups=4))
+        skipped = np.asarray(sc._env_pallas(wm, att, rel, skip=2, groups=4))
+    np.testing.assert_array_equal(grouped, single)
+    np.testing.assert_array_equal(skipped, single[:, 2 * 512:])
+
+
+def test_deesser_gain_combine_grouped_kernel_parity():
+    """Force the grouped (S=2) de-esser kernel layout via AMW_SCAN_GROUPS
+    and a small min_chunk (many windows), against the unfused composition."""
+    import os
+    from unittest import mock
+
+    from amw_tpu.ops.scan import ar_coefs, deesser_gain_combine
+
+    rng = np.random.default_rng(3)
+    sr = 44100
+    att, rel = ar_coefs(sr, 0.001, 0.002)  # tiny warm-up -> many windows
+    thresh = 10 ** (-6.0 / 20)
+    k = 67
+    n = 600000
+    nv = 550000
+    scs = (0.3 * rng.standard_normal((2, n))).astype(np.float32)
+    y3 = (0.5 * rng.standard_normal((2, n))).astype(np.float32)
+
+    # rows=2, W=C=2048 -> K=293 windows, M=586 -> S=4 (grouped layout)
+    from amw_tpu.ops import scan as sc
+    assert sc._pick_groups(2 * (-(-n // 2048)))[0] >= 4
+    want = np.asarray(deesser_gain_combine(
+        jnp.asarray(y3), jnp.asarray(scs), att, rel, thresh, 3.0, k,
+        nv=nv, force_pallas=False))
+    with mock.patch.dict(os.environ, {"AMW_SCAN_GROUPS": "8"}):
+        got = np.asarray(deesser_gain_combine(
+            jnp.asarray(y3), jnp.asarray(scs), att, rel, thresh, 3.0, k,
+            nv=nv, min_chunk=1024, force_pallas=True, interpret=True))
+    err = np.max(np.abs(got[..., :nv] - want[..., :nv]))
+    assert err < 1e-5, f"grouped fused deesser err {err}"
+
+
 def test_deesser_gain_combine_fused_kernel_parity():
     """The fully fused de-esser tail (env -> gain -> box -> combine in one
     Pallas kernel, ops/scan.deesser_gain_combine) matches the composition

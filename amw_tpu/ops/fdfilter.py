@@ -221,8 +221,12 @@ def _box_pallas(x2: jax.Array, k: int) -> jax.Array:
 
     XLA lowers the k-term shift-add as ~k separate passes (66 ms for k=67
     at [16, 2^23] on v5e); here each grid step loads its block plus both
-    neighbors and does the k adds in VMEM — bandwidth-bound at ~2 passes
-    (~2 ms)."""
+    neighbors and sums in VMEM.  The sum uses the same two-level sliding
+    decomposition as the XLA fallback (a=8 unit shifts, then stride-a
+    shifts, then the remainder — a+b+r ≈ 19 lane-rotations instead of k):
+    each unaligned lane slice costs a vreg rotation, so the flat k-term
+    loop was compute-bound on rotations (17.7 ms for k=67 at [16, 7.9M]
+    on v5e), ~7x the two-pass HBM floor."""
     from jax.experimental import pallas as pl
 
     R, n = x2.shape
@@ -237,9 +241,22 @@ def _box_pallas(x2: jax.Array, k: int) -> jax.Array:
         nxt = jnp.where(j < pl.num_programs(0) - 1, nxt_ref[...], 0.0)
         win = jnp.concatenate(
             [prev[:, TB - half:], cur_ref[...], nxt[:, :half]], axis=-1)
-        acc = win[:, :TB]
-        for s in range(1, k):
-            acc = acc + win[:, s:s + TB]
+        a = 8
+        b = k // a
+        if b >= 2:
+            La = TB + k - a
+            sa = win[:, 0:La]
+            for s in range(1, a):
+                sa = sa + win[:, s:s + La]
+            acc = sa[:, 0:TB]
+            for j2 in range(1, b):
+                acc = acc + sa[:, j2 * a:j2 * a + TB]
+            for s in range(a * b, k):
+                acc = acc + win[:, s:s + TB]
+        else:
+            acc = win[:, :TB]
+            for s in range(1, k):
+                acc = acc + win[:, s:s + TB]
         o_ref[...] = acc * (1.0 / k)
 
     spec_c = pl.BlockSpec((R, TB), lambda j: (0, j))

@@ -484,7 +484,12 @@ def deesser_gain_combine(y3, sc, attack, release, thresh, ratio, k, *,
     gain = _win_scan_pallas(
         P, A, attack=attack, release=release, groups=S, aux=aux,
         gain=(thresh, ratio, floor), take_abs=True, interpret=interpret)
-    gain = gain[:M].reshape(lead + (K * C,))[..., :n]
-    gain = box_smooth_same(gain, k)
-    gain = jnp.clip(gain, floor, 1.0)
+    # Box over the flat [rows, K*C] bitcast of the window-major gain —
+    # chunk kk and kk+1 of a row are temporally adjacent, positions in
+    # [nv, K*C) were zeroed in-kernel via ``aux``, and K*C is usually a
+    # box-block multiple, so both the [..., :n] truncation copy and the
+    # box kernel's input pad are elided; the trailing clip and slice fuse
+    # into the final combine's elementwise pass.
+    gain = box_smooth_same(gain[:M].reshape(lead + (K * C,)), k)
+    gain = jnp.clip(gain[..., :n], floor, 1.0)
     return y3 - sc + sc * gain

@@ -110,6 +110,19 @@ def main():
                   xt, xt * 0.25, att, rel, 0.1, 4.0, k))(x),
           xb)
 
+    # --- stage_target glue isolation ---
+    import amw_tpu.ops.fused as fused_mod
+
+    real_dgc = fused_mod.deesser_gain_combine
+    try:
+        fused_mod.deesser_gain_combine = (
+            lambda y3, sc, *a, **kw: y3 - sc)
+        bench("stage_target no-dees",
+              lambda x, p: jax.vmap(f_td, in_axes=(0, None))(x, p),
+              xb, p_td_dev)
+    finally:
+        fused_mod.deesser_gain_combine = real_dgc
+
     # --- dynamics (soft-knee fused reduce) ---
     p_dy, f_dy = bands.build_dynamics(spec)
     p_dy_dev = jax.device_put(list(p_dy))

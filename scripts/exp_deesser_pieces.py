@@ -109,6 +109,22 @@ def main():
               p, a, attack=att, release=rel, groups=S, aux=ax,
               gain=(thresh, 3.0, 0.35), take_abs=True), Ph, Ah, aux)
     bench("box k=%d alone" % k, lambda g: box_smooth_same(g, k), gcur)
+    # compositional variants: where do the fusion-boundary costs land?
+    gparams = dict(attack=att, release=rel, groups=S,
+                   gain=(thresh, 3.0, 0.35), take_abs=True)
+
+    def vk(v):
+        P, A = views(v)
+        return sc._win_scan_pallas(P, A, aux=aux, **gparams)
+
+    bench("views+kernel", vk, x)
+    bench("views+kernel+box",
+          lambda v: box_smooth_same(
+              vk(v)[:M].reshape(rows, K * C), k), x)
+    bench("kernel+box (dev views)",
+          lambda p, a: box_smooth_same(
+              sc._win_scan_pallas(p, a, aux=aux, **gparams)[:M]
+              .reshape(rows, K * C), k), Ph, Ah)
     bench("combine alone",
           lambda a, b, g: a - b + b * jnp.clip(g, 0.35, 1.0), y3, x, gcur)
     bench("deesser full", lambda a, b: sc.deesser_gain_combine(

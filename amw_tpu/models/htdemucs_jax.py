@@ -689,6 +689,31 @@ def oa_plan(cfg: HTConfig, T: int, segment: int | None = None,
 _SCAN_CACHE: dict = {}
 
 
+def _group_contrib(pp, mix_win, valid, idx, w, cfg, batch, stride, seg,
+                   n_sel):
+    """One window group: [C, span] mix slab -> (weighted stem contribution
+    [n_sel, C, span], weight sum [span]).  ``valid`` [batch] zeroes padded
+    windows.  Shared by the whole-track scan, the streaming path, and the
+    mesh path so all three run the identical math."""
+    if mix_win.dtype == jnp.int16:  # lossless transfer compression
+        mix_win = mix_win.astype(jnp.float32) / 32768.0
+    C = mix_win.shape[0]
+    chunk = jnp.stack([
+        jax.lax.slice_in_dim(mix_win, j * stride, j * stride + seg, axis=1)
+        for j in range(batch)])                 # [B, C, seg]
+    st = forward(pp, chunk, cfg)                # [B, S, C, seg]
+    st = jnp.take(st, idx, axis=1)              # [B, n_sel, C, seg]
+    wv = w[None, :] * valid[:, None]            # [B, seg]
+    span = (batch - 1) * stride + seg
+    contrib = jnp.zeros((n_sel, C, span), jnp.float32)
+    wc = jnp.zeros((span,), jnp.float32)
+    for j in range(batch):                      # static offsets
+        contrib = contrib.at[:, :, j * stride:j * stride + seg].add(
+            st[j] * wv[j])
+        wc = wc.at[j * stride:j * stride + seg].add(wv[j])
+    return contrib, wc
+
+
 def _jitted_oa_scan(cfg: HTConfig, seg: int, stride: int, batch: int,
                     n_sel: int, nb: int, t_ext: int):
     """Whole-track device-resident overlap-add as ONE executable: a
@@ -717,20 +742,9 @@ def _jitted_oa_scan(cfg: HTConfig, seg: int, stride: int, batch: int,
                     out_acc, w_acc = carry
                     mix_win = jax.lax.dynamic_slice(mix_pad, (0, w0),
                                                     (C, span))
-                    chunk = jnp.stack([
-                        jax.lax.slice_in_dim(mix_win, j * stride,
-                                             j * stride + seg, axis=1)
-                        for j in range(batch)])         # [B, C, seg]
-                    st = forward(pp, chunk, cfg)        # [B, S, C, seg]
-                    st = jnp.take(st, idx, axis=1)      # [B, n_sel, C, seg]
-                    wv = w[None, :] * valid[:, None]    # [B, seg]
-                    contrib = jnp.zeros((n_sel, C, span), jnp.float32)
-                    wc = jnp.zeros((span,), jnp.float32)
-                    for j in range(batch):              # static offsets
-                        contrib = contrib.at[
-                            :, :, j * stride:j * stride + seg].add(
-                            st[j] * wv[j])
-                        wc = wc.at[j * stride:j * stride + seg].add(wv[j])
+                    contrib, wc = _group_contrib(
+                        pp, mix_win, valid, idx, w, cfg, batch, stride,
+                        seg, n_sel)
                     cur = jax.lax.dynamic_slice(out_acc, (0, 0, w0),
                                                 (n_sel, C, span))
                     out_acc = jax.lax.dynamic_update_slice(
@@ -758,10 +772,69 @@ def _jitted_oa_scan(cfg: HTConfig, seg: int, stride: int, batch: int,
     return fn
 
 
+def _jitted_group(cfg: HTConfig, seg: int, stride: int, batch: int,
+                  n_sel: int, dtype):
+    """Per-window-group executable for the streaming path: [C, span] slab ->
+    (contribution, weights).  Keys only on the group geometry — ONE compile
+    serves every track length (the whole-track scan compiles per window-
+    count bucket)."""
+    key = ("grp",) + _cfg_key(cfg) + (seg, stride, batch, n_sel,
+                                      np.dtype(dtype).name)
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda pp, mix_win, valid, idx, w: _group_contrib(
+            pp, mix_win, valid, idx, w, cfg, batch, stride, seg, n_sel))
+        _SCAN_CACHE[key] = fn
+    return fn
+
+
+def _jitted_stream_combine(cfg: HTConfig, nb: int, span: int, adv: int,
+                           n_sel: int, C: int):
+    """Streaming-path epilogue: scatter-add ``nb`` stacked group
+    contributions (each advanced by ``adv`` samples) into the full track and
+    normalize.  Cheap graph — no model weights — so its per-length compile
+    is negligible next to the forward's."""
+    key = ("comb", nb, span, adv, n_sel, C)
+    fn = _SCAN_CACHE.get(key)
+    if fn is None:
+        t_ext = (nb - 1) * adv + span
+
+        def run(contribs, wcs):
+            out = jnp.zeros((n_sel, C, t_ext), jnp.float32)
+            w_acc = jnp.zeros((t_ext,), jnp.float32)
+            for i in range(nb):  # static offsets — fused adds, no gather
+                out = out.at[:, :, i * adv:i * adv + span].add(contribs[i])
+                w_acc = w_acc.at[i * adv:i * adv + span].add(wcs[i])
+            return out / jnp.maximum(w_acc, 1e-8)
+
+        fn = jax.jit(run)
+        _SCAN_CACHE[key] = fn
+    return fn
+
+
+def _pack_mix(mix: np.ndarray, t_ext: int) -> np.ndarray:
+    """Host-side transfer packing: most uploads decode from 16-bit PCM,
+    whose float samples are exactly i/32768.  When that round-trips
+    losslessly, ship int16 over the host→device link (half the bytes — the
+    mix upload dominates isolate-vocal time on relay-attached TPUs,
+    docs/TPU_NOTES.md) and dequantize in-graph; anything else (24-bit,
+    float sources) keeps the f32 path.  Bit-exact by construction, so both
+    paths produce identical stems."""
+    mixf = np.ascontiguousarray(mix, dtype=np.float32)
+    T = mixf.shape[-1]
+    xi = np.round(mixf * 32768.0)
+    if (np.abs(xi).max(initial=0.0) <= 32767.0
+            and np.array_equal(xi.astype(np.float32) / np.float32(32768.0),
+                               mixf)):
+        return np.pad(xi.astype(np.int16), ((0, 0), (0, t_ext - T)))
+    return np.pad(mixf, ((0, 0), (0, t_ext - T)))
+
+
 def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
              segment: int | None = None, overlap: float = 0.25,
              batch: int = 4, stems: tuple | None = None,
-             host_oa: bool = False, device_out: bool = False):
+             host_oa: bool = False, device_out: bool = False,
+             stream: bool | None = None):
     """[C, T] -> stems [S, C, T]: overlapping fixed-size segments through one
     jitted forward, triangular cross-fade weighting (the shape demucs'
     apply_model uses with transition_power=1).
@@ -787,7 +860,16 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
     the device path).  ``device_out=True`` (device path only) skips the
     final fetch and returns the stems as a device array so a downstream
     jitted graph (e.g. isolate→master) can consume them without a host
-    round trip."""
+    round trip.
+
+    ``stream=True`` switches to the double-buffered streaming path: the mix
+    uploads per window group (span-sized slabs, ~8 % halo overhead) with
+    each group's forward enqueued right behind its slab, so the relay can
+    overlap the next slab's host→device transfer with the current group's
+    compute.  Side benefit: the group executable keys only on the group
+    geometry, so ONE compile serves every track length (the whole-track
+    scan compiles per window-count bucket).  Default (None) resolves from
+    ``AMW_HTDEMUCS_STREAM`` (unset → scan path)."""
     cfg = cfg or HTConfig()
     C, T = mix.shape
     seg, stride, starts, nb_b, t_ext, span = oa_plan(
@@ -819,32 +901,139 @@ def separate(params, mix: np.ndarray, cfg: HTConfig | None = None,
                     * w[:end - start]
                 weight_acc[start:end] += w[:end - start]
         return out / np.maximum(weight_acc, 1e-8)
+    nb = (len(starts) + batch - 1) // batch
+    n_seg = len(starts)
+    w_dev = jnp.asarray(w)
+    if stream is None:
+        stream = os.environ.get("AMW_HTDEMUCS_STREAM", "0") == "1"
+    if stream:
+        # Streaming path: per-group slab uploads interleaved with per-group
+        # forwards (all enqueued asynchronously), then one combine dispatch.
+        adv = batch * stride
+        t_ext_s = (nb - 1) * adv + span
+        mix_host = _pack_mix(mix, t_ext_s)
+        grp = _jitted_group(cfg, seg, stride, batch, len(src_idx),
+                            mix_host.dtype)
+        contribs, wcs = [], []
+        for i in range(nb):
+            valid_i = np.zeros(batch, np.float32)
+            valid_i[: min(batch, n_seg - i * batch)] = 1.0
+            slab = jax.device_put(
+                np.ascontiguousarray(mix_host[:, i * adv:i * adv + span]))
+            ci, wi = grp(dev_params, slab, jnp.asarray(valid_i), idx_dev,
+                         w_dev)
+            contribs.append(ci)
+            wcs.append(wi)
+        comb = _jitted_stream_combine(cfg, nb, span, adv, len(src_idx), C)
+        out = comb(jnp.stack(contribs), jnp.stack(wcs))[:, :, :T]
+        return out if device_out else np.asarray(out)
     # nb_b (from oa_plan) buckets the window count to a power of two so
     # the fused whole-track executable count stays bounded; padding
     # windows carry valid=0 and contribute nothing.
-    nb = (len(starts) + batch - 1) // batch
-    # Transfer compression: most uploads decode from 16-bit PCM, whose
-    # float samples are exactly i/32768.  When that round-trips
-    # losslessly, ship int16 over the host→device link (half the bytes —
-    # the mix upload dominates isolate-vocal time on relay-attached TPUs,
-    # docs/TPU_NOTES.md) and dequantize in-graph; anything else (24-bit,
-    # float sources) keeps the f32 path.  Bit-exact by construction, so
-    # both paths produce identical stems.
-    mixf = np.ascontiguousarray(mix, dtype=np.float32)
-    xi = np.round(mixf * 32768.0)
-    if (np.abs(xi).max(initial=0.0) <= 32767.0
-            and np.array_equal(xi.astype(np.float32) / np.float32(32768.0),
-                               mixf)):
-        mix_host = np.pad(xi.astype(np.int16), ((0, 0), (0, t_ext - T)))
-    else:
-        mix_host = np.pad(mixf, ((0, 0), (0, t_ext - T)))
-    mix_dev = jax.device_put(mix_host)
+    mix_dev = jax.device_put(_pack_mix(mix, t_ext))
     valids = np.zeros((nb_b, batch), np.float32)
-    n_seg = len(starts)
     for i in range(nb):
         valids[i, : min(batch, n_seg - i * batch)] = 1.0
     run = _jitted_oa_scan(cfg, seg, stride, batch, len(src_idx), nb_b, t_ext)
     out = run(dev_params, mix_dev, jnp.asarray(valids), idx_dev,
+              w_dev)[:, :, :T]
+    return out if device_out else np.asarray(out)
+
+
+def separate_mesh(params, mix: np.ndarray, mesh, cfg: HTConfig | None = None,
+                  axis: str = "dp", segment: int | None = None,
+                  overlap: float = 0.25, batch: int = 4,
+                  stems: tuple | None = None, device_out: bool = False):
+    """Mesh-sharded separation: the overlap-add window groups are
+    embarrassingly parallel, so they shard across the ``axis`` rows of a
+    device mesh via ``shard_map`` — each device scans its slice of the
+    window-group axis over a replicated mix and the partial stem/weight
+    accumulators ``psum`` at the end (the one collective; rides ICI).
+
+    The reference runs Demucs as a single-GPU subprocess
+    (services/vocal_isolation.py:13-50); this is the TPU-first equivalent:
+    a D-device mesh cuts a track's separation wall-clock ~D× with no
+    change in output (bit-identical math to :func:`separate`, which remains
+    the single-device path).  Mirrors the mastering engine's dp serving
+    (runtime/engine.py)."""
+    cfg = cfg or HTConfig()
+    C, T = mix.shape
+    D = int(mesh.shape[axis])
+    seg, stride, starts, nb_b, t_ext, span = oa_plan(
+        cfg, T, segment=segment, overlap=overlap, batch=batch)
+    # The window-group axis must split evenly over D: round the bucket up
+    # to a multiple of D (extra groups are all-invalid -> skipped).
+    nb_b2 = ((max(nb_b, D) + D - 1) // D) * D
+    t_ext2 = (nb_b2 - 1) * batch * stride + span
+    src_idx = (list(range(len(cfg.sources))) if stems is None
+               else [cfg.sources.index(s) for s in stems])
+    n_sel = len(src_idx)
+    w = np.concatenate([np.arange(1, seg // 2 + 1),
+                        np.arange(seg - seg // 2, 0, -1)]).astype(np.float32)
+    w = w / w.max()
+    nb = (len(starts) + batch - 1) // batch
+    valids = np.zeros((nb_b2, batch), np.float32)
+    for i in range(nb):
+        valids[i, : min(batch, len(starts) - i * batch)] = 1.0
+
+    mix_host = _pack_mix(mix, t_ext2)
+    key = ("mesh", axis, D, tuple(d.id for d in mesh.devices.flat),
+           np.dtype(mix_host.dtype).name) + _cfg_key(cfg) + (
+        seg, stride, batch, n_sel, nb_b2, t_ext2)
+    run = _SCAN_CACHE.get(key)
+    if run is None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        local_nb = nb_b2 // D
+
+        def local_run(pp, mix_pad, steps_l, valids_l, idx, w_d):
+            if mix_pad.dtype == jnp.int16:
+                mix_pad = mix_pad.astype(jnp.float32) / 32768.0
+
+            def body(carry, iv):
+                i, valid = iv          # i: GLOBAL window-group index
+                w0 = i * (batch * stride)
+
+                def do(carry):
+                    out_acc, w_acc = carry
+                    mix_win = jax.lax.dynamic_slice(mix_pad, (0, w0),
+                                                    (C, span))
+                    contrib, wc = _group_contrib(
+                        pp, mix_win, valid, idx, w_d, cfg, batch, stride,
+                        seg, n_sel)
+                    cur = jax.lax.dynamic_slice(out_acc, (0, 0, w0),
+                                                (n_sel, C, span))
+                    out_acc = jax.lax.dynamic_update_slice(
+                        out_acc, cur + contrib, (0, 0, w0))
+                    curw = jax.lax.dynamic_slice(w_acc, (w0,), (span,))
+                    w_acc = jax.lax.dynamic_update_slice(
+                        w_acc, curw + wc, (w0,))
+                    return out_acc, w_acc
+
+                return jax.lax.cond(jnp.any(valid > 0), do,
+                                    lambda carry: carry, carry), None
+
+            init = (jnp.zeros((n_sel, C, t_ext2), jnp.float32),
+                    jnp.zeros((t_ext2,), jnp.float32))
+            (out_acc, w_acc), _ = jax.lax.scan(body, init,
+                                               (steps_l, valids_l))
+            out_acc = jax.lax.psum(out_acc, axis)
+            w_acc = jax.lax.psum(w_acc, axis)
+            return out_acc / jnp.maximum(w_acc, 1e-8)
+
+        # Any extra mesh axes (e.g. the 2-D dp×sp serving mesh) stay
+        # replicated: the window grid shards over ``axis`` only.
+        run = jax.jit(shard_map(
+            local_run, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(), P()),
+            out_specs=P(),
+            check_vma=False))
+        assert local_nb * D == nb_b2
+        _SCAN_CACHE[key] = run
+    steps = np.arange(nb_b2, dtype=np.int32)
+    out = run(params, mix_host, steps, valids,
+              jnp.asarray(np.asarray(src_idx, np.int32)),
               jnp.asarray(w))[:, :, :T]
     return out if device_out else np.asarray(out)
 

@@ -184,10 +184,32 @@ def warmup_htdemucs(durations_sec) -> int:
     return len(seen)
 
 
-def separate_htdemucs(audio: np.ndarray, sr: int) -> np.ndarray | None:
+_mesh_params_cache: dict = {}
+
+
+def _mesh_params(params, mesh):
+    """One mesh-replicated copy of the weights per mesh (a single-device
+    committed dict handed to the shard_map executable would re-broadcast
+    ~170 MB on every call)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (id(params), tuple(d.id for d in mesh.devices.flat))
+    got = _mesh_params_cache.get(key)
+    if got is None:
+        got = jax.device_put(params, NamedSharding(mesh, P()))
+        _mesh_params_cache.clear()  # one live mesh copy is enough
+        _mesh_params_cache[key] = got
+    return got
+
+
+def separate_htdemucs(audio: np.ndarray, sr: int,
+                      mesh=None) -> np.ndarray | None:
     """[C, N] -> vocals [C, N] via the TPU htdemucs forward, or None when no
     weights are configured.  Resamples to/from the model rate (44.1 kHz) as
-    the reference's demucs CLI does internally."""
+    the reference's demucs CLI does internally.  With ``mesh`` (>1 device)
+    the overlap-add window groups shard across the mesh's dp axis
+    (htdemucs_jax.separate_mesh)."""
     loaded = _htdemucs()
     if loaded is None:
         return None
@@ -202,7 +224,12 @@ def separate_htdemucs(audio: np.ndarray, sr: int) -> np.ndarray | None:
     if sr != cfg.samplerate:
         n_model = int(round(n * cfg.samplerate / sr))
         x = np.asarray(resample_fft(x, n_model, resample_plan(n, n_model)))
-    vocals = hj.separate(params, x, cfg, stems=("vocals",))[0]
+    if mesh is not None and mesh.devices.size > 1:
+        axis = mesh.axis_names[0]
+        vocals = hj.separate_mesh(_mesh_params(params, mesh), x, mesh,
+                                  cfg, axis=axis, stems=("vocals",))[0]
+    else:
+        vocals = hj.separate(params, x, cfg, stems=("vocals",))[0]
     if sr != cfg.samplerate:
         vocals = np.asarray(resample_fft(vocals, n,
                                          resample_plan(vocals.shape[-1], n)))
@@ -212,12 +239,12 @@ def separate_htdemucs(audio: np.ndarray, sr: int) -> np.ndarray | None:
 
 
 def isolate_vocal(audio: np.ndarray, sr: int,
-                  model: str = "htdemucs") -> np.ndarray:
+                  model: str = "htdemucs", mesh=None) -> np.ndarray:
     """[C, N] -> vocals [C, N].  htdemucs (neural, when converted weights are
     configured) with the DSP center-extractor as fallback — mirrors the
     reference's model choice (services/vocal_isolation.py:23)."""
     if model in ("htdemucs", "auto"):
-        vocals = separate_htdemucs(audio, sr)
+        vocals = separate_htdemucs(audio, sr, mesh=mesh)
         if vocals is not None:
             return vocals
     params, fn = _jitted(sr, audio.shape[-1], audio.shape[0])

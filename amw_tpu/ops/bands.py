@@ -172,16 +172,13 @@ def band_split_plan(spec: GraphSpec, crossovers_hz=None, pre=None,
                 # One batched inverse over the 4 band responses — measured
                 # ~50 ms faster than 4 separate transforms at [16, 2^23].
                 if use_pallas:
+                    # band_maps was fully handled by the reduce path above;
+                    # this branch only serves the split-bands (list) output.
                     ys = fp.roundtrip_multi(core, Rd, nfft, nfft,
                                             tables=params[2])
-                    out = []
-                    for i in range(4):
-                        out.append(validctx.splice(
-                            ys[i], left[i], right[i], n, L, nv,
-                            off=padlen))
-                    if band_maps is not None:
-                        return sum(band_maps[i](out[i]) for i in range(4))
-                    return out
+                    return [validctx.splice(ys[i], left[i], right[i],
+                                            n, L, nv, off=padlen)
+                            for i in range(4)]
                 X = jnp.fft.rfft(core, n=nfft, axis=-1)
                 Rb = Rd.reshape((4,) + (1,) * (X.ndim - 1)
                                 + (Rd.shape[-1],))

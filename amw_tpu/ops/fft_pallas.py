@@ -498,7 +498,13 @@ def _a_cols(C: int) -> int:
     For the small plans (C < 128) a floor of 128//C is forced: Mosaic
     requires ≥128 lanes per block, so C=64/32 tiles must span 2/4 of the
     C-axis groups."""
-    m = int(os.environ.get("AMW_FFT_A_COLS", "1"))
+    try:
+        m = int(os.environ.get("AMW_FFT_A_COLS", "1"))
+    except (TypeError, ValueError):
+        m = 1
+    # Round down to a power of two so the halving loop lands on an exact
+    # divisor of B (grid = B // m must cover every column group).
+    m = 1 << max(int(m).bit_length() - 1, 0) if m > 1 else 1
     while m > 1 and (B % m or (C * m) * A * 4 > (4 << 20)):
         m //= 2
     return max(m, 1, C1 // C)

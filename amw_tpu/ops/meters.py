@@ -95,10 +95,14 @@ def block_energies(y: jax.Array, plan: BlockPlan) -> jax.Array:
     """Mean-square energy per gating block.  ``y``: [C, N] K-weighted audio.
     Returns [C, n_blocks]."""
     C = y.shape[0]
-    y2 = jnp.square(y)
+    # Bound framing to the plan's signal: callers may hand a longer buffer
+    # (e.g. the full nfft-length filter output from fused.build_normalize_
+    # then_final) whose tail past plan.n is circular-convolution ringout,
+    # not audio — it must read as zero padding in truncated-tail blocks.
+    y2 = jnp.square(y[..., :plan.n])
     if plan.uniform:
         need = plan.n_sub * plan.hop
-        y2p = jnp.pad(y2, ((0, 0), (0, max(0, need - plan.n))))[:, :need]
+        y2p = jnp.pad(y2, ((0, 0), (0, max(0, need - y2.shape[-1]))))[:, :need]
         sub = y2p.reshape(C, plan.n_sub, plan.hop).sum(axis=-1)  # [C, n_sub]
         z = (
             sub[:, 0:plan.n_blocks]

@@ -17,8 +17,16 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.chain import compile_chain
 from ..spec import GraphSpec
 
+# The long tail (> 600 s) covers DJ-set uploads (reference: 800 MB WAV ≈
+# 75 min of 16-bit stereo, config.py:26-33): ~1.4× spaced so padding waste
+# stays ≤ 40 % while distinct long uploads share one masked executable —
+# cold-start latency is one ladder compile (persistently cached) instead of
+# a fresh exact-length compile per distinct length.  The serving engine
+# caps how far up the ladder it buckets via ``engine_max_bucket_sec``
+# (HBM-bound: the stacked band-response working set is ~32·nfft bytes).
 DEFAULT_BUCKETS_SEC = tuple(float(s) for s in
-                            (15, 30, 60, 90, 120, 150, 180, 240, 300, 420, 600))
+                            (15, 30, 60, 90, 120, 150, 180, 240, 300, 420,
+                             600, 900, 1260, 1800, 2520, 3600))
 
 
 def pad_to_bucket(x: np.ndarray, sr: int, buckets_sec=DEFAULT_BUCKETS_SEC):

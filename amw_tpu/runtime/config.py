@@ -91,6 +91,18 @@ class Settings:
     # are unchanged.
     engine_mesh: bool = True
     engine_sp_threshold_sec: float = 600.0
+    # Highest bucket of the masked length ladder the single-chip engine
+    # pads up to (parallel/batch.DEFAULT_BUCKETS_SEC); longer uploads
+    # compile at exact length.  HBM-bound — the fused chain's band-response
+    # working set scales ~32·nfft bytes, so v5e (16 GB) serves the 2520 s
+    # bucket with headroom but not 2×4800 s.
+    engine_max_bucket_sec: float = 2520.0
+    # Time-shard (sp) graphs compile per exact track length; snapping long
+    # uploads up to this grid (zero-padded, output sliced back) lets
+    # distinct lengths share one executable.  The padding is mastered as
+    # trailing silence — gated out of BS.1770 (≤ ~0.001 LU on a >10 min
+    # track) and sliced off before export.  0 = off (every length exact).
+    engine_sp_quantize_sec: float = 30.0
     # Multi-host pods (DCN): when set, jax.distributed is initialized at
     # engine start and the serving mesh spans every host's devices with dp
     # across hosts / sp on each host's ICI (parallel/mesh.py pod_layout;

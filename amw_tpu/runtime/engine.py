@@ -182,7 +182,14 @@ class MasteringEngine:
         if self.bucket and n >= int(self.MIN_BUCKET_SEC * sr):
             bn = n
             from ..parallel.batch import DEFAULT_BUCKETS_SEC
+
+            # Ladder cap (engine_max_bucket_sec): the long buckets trade
+            # padded compute for shared executables; beyond the cap (HBM
+            # working set ~32·nfft bytes) uploads compile at exact length.
+            max_sec = float(settings.engine_max_bucket_sec or 0)
             for s in DEFAULT_BUCKETS_SEC:
+                if max_sec and s > max_sec:
+                    break
                 cand = int(round(s * sr))
                 if cand >= n:
                     bn = cand
@@ -227,7 +234,9 @@ class MasteringEngine:
             from ..models import vocal
 
             # htdemucs (converted weights) when configured, DSP fallback.
-            audio = vocal.isolate_vocal(audio, sr)
+            # On a >1-device serving mesh the separator's window groups
+            # shard across dp (htdemucs_jax.separate_mesh).
+            audio = vocal.isolate_vocal(audio, sr, mesh=self.mesh)
             pro = {k: v for k, v in pro.items() if k != "apply_vocal_isolation"}
         n, C = audio.shape[-1], audio.shape[0]
         if (self.mesh is not None
@@ -358,18 +367,26 @@ class MasteringEngine:
 
         audio = np.ascontiguousarray(audio, np.float32)
         C, n = audio.shape
+        # Length quantization (engine_sp_quantize_sec): snap the track up to
+        # a grid so distinct long uploads share one compiled sp executable
+        # instead of paying a fresh exact-length compile each.  The pad is
+        # mastered as trailing silence — BS.1770 gating discards silent
+        # blocks (≤ ~0.001 LU effect on a >10 min track) and the output is
+        # sliced back to the true length before export.
+        grid = int(float(settings.engine_sp_quantize_sec or 0) * sr)
+        n_q = ((n + grid - 1) // grid) * grid if grid > 0 else n
         key = json.dumps(
             {"cfg": chain_config, "pro": pro, "style": style,
              "t": round(float(target_lufs), 2), "sp": True},
             sort_keys=True, default=str)
         report(5, "Mastering (sequence-parallel)…")
         fn, params, n_pad = self._get_graph(
-            "sp", (sr, n, C), key,
+            "sp", (sr, n_q, C), key,
             lambda: build_sp_master(
-                sr, n, C, self.mesh, target_lufs=target_lufs, style=style,
+                sr, n_q, C, self.mesh, target_lufs=target_lufs, style=style,
                 chain_config=chain_config, pro=pro, stats=True))
         xp = np.pad(audio, ((0, 0), (0, n_pad - n)))
-        ema_key = ("sp", (sr, n, C), key)
+        ema_key = ("sp", (sr, n_q, C), key)
         from . import progress as prog_mod
 
         t0 = time.monotonic()

@@ -31,7 +31,7 @@ import numpy as np
 
 # Keep the watchdog WELL below the driver's budget: with per-section emits
 # a late stall costs only the unfinished sections, never the record.
-WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "1500"))
+WATCHDOG_SEC = int(os.environ.get("BENCH_WATCHDOG_SEC", "2100"))
 
 RESULTS = {
     "metric": "realtime_factor_v1_chain",
@@ -339,6 +339,19 @@ def main():
             f"recompiles: 0 (single cached executable)")
         RESULTS.update({"sustained_tracks_per_min": round(sus_tpm, 1),
                         "sustained_rtf": round(sus_rtf, 1)})
+        # Dedicated production-path headline (round-5 item 3): steady-state
+        # RTF of the bucketed, n_valid-masked v2 graph — the program
+        # /api/v2/master actually serves — measured like the v1 headline
+        # (per-dispatch, fence amortized).  Gate: >= 5000x.
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            acc = vstep(xb, vp, nvb)
+        fence(acc)
+        v2_dt = (time.perf_counter() - t0 - relay) / reps
+        v2_rtf = micro * dur / v2_dt
+        log(f"masked v2 (production path): {v2_dt:.3f}s per batch of "
+            f"{micro} -> {v2_rtf:.0f}x realtime")
+        RESULTS["realtime_factor_v2_masked"] = round(v2_rtf, 1)
         emit(section="sustained")
     except Exception as e:  # noqa: BLE001
         log(f"sustained bench failed: {type(e).__name__}: {str(e)[:200]}")
@@ -549,6 +562,24 @@ def main():
         h_rtf = 4 * cfg.segment / hdt
         log(f"htdemucs fwd batch=4: {hdt*1e3:.0f} ms -> {h_rtf:.0f}x realtime")
         RESULTS["htdemucs_fwd_rtf"] = round(h_rtf, 1)
+        # Batch-scaling probe: is the forward step sublinear in batch (it is
+        # HBM/launch-bound, not FLOP-bound)?  Informs the serving batch.
+        try:
+            mixb8 = jax.device_put(
+                (0.1 * g.standard_normal((8, 2, seg))).astype(np.float32))
+            fence(hfwd(hdev, mixb8))
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(3):
+                acc = hfwd(hdev, mixb8)
+            fence(acc)
+            hdt8 = (time.perf_counter() - t0 - relay) / 3
+            rtf8 = 8 * cfg.segment / hdt8
+            log(f"htdemucs fwd batch=8: {hdt8*1e3:.0f} ms -> "
+                f"{rtf8:.0f}x realtime")
+            RESULTS["htdemucs_fwd_rtf_b8"] = round(rtf8, 1)
+        except Exception as e:  # noqa: BLE001
+            log(f"fwd b8 probe failed: {type(e).__name__}: {str(e)[:120]}")
         emit(section="htdemucs_fwd")
 
         # Quality gate (VERDICT r3 item 5): held-out vocal SNR of the
@@ -593,6 +624,26 @@ def main():
                 f"baseline {s_base:.1f} dB (held-out)")
             RESULTS["htdemucs_vocal_snr_db"] = round(float(s_model), 1)
             RESULTS["htdemucs_mixture_snr_db"] = round(float(s_base), 1)
+            # Generator-INDEPENDENT eval (round-5 item 2): a second corpus
+            # with a different synthesis recipe + a deterministic song-like
+            # mix (scripts/gen_sep_eval.py) — the honest quality floor.
+            gspec = importlib.util.spec_from_file_location(
+                "gen_sep_eval", root / "scripts" / "gen_sep_eval.py")
+            gmod = importlib.util.module_from_spec(gspec)
+            gspec.loader.exec_module(gmod)
+            os.environ["AMW_HTDEMUCS_CKPT"] = "bundled"
+            try:
+                heval = gmod.eval_checkpoint(htdemucs_checkpoint_path(),
+                                             batch=8)
+            finally:
+                os.environ.pop("AMW_HTDEMUCS_CKPT", None)
+            log(f"htdemucs heldout-generator quality: {heval}")
+            RESULTS["htdemucs_vocal_snr_heldout_db"] = round(
+                heval["heldout_vocal_snr_db"], 1)
+            RESULTS["htdemucs_mixture_snr_heldout_db"] = round(
+                heval["heldout_mixture_snr_db"], 1)
+            RESULTS["htdemucs_vocal_snr_song_db"] = round(
+                heval["song_vocal_snr_db"], 1)
             emit(section="htdemucs_quality")
         except Exception as e:  # noqa: BLE001
             log(f"htdemucs quality gate failed: "
@@ -660,11 +711,105 @@ def main():
         e2e = time.perf_counter() - t0 - relay
         e2e_rtf = e2e_dur / e2e
         log(f"isolate+master e2e ({e2e_dur:.0f}s track): {e2e:.2f}s -> "
-            f"{e2e_rtf:.1f}x realtime")
+            f"{e2e_rtf:.1f}x realtime (scan path)")
         RESULTS["htdemucs_e2e_rtf"] = round(e2e_rtf, 1)
+
+        # Streaming path (round-5 item 1a): per-group slab uploads enqueued
+        # behind each group's forward, so the relay can overlap the next
+        # slab's transfer with the current group's compute.
+        try:
+            warm_s = hj.separate(hdev, track, cfg, stems=("vocals",),
+                                 device_out=True, stream=True)
+            fence(jnp.sum(jnp.square(warm_s)))
+            measure_relay()
+            t0 = time.perf_counter()
+            vocals_s = hj.separate(hdev, track, cfg, stems=("vocals",),
+                                   device_out=True, stream=True)[0]
+            mastered_s = mfn(jnp.clip(vocals_s, -1.0, 1.0), mdev)
+            fence(jnp.sum(jnp.square(mastered_s)))
+            e2e_s = time.perf_counter() - t0 - relay
+            rtf_s = e2e_dur / e2e_s
+            log(f"isolate+master e2e STREAM: {e2e_s:.2f}s -> "
+                f"{rtf_s:.1f}x realtime")
+            RESULTS["htdemucs_e2e_rtf_stream"] = round(rtf_s, 1)
+            if rtf_s > e2e_rtf:
+                RESULTS["htdemucs_e2e_rtf"] = round(rtf_s, 1)
+                RESULTS["htdemucs_e2e_mode"] = "stream"
+        except Exception as e:  # noqa: BLE001
+            log(f"stream e2e failed: {type(e).__name__}: {str(e)[:160]}")
         emit(section="htdemucs_e2e")
     except Exception as e:  # noqa: BLE001
         log(f"htdemucs bench failed: {type(e).__name__}: {str(e)[:160]}")
+
+    # Mixed-traffic sustained serving (round-5 item 3): short uploads, a
+    # long upload, and an isolate-vocal job through the REAL engine
+    # (decode -> bucketed masked graph -> validate -> dithered export), the
+    # path /api/v2/master serves.  Wall clock includes host codec work.
+    try:
+        from amw_tpu.runtime.config import settings as rt_settings
+        from amw_tpu.runtime.engine import MasteringEngine
+        from amw_tpu.utils import wav as wav_mod
+
+        rt_settings.mastering_debug_skip_limits = True
+        eng = MasteringEngine(bucket=True, micro_batch=False)
+
+        def wav_blob(dur_s, seed):
+            x = make_track(sr, dur_s, seed=seed)
+            q = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+            return wav_mod.write_wav_int16(q, sr)
+
+        jobs = ([("short", wav_blob(20.0, s), {}) for s in range(4)]
+                + [("med", wav_blob(170.0, 7), {}),
+                   ("med", wav_blob(175.0, 8), {})])
+        os.environ["AMW_HTDEMUCS_CKPT"] = "bundled"
+        try:
+            from amw_tpu.runtime import settings_store
+
+            settings_store.set_setting("vocal_isolation_enabled", True)
+            jobs.append(("isolate", wav_blob(60.0, 9),
+                         {"pro": {"apply_vocal_isolation": True}}))
+            # Warmup pass: compile/load every job's graph, fenced by the
+            # blocking bytes result itself.
+            for _name, blob, kw in jobs:
+                eng.master_v2_bytes(blob, "t.wav", target_lufs=-14.0, **kw)
+            t0 = time.perf_counter()
+            audio_sec = 0.0
+            for _name, blob, kw in jobs:
+                r = eng.master_v2_bytes(blob, "t.wav", target_lufs=-14.0,
+                                        **kw)
+                audio_sec += len(r["bytes"]) / (2 * 2 * sr)  # 16-bit stereo
+            mt_dt = time.perf_counter() - t0
+        finally:
+            os.environ.pop("AMW_HTDEMUCS_CKPT", None)
+        mt_rtf = audio_sec / mt_dt
+        log(f"mixed traffic ({len(jobs)} jobs, {audio_sec:.0f}s audio, "
+            f"incl. decode/export + isolate): {mt_dt:.2f}s -> "
+            f"{mt_rtf:.0f}x realtime, {len(jobs)/mt_dt*60:.0f} jobs/min")
+        RESULTS["mixed_traffic_rtf"] = round(mt_rtf, 1)
+        RESULTS["mixed_traffic_jobs_per_min"] = round(len(jobs) / mt_dt * 60,
+                                                      1)
+        emit(section="mixed_traffic")
+    except Exception as e:  # noqa: BLE001
+        log(f"mixed traffic failed: {type(e).__name__}: {str(e)[:200]}")
+
+    # Long-upload cold latency (round-5 item 4): first job for a 20-min
+    # track in THIS process — the ladder bucket (1260 s) compile/cache-load
+    # plus the run.  With the persistent cache warmed by a previous bench
+    # run this is the restart-cold number the 600 s SSE budget cares about.
+    try:
+        t0 = time.perf_counter()
+        blob = wav_blob(1200.0, 11)
+        dec_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r = eng.master_v2_bytes(blob, "t.wav", target_lufs=-14.0)
+        cold_long = time.perf_counter() - t0
+        assert len(r["bytes"]) > 1000
+        log(f"cold long job (20 min upload, 1260s ladder bucket): "
+            f"{cold_long:.1f}s (host fixture gen {dec_s:.1f}s)")
+        RESULTS["cold_long_job_s"] = round(cold_long, 1)
+        emit(section="cold_long")
+    except Exception as e:  # noqa: BLE001
+        log(f"cold long job failed: {type(e).__name__}: {str(e)[:200]}")
 
     emit(section="done")
 

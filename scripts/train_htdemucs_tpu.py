@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Train the tiny htdemucs on TPU via the JAX forward (round-5 item 2).
+
+The round-4 checkpoint was trained with the torch oracle on one CPU core
+(scripts/train_htdemucs_tiny.py) and overfits its own generator: it scores
+~11.5 dB vocal SNR on same-generator held-out mixes but ~0 dB on the
+generator-independent corpus (scripts/gen_sep_eval.py).  This trainer
+closes that gap:
+
+- **TPU speed**: the train step — forward, L1 loss, grads, Adam update —
+  is ONE jitted graph via ``jax.value_and_grad`` over the same
+  :func:`htdemucs_jax.forward` that serves inference, so a step is one
+  relay dispatch instead of a seconds-long single-core torch step.  That
+  buys a larger model (channels 16 / bottom 48 vs 8/24) and ~10× the steps
+  in the same wall clock.
+- **Distribution breadth**: stems are augmented on the host with random
+  EQ tilts, exponential-tail noise reverbs (a *different* reverb family
+  from the eval corpus's comb-based room), per-stem gain jitter, polarity
+  and channel swaps — forcing the model onto structural cues (center-
+  panned harmonic + syllabic AM = vocals) instead of the generator's exact
+  spectra.  The eval recipe (formant vocals, FM bass, Karplus-Strong
+  chords, grid drums) stays unseen.
+
+The result is saved in the demucs package format via torch (state-dict
+names are shared between the JAX params and the torch oracle), so the
+standard converter path (scripts/convert_htdemucs.py convert) still
+exercises exactly what an operator runs on released weights.
+
+Usage:
+  PYTHONPATH=.:/root/.axon_site python scripts/train_htdemucs_tpu.py \
+      out.th [steps] [--channels 16] [--bottom 48] [--batch 16]
+  python scripts/convert_htdemucs.py convert out.th \
+      amw_tpu/models/checkpoints/htdemucs_tiny
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("AMW_HTDEMUCS_DTYPE", "f32")  # train in f32
+
+import numpy as np
+
+
+def _fft_tilt(x, sr, rng):
+    """Random smooth EQ tilt/shelf (zero-phase, per stem)."""
+    n = x.shape[-1]
+    f = np.fft.rfftfreq(n, 1.0 / sr)
+    tilt_db = rng.uniform(-6, 6)  # dB across the band
+    H = 10.0 ** (tilt_db / 20.0 * (f / (f[-1] + 1e-9) - 0.5))
+    if rng.random() < 0.3:  # occasional resonant bump/notch
+        fc = rng.uniform(200, 0.4 * sr)
+        g = rng.uniform(-8, 8)
+        H *= 10.0 ** (g / 20.0 / (1.0 + ((f - fc) / (0.2 * fc)) ** 2))
+    return np.fft.irfft(np.fft.rfft(x, axis=-1) * H, n=n, axis=-1)
+
+
+def _noise_reverb(x, sr, rng):
+    """Exponential-tail noise IR (different family from the eval room)."""
+    n = x.shape[-1]
+    L = int(sr * rng.uniform(0.05, 0.25))
+    ir = rng.standard_normal(L) * np.exp(-np.arange(L) / (sr * rng.uniform(
+        0.01, 0.06)))
+    ir /= max(np.max(np.abs(np.cumsum(ir ** 2))) ** 0.5, 1e-9)
+    wet = rng.uniform(0.05, 0.3)
+    X = np.fft.rfft(x, n=n + L, axis=-1)
+    Hr = np.fft.rfft(ir, n=n + L)
+    y = np.fft.irfft(X * Hr, n=n + L, axis=-1)[..., :n]
+    return x + wet * y
+
+
+def augmented_batch(rng, batch, n, sr):
+    from train_htdemucs_tiny import synth_batch
+
+    stems = synth_batch(rng, batch, n, sr).astype(np.float64)
+    for b in range(batch):
+        for s in range(4):
+            st = stems[b, s]
+            if rng.random() < 0.7:
+                st = _fft_tilt(st, sr, rng)
+            if rng.random() < 0.5:
+                st = _noise_reverb(st, sr, rng)
+            st *= rng.uniform(0.5, 1.4)
+            if rng.random() < 0.25:
+                st = -st
+            if rng.random() < 0.25:
+                st = st[::-1].copy()  # channel swap
+            stems[b, s] = st
+    return np.clip(stems, -1, 1).astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from amw_tpu.models import htdemucs_jax as hj
+
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_path", nargs="?", default="htdemucs_tiny_tpu.th")
+    ap.add_argument("steps", nargs="?", type=int, default=3000)
+    ap.add_argument("--channels", type=int, default=16)
+    ap.add_argument("--bottom", type=int, default=48)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    cli = ap.parse_args()
+    out_path, steps = cli.out_path, cli.steps
+    channels, bottom, batch = cli.channels, cli.bottom, cli.batch
+    lr_peak, seed = cli.lr, cli.seed
+
+    cfg = hj.tiny_config(channels=channels, bottom_channels=bottom)
+    sr, n = cfg.samplerate, cfg.segment_samples
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          flush=True)
+    print(f"cfg: channels={channels} bottom={bottom} steps={steps} "
+          f"batch={batch}", flush=True)
+
+    params = hj.init_params(cfg, seed=seed)
+    params = {k: jnp.asarray(v) for k, v in params.items()}
+    n_params = sum(int(np.prod(v.shape)) for v in params.values())
+    print(f"params: {n_params/1e6:.2f} M", flush=True)
+
+    warmup = min(max(steps // 20, 10), max(steps // 2, 1))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr_peak, warmup_steps=warmup,
+        decay_steps=steps, end_value=lr_peak * 0.05)
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+
+    def loss_fn(pp, mix, target):
+        pred = hj.forward(pp, mix, cfg)
+        return jnp.mean(jnp.abs(pred - target))
+
+    @jax.jit
+    def train_step(pp, st, mix, target):
+        loss, grads = jax.value_and_grad(loss_fn)(pp, mix, target)
+        updates, st = tx.update(grads, st, pp)
+        pp = optax.apply_updates(pp, updates)
+        return pp, st, loss
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    loss_hist = []
+    for step in range(steps):
+        stems = augmented_batch(rng, batch, n, sr)
+        mix = jnp.asarray(stems.sum(axis=1))
+        target = jnp.asarray(stems)
+        params, opt_state, loss = train_step(params, opt_state, mix, target)
+        if step % 50 == 0 or step == steps - 1:
+            lv = float(loss)
+            loss_hist.append(lv)
+            dt = time.time() - t0
+            print(f"step {step:5d}  l1 {lv:.5f}  {dt:.0f}s "
+                  f"({dt/max(step,1)*1000:.0f} ms/step)", flush=True)
+
+    params_np = {k: np.asarray(v, np.float32) for k, v in params.items()}
+
+    # Held-out eval on BOTH corpora (same-generator + generator-independent)
+    import gen_sep_eval as ge
+    from train_htdemucs_tiny import synth_batch
+
+    fwd = jax.jit(lambda pp, x: hj.forward(pp, x, cfg))
+
+    def snr(est, ref):
+        return float(10 * np.log10(
+            np.sum(ref ** 2) / max(np.sum((est - ref) ** 2), 1e-12)))
+
+    ev = np.random.default_rng(987654)
+    stems = synth_batch(ev, 16, n, sr)
+    mix = stems.sum(axis=1).astype(np.float32)
+    pred = np.asarray(fwd(params, jnp.asarray(mix)))
+    s_same = snr(pred[:, 3], stems[:, 3])
+    b_same = snr(mix, stems[:, 3])
+
+    ev2 = np.random.default_rng(424242)
+    stems2 = ge.synth_batch_heldout(ev2, 8, n, sr)
+    mix2 = stems2.sum(axis=1).astype(np.float32)
+    pred2 = np.asarray(fwd(params, jnp.asarray(mix2)))
+    s_held = snr(pred2[:, 3], stems2[:, 3])
+    b_held = snr(mix2, stems2[:, 3])
+    print(f"same-generator held-out: {s_same:.2f} dB (baseline {b_same:.2f})",
+          flush=True)
+    print(f"generator-INDEPENDENT:   {s_held:.2f} dB (baseline {b_held:.2f})",
+          flush=True)
+
+    import torch
+
+    kwargs = dict(sources=list(cfg.sources),
+                  audio_channels=cfg.audio_channels,
+                  channels=cfg.channels, nfft=cfg.nfft,
+                  bottom_channels=cfg.bottom_channels, t_layers=cfg.t_layers,
+                  t_heads=cfg.t_heads, depth=cfg.depth,
+                  samplerate=cfg.samplerate, segment=cfg.segment)
+    state = {k: torch.from_numpy(v.copy()) for k, v in params_np.items()}
+    torch.save({"klass": "HTDemucs", "args": (), "kwargs": kwargs,
+                "state": state,
+                "metrics": {"vocals_snr_db": float(s_same),
+                            "baseline_snr_db": float(b_same),
+                            "heldout_vocal_snr_db": float(s_held),
+                            "heldout_baseline_snr_db": float(b_held),
+                            "steps": steps, "loss_tail": loss_hist[-3:]}},
+               out_path)
+    print(f"saved {out_path}")
+
+
+if __name__ == "__main__":
+    main()

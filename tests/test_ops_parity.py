@@ -297,6 +297,64 @@ def test_fused_normalize_final_matches_sequential(style):
     assert err < 10 ** (-90 / 20), f"fused normalize+final err {err}"
 
 
+def test_block_energies_ignores_buffer_tail_past_plan_n():
+    """block_energies must frame only the plan's signal: the fused
+    normalize+final builder hands it the full nfft-length filter output,
+    whose tail past plan.n is circular-convolution ringout.  For a
+    non-hop-multiple n the uniform path's last (truncated) gating blocks
+    must read zeros there, exactly like the exact-length meter."""
+    from amw_tpu.ops.meters import block_energies, plan_blocks
+
+    sr = 44100
+    n = sr * 2 + 3500  # NOT a hop multiple; block count rounds UP past n
+    plan = plan_blocks(sr, n)
+    assert plan.uniform and plan.n_sub * plan.hop > n
+    g = np.random.default_rng(21)
+    y = (0.3 * g.standard_normal((2, n))).astype(np.float32)
+    garbage = np.full((2, 8192), 0.7, np.float32)
+    y_long = np.concatenate([y, garbage], axis=-1)
+
+    want = np.asarray(block_energies(jnp.asarray(y), plan))
+    got = np.asarray(block_energies(jnp.asarray(y_long), plan))
+    assert np.allclose(got, want, rtol=1e-6, atol=1e-12)
+
+
+def test_fused_normalize_final_pallas_exact_nonhop_length(monkeypatch):
+    """Regression (round-5 advice): the Pallas route of
+    build_normalize_then_final returns full nfft-length z; with nv=None and
+    n not a hop multiple the gating frame must not ingest K-weighting
+    ringout from [n, n_sub*hop) — the normalize gain would shift and break
+    the -90 dBFS parity gate for exact-length graphs."""
+    import functools
+
+    from amw_tpu.ops import fft_pallas as fp
+    from amw_tpu.ops.fused import build_normalize_then_final
+    from amw_tpu.spec import GraphSpec
+
+    sr = 44100
+    n = (1 << 21) - 65536  # 46.07 s: n_sub*hop = 2033010 > n = 2031616
+    spec = GraphSpec(sr=sr, n=n, channels=2)
+    g = np.random.default_rng(17)
+    x = (0.1 * g.standard_normal((2, n))).astype(np.float32)
+
+    monkeypatch.setattr(fp, "enabled", lambda nfft: True)
+    for name in ("roundtrip_multi",):
+        orig = getattr(fp, name)
+        monkeypatch.setattr(fp, name,
+                            functools.partial(orig, interpret=True))
+    fused_p = build_normalize_then_final(spec, -14.0, None)
+    assert fused_p is not None
+    pp, ffp, _ = fused_p
+    got = np.asarray(ffp(jnp.asarray(x), pp))
+
+    monkeypatch.setattr(fp, "enabled", lambda nfft: False)
+    px, ffx, _ = build_normalize_then_final(spec, -14.0, None)
+    want = np.asarray(ffx(jnp.asarray(x), px))
+
+    scale = max(float(np.max(np.abs(want))), 1e-9)
+    assert np.max(np.abs(got - want)) / scale < 2e-5
+
+
 def test_chain_peephole_triple_fusion():
     from amw_tpu.models.chain import build_chain_ops, default_chain_config
     from amw_tpu.spec import GraphSpec

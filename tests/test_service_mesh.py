@@ -191,6 +191,57 @@ def test_long_upload_served_sequence_parallel(app_factory, mesh_engine):
         settings.engine_sp_threshold_sec = old
 
 
+def test_sp_length_quantization_shares_executable(mesh_engine):
+    """Distinct long-upload lengths snap to the ``engine_sp_quantize_sec``
+    grid and share ONE compiled sp executable (round-5: distinct DJ-set
+    lengths used to pay a fresh exact-length compile each).  The zero pad
+    is mastered as trailing silence — gated out of BS.1770 — and sliced
+    off, so outputs keep their true lengths and the loudness result matches
+    the unquantized graph."""
+    from amw_tpu.runtime.config import settings
+
+    old_thr = settings.engine_sp_threshold_sec
+    old_grid = settings.engine_sp_quantize_sec
+    settings.engine_sp_threshold_sec = 4.0
+    settings.engine_sp_quantize_sec = 30.0
+    try:
+        keys0 = {k[1] for k in mesh_engine._sp_cache if k[0] == "sp"
+                 and k[1][1] == int(30.0 * SR)}
+        r1 = mesh_engine.master_v2_bytes(_wav_bytes(dur=5.5), "a.wav",
+                                         target_lufs=-14.0)
+        r2 = mesh_engine.master_v2_bytes(_wav_bytes(dur=6.25), "b.wav",
+                                         target_lufs=-14.0)
+        a1, _ = wav.read_wav(r1["bytes"])
+        a2, _ = wav.read_wav(r2["bytes"])
+        assert a1.shape[-1] == int(5.5 * SR)
+        assert a2.shape[-1] == int(6.25 * SR)
+        # Both lengths landed on the same quantized spec -> one executable.
+        keys1 = {k[1] for k in mesh_engine._sp_cache if k[0] == "sp"
+                 and k[1][1] == int(30.0 * SR)}
+        assert len(keys1 - keys0) == 1
+
+        # Quantization must not move the loudness result: same upload
+        # through the exact-length sp graph (grid off).
+        settings.engine_sp_quantize_sec = 0.0
+        r_exact = mesh_engine.master_v2_bytes(_wav_bytes(dur=5.5), "a.wav",
+                                              target_lufs=-14.0)
+        assert abs(r1["after_lufs"] - r_exact["after_lufs"]) < 0.02
+        a_exact, _ = wav.read_wav(r_exact["bytes"])
+        # Same math modulo the silence-tail context: the track BODY matches
+        # (residual here is the tiny test geometry's clamped halo, not
+        # quantization), while the final filter-settle window of a HARD-CUT
+        # track legitimately differs — the exact graph odd-extends at the
+        # true end, the quantized graph sees the actual trailing silence.
+        # Real uploads end in silence/fade, where both contexts coincide.
+        d = np.abs(a1.astype(np.float64) - a_exact)
+        n1 = d.shape[-1]
+        assert np.max(d[:, : int(0.95 * n1)]) < 0.005
+        assert np.max(d) < 0.35  # tail: bounded, no blowup
+    finally:
+        settings.engine_sp_threshold_sec = old_thr
+        settings.engine_sp_quantize_sec = old_grid
+
+
 def test_long_upload_sp_unsupported_config_falls_back(app_factory,
                                                       mesh_engine):
     """A config the time-shard builder rejects (reverb IR wider than the

@@ -77,18 +77,25 @@ def test_sp_pro_modules_match_single_chip(track):
     assert 20 * np.log10(max(err, 1e-12)) < -90.0, err
 
 
-def test_sp_denoise_approximate(track):
+@pytest.mark.parametrize("n_dev,dur_sec", [
+    (2, 20.0), (4, 20.0), (8, 20.0), (8, 12.7), (4, 15.3)])
+def test_sp_denoise_approximate(track, n_dev, dur_sec):
     """The SP denoiser's histogram-quantile noise profile is the one
-    documented approximation — gate at a loose envelope + audibility check."""
+    documented approximation (timeshard.py header).  Swept over device
+    counts 2–8 and track lengths (incl. non-chunk-aligned): the histogram
+    is a psum — the GLOBAL histogram exactly — so the profile error is the
+    quantile bin width (~0.55 dB), independent of device count; the only
+    geometry-dependent term is the per-chunk STFT frame grid.  Explicit
+    gate: ≤ −22 dBFS vs the single-chip exact denoiser, at every sweep
+    point."""
+    n = int(dur_sec * SR)
+    x = track[:, :n] - track[:, :n].mean(axis=-1, keepdims=True)
     pro = {"denoise_strength": 0.5}
-    mesh = make_mesh(8, axis="sp")
-    got = sp_master(track, SR, mesh, target_lufs=-14.0, pro=pro, halo=HALO)
-    want = _single_chip_v2(track, pro)
+    mesh = make_mesh(n_dev, axis="sp")
+    got = sp_master(x, SR, mesh, target_lufs=-14.0, pro=pro, halo=HALO)
+    want = _single_chip_v2(x, pro)
     err = _interior_err(got, want)
-    # Two documented divergences: histogram-quantile noise profile and the
-    # per-chunk STFT frame grid — the Wiener gains differ slightly, bounded
-    # well below the processed signal level (~-22 dBFS envelope).
-    assert err < 0.08, err
+    assert 20 * np.log10(max(err, 1e-12)) < -22.0, (n_dev, dur_sec, err)
     assert np.abs(got).max() > 0.05  # not silenced
     l_got = refimpl.integrated_lufs(got, SR)
     l_want = refimpl.integrated_lufs(want, SR)

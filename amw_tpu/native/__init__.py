@@ -98,3 +98,92 @@ def pcm24_encode(x: np.ndarray) -> bytes:
     out = np.empty(n * C * 3, np.uint8)
     lib.f32_planar_to_pcm24(x, out, n, C)
     return out.tobytes()
+
+
+# ---------- native FLAC codec (libamwflac.so, flac.cpp) ---------------------
+
+_FLAC_PATH = _HERE / "libamwflac.so"
+_flac_lib = None
+_flac_tried = False
+
+
+def get_flac_lib():
+    global _flac_lib, _flac_tried
+    if _flac_lib is not None or _flac_tried:
+        return _flac_lib
+    _flac_tried = True
+    if not _FLAC_PATH.exists():
+        from .build import build_flac
+
+        if build_flac(verbose=False) is None:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_FLAC_PATH))
+    except OSError:
+        return None
+    i64, i32 = ctypes.c_longlong, ctypes.c_int
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.flac_encode.argtypes = [i32p, i64, i32, i32, i32, u8p, i64]
+    lib.flac_encode.restype = i64
+    lib.flac_info.argtypes = [u8p, i64, ctypes.POINTER(i32),
+                              ctypes.POINTER(i32), ctypes.POINTER(i32),
+                              ctypes.POINTER(i64)]
+    lib.flac_info.restype = i32
+    lib.flac_decode.argtypes = [u8p, i64, i32p, i64]
+    lib.flac_decode.restype = i64
+    _flac_lib = lib
+    return _flac_lib
+
+
+def flac_available() -> bool:
+    return get_flac_lib() is not None
+
+
+def flac_encode(samples: np.ndarray, sr: int, bits: int = 24) -> bytes:
+    """Planar int32 [C, N] (values already scaled to ``bits``) -> FLAC."""
+    lib = get_flac_lib()
+    if lib is None:
+        raise RuntimeError("native FLAC codec unavailable (no g++?)")
+    x = np.ascontiguousarray(samples, np.int32)
+    C, n = x.shape
+    cap = int(n * C * (bits // 8) * 2 + (n // 4096 + 2) * 64 + 4096)
+    out = np.empty(cap, np.uint8)
+    wrote = lib.flac_encode(x, n, C, int(sr), int(bits), out, cap)
+    if wrote < 0:
+        raise RuntimeError("FLAC encode failed")
+    return out[:wrote].tobytes()
+
+
+def flac_info(data: bytes):
+    """-> (channels, sample_rate, bits, total_samples) or None."""
+    lib = get_flac_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    ch = ctypes.c_int()
+    sr = ctypes.c_int()
+    bits = ctypes.c_int()
+    total = ctypes.c_longlong()
+    if lib.flac_info(np.ascontiguousarray(buf), len(buf), ctypes.byref(ch),
+                     ctypes.byref(sr), ctypes.byref(bits),
+                     ctypes.byref(total)) != 0:
+        return None
+    return ch.value, sr.value, bits.value, total.value
+
+
+def flac_decode(data: bytes):
+    """FLAC bytes -> (planar int32 [C, N], sr, bits)."""
+    lib = get_flac_lib()
+    if lib is None:
+        raise RuntimeError("native FLAC codec unavailable (no g++?)")
+    info = flac_info(data)
+    if info is None:
+        raise ValueError("not a FLAC stream")
+    C, sr, bits, total = info
+    buf = np.ascontiguousarray(np.frombuffer(data, np.uint8))
+    out = np.empty((C, max(total, 1)), np.int32)
+    got = lib.flac_decode(buf, len(buf), out, out.shape[1])
+    if got < 0:
+        raise ValueError("FLAC decode failed (corrupt or unsupported)")
+    return out[:, :got], sr, bits

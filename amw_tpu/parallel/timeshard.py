@@ -18,6 +18,23 @@ use collectives:
   ``psum``-merged log-magnitude histogram (the only approximate stage — the
   exact percentile would need an all-gather of every STFT frame).
 
+  Worst-case error bound (round-5 item 8): the merged histogram is the
+  EXACT global histogram (per-device counts psum to the full-track
+  counts), so the approximation does not grow with device count or track
+  length — the only error sources are (a) the quantile's bin resolution,
+  140 dB / 256 bins ≈ 0.55 dB of noise-profile error, and (b) the
+  per-chunk STFT frame grid, whose frames near shard boundaries differ
+  from the single-chip grid (local, confined to ±nperseg of each
+  boundary).  Through the Wiener gain g = clip(1 − s·(noise/|X|)², 0.25,
+  1), a ±0.55 dB profile error moves g by ≤ 0.14·s·(noise/|X|)² ≤ 0.14·s
+  per STFT cell — concentrated in near-noise-floor cells, i.e. ≲ −17 dB
+  relative to those cells' (already quiet) magnitude at s = 1.
+  tests/test_timeshard.py::test_sp_denoise_approximate sweeps device
+  counts 2–8 and several (non-chunk-aligned) track lengths with an
+  explicit ≤ −22 dBFS full-output gate vs the exact single-chip denoiser,
+  and test_sp_denoise_histogram_vs_exact_denoiser isolates the histogram
+  term alone at ≤ −34 dBFS.
+
 Surface parity with the engine: ``sp_master`` accepts the same v2
 ``(config, pro)`` pair as ``MasteringEngine.master_v2_bytes`` — PRE
 [rumble] [denoise] [deesser], any module list the chain compiler accepts

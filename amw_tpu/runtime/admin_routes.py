@@ -335,14 +335,25 @@ async def h_campaign_send(request):
 
 
 async def h_campaign_stats(request):
+    """Per-campaign drill-down (round-5 item 5): the campaign row plus the
+    current audience size and delivery rate, so the admin stats view is a
+    panel rather than a raw row dump."""
     _require_admin(request)
     cid = int(request.match_info["campaign_id"])
     with db.connect() as c:
         camp = c.execute("SELECT * FROM email_campaigns WHERE id=?",
                          (cid,)).fetchone()
-    if camp is None:
-        raise _err(404, "Campaign not found")
-    return web.json_response(dict(camp))
+        if camp is None:
+            raise _err(404, "Campaign not found")
+        audience = c.execute(
+            "SELECT COUNT(*) FROM users WHERE email IS NOT NULL"
+            " AND is_blocked=0").fetchone()[0]
+    out = dict(camp)
+    out["audience_total"] = audience
+    sent = int(out.get("sent_count") or 0)
+    out["delivery_pct"] = (round(100.0 * sent / audience, 1)
+                           if audience else 0.0)
+    return web.json_response(out)
 
 
 # --- audit / settings / prompts -------------------------------------------
@@ -543,6 +554,53 @@ async def h_report_summarize(request):
     return web.json_response({"report_id": rid, "summary": text})
 
 
+async def h_report_csv(request):
+    """Raw CSV of one report's rows — the admin UI 'export' affordance
+    (reference: reports_service raw export)."""
+    _require_admin(request)
+    rid = request.match_info["report_id"]
+    sql = _REPORTS.get(rid)
+    if not sql:
+        raise _err(404, "Unknown report")
+    with db.connect() as c:
+        rows = [dict(r) for r in c.execute(sql).fetchall()]
+    header = list(rows[0].keys()) if rows else ["empty"]
+    return _csv_response(header, [tuple(r.get(h) for h in header)
+                                  for r in rows], f"report_{rid}.csv")
+
+
+async def h_referrals(request):
+    """Referral program oversight (round-5 item 5): totals, reward
+    conversion, and the top inviters with emails — the admin-side view of
+    the public /api/referral endpoints (reference: referral rows surfaced
+    in admin.html)."""
+    _require_admin(request)
+    limit = min(int(request.query.get("limit", 25)), 200)
+    with db.connect() as c:
+        total = c.execute("SELECT COUNT(*) FROM referrals").fetchone()[0]
+        rewarded = c.execute(
+            "SELECT COUNT(*) FROM referrals WHERE rewarded=1").fetchone()[0]
+        top = c.execute(
+            "SELECT r.inviter_id, u.email, COUNT(*) AS invited,"
+            " SUM(r.rewarded) AS rewarded FROM referrals r"
+            " LEFT JOIN users u ON u.id = r.inviter_id"
+            " GROUP BY r.inviter_id ORDER BY invited DESC LIMIT ?",
+            (limit,)).fetchall()
+        recent = c.execute(
+            "SELECT r.id, r.inviter_id, ui.email AS inviter_email,"
+            " r.invitee_id, ue.email AS invitee_email, r.rewarded,"
+            " r.created_at FROM referrals r"
+            " LEFT JOIN users ui ON ui.id = r.inviter_id"
+            " LEFT JOIN users ue ON ue.id = r.invitee_id"
+            " ORDER BY r.id DESC LIMIT ?", (limit,)).fetchall()
+    return web.json_response({
+        "total": total, "rewarded": rewarded,
+        "conversion_pct": round(100.0 * rewarded / total, 1) if total else 0.0,
+        "top_inviters": [dict(r) for r in top],
+        "recent": [dict(r) for r in recent],
+    })
+
+
 def _csv_response(header, rows, filename):
     buf = io.StringIO()
     w = csv.writer(buf)
@@ -640,8 +698,10 @@ def register_routes(app: web.Application) -> None:
     r.add_post(f"{p}/prompts/{{slug}}/reset", h_prompt_reset)
     r.add_get(f"{p}/reports/list", h_reports_list)
     r.add_get(f"{p}/reports/export_raw.csv", h_transactions_csv)
+    r.add_get(f"{p}/reports/{{report_id}}/export.csv", h_report_csv)
     r.add_get(f"{p}/reports/{{report_id}}", h_report_get)
     r.add_post(f"{p}/reports/{{report_id}}/summarize", h_report_summarize)
+    r.add_get(f"{p}/referrals", h_referrals)
     r.add_get(f"{p}/backup/db", h_backup_db)
     r.add_post(f"{p}/notifications/test-email", h_test_email)
     r.add_post(f"{p}/notifications/test-telegram", h_test_telegram)

@@ -1047,10 +1047,39 @@ def create_app(engine: MasteringEngine | None = None) -> web.Application:
                     + body + "</body></html>")
             return web.Response(text=page, content_type="text/html")
 
+        async def h_api_docs(request):
+            # Rendered endpoint reference (docs/API.md is generated from the
+            # live route table by scripts/gen_api_docs.py).
+            dp = pathlib.Path(__file__).resolve().parent.parent.parent \
+                / "docs" / "API.md"
+            if not dp.is_file():
+                raise web.HTTPNotFound(text="API.md not generated")
+            try:
+                import markdown as md
+
+                body = md.markdown(dp.read_text(), extensions=["tables"])
+            except Exception:  # noqa: BLE001 — plain text fallback
+                import html as _html
+
+                body = f"<pre>{_html.escape(dp.read_text())}</pre>"
+            page = ("<!DOCTYPE html><html lang='en'><head>"
+                    "<meta charset='UTF-8'>"
+                    "<meta name='viewport' content="
+                    "'width=device-width,initial-scale=1'>"
+                    "<title>API reference — Magic Master</title>"
+                    "<style>body{background:#040408;color:#eee;"
+                    "font-family:system-ui,sans-serif;padding:1.5rem;"
+                    "max-width:900px;margin:0 auto;line-height:1.5}"
+                    "table{border-collapse:collapse}td,th{border:1px solid "
+                    "#333;padding:4px 8px}code{color:#9fd}</style>"
+                    "</head><body>" + body + "</body></html>")
+            return web.Response(text=page, content_type="text/html")
+
         app.router.add_get("/icons/icon-192.png", _icon_handler(192))
         app.router.add_get("/icons/icon-512.png", _icon_handler(512))
         app.router.add_get("/og-image.png", h_og_image)
         app.router.add_get("/progress.html", h_progress_page)
+        app.router.add_get("/api-docs", h_api_docs)
     async def h_api_root(request):
         out = {"service": "Magic Master TPU API", "version": __version__}
         if settings.debug:

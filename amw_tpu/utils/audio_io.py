@@ -41,10 +41,27 @@ def _run_ffmpeg(args: list[str], input_bytes: bytes) -> bytes:
 
 
 def load_audio_from_bytes(data: bytes, fmt: str):
-    """-> (audio[C, N] float32, sr).  Channel-major (reference is [N, C])."""
+    """-> (audio[C, N] float32, sr).  Channel-major (reference is [N, C]).
+
+    WAV and FLAC decode natively (numpy codec / native/flac.cpp) — the
+    reference handles both without ffmpeg via libsndfile
+    (pipeline.py:802-817); MP3/OPUS/AAC ride the ffmpeg boundary exactly
+    as the reference's pydub path does (pipeline.py:819-827)."""
     ext = fmt.rsplit(".", 1)[-1].lower().lstrip(".")
     if ext == "wav":
         return wav.read_wav(data)
+    if ext == "flac" or data[:4] == b"fLaC":
+        from .. import native
+
+        if native.flac_available():
+            try:
+                q, sr, bits = native.flac_decode(data)
+                return (q.astype(np.float32)
+                        / np.float32(2 ** (bits - 1))), sr
+            except ValueError:
+                if not ffmpeg_available():
+                    raise
+        # unsupported stream shape or no toolchain: ffmpeg fallback below
     if not ffmpeg_available():
         raise _ffmpeg_error(ext)
     out = _run_ffmpeg(
@@ -105,13 +122,22 @@ def export_audio(
     if out_format == "wav32f":
         return wav.write_wav_float32(x, sr)
 
+    if out_format == "flac":
+        # 24-bit FLAC like the reference's soundfile PCM_24 export
+        # (pipeline.py:990) — native codec first, ffmpeg fallback.
+        from .. import native
+
+        if native.flac_available():
+            q = np.clip(np.round(np.asarray(x, np.float64) * 8388607.0),
+                        -8388608, 8388607).astype(np.int32)
+            return native.flac_encode(q, sr, bits=24)
+        if not ffmpeg_available():
+            raise _ffmpeg_error(out_format)
+        src = wav.write_wav_int24(x, sr)
+        return _run_ffmpeg(["-i", "pipe:0", "-f", "flac", "pipe:1"], src)
     if not ffmpeg_available():
         raise _ffmpeg_error(out_format)
     wav_bytes = wav.write_wav_int16(dithered_int16(x, dither_type, rng), sr)
-    if out_format == "flac":
-        # 24-bit FLAC like the reference's soundfile PCM_24 export.
-        src = wav.write_wav_int24(x, sr)
-        return _run_ffmpeg(["-i", "pipe:0", "-f", "flac", "pipe:1"], src)
     if out_format == "mp3":
         br = bitrate if bitrate in (128, 192, 256, 320) else 320
         return _run_ffmpeg(

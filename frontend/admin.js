@@ -232,7 +232,17 @@ async function loadCampaigns() {
       el.onclick = async () => {
         try {
           const d = await jget(`/api/admin/campaigns/${el.dataset.cst}/stats`);
-          msg(JSON.stringify(d), 9000);
+          $("c-stats-grid").innerHTML = [
+            [d.status || "draft", T("Status")],
+            [d.sent_count ?? 0, T("Emails sent")],
+            [d.audience_total ?? 0, T("Current audience")],
+            [(d.delivery_pct ?? 0) + "%", T("Delivery rate")],
+          ].map(([v, k]) =>
+            `<div class="stat"><b>${esc(v)}</b><span>${esc(k)}</span></div>`)
+            .join("");
+          $("c-stats-meta").textContent =
+            `#${d.id} · ${d.subject} · ${fmtDate(d.created_at)}`;
+          $("c-stats-card").classList.remove("hidden");
         } catch (e) { guard(e); }
       };
     });
@@ -314,8 +324,25 @@ $("p-reset").onclick = async () => {
 };
 $("p-history").onclick = async () => {
   try {
-    const { items } = await jget(`/api/admin/prompts/${$("p-name").value}/history`);
-    msg(items.map((i) => `v${i.version} ${i.active ? "(active)" : ""}`).join(", "), 9000);
+    const slug = $("p-name").value;
+    const { items } = await jget(`/api/admin/prompts/${slug}/history`);
+    // Version list rendered into the table with per-version viewers: click
+    // a version to load its template text into the editor.
+    $("p-table").innerHTML =
+      "<tr><th>v</th><th>active</th><th>date</th><th></th></tr>" +
+      items.map((i) => `<tr><td>v${i.version}</td>
+        <td>${i.active ? "✓" : ""}</td><td>${fmtDate(i.created_at)}</td>
+        <td><button class="sec small" data-view="${i.version}">view</button></td></tr>`).join("");
+    $("p-table").querySelectorAll("[data-view]").forEach((el) => {
+      el.onclick = async () => {
+        try {
+          const v = await jget(
+            `/api/admin/prompts/${slug}/version/${el.dataset.view}`);
+          $("p-text").value = v.template || "";
+          msg(`Loaded v${v.version} into the editor`);
+        } catch (e) { guard(e); }
+      };
+    });
   } catch (e) { guard(e); }
 };
 
@@ -381,12 +408,43 @@ function renderReportChart(rows, cols) {
 }
 
 $("r-summarize").onclick = async () => {
-  if (!lastReport) return msg("Open a report first");
+  if (!lastReport) return msg(T("Open a report first"));
   try {
     const d = await jpost(`/api/admin/reports/${lastReport}/summarize`);
     $("r-summary").textContent = d.summary || JSON.stringify(d);
   } catch (e) { guard(e); }
 };
+$("r-csv").onclick = () => {
+  if (!lastReport) return msg(T("Open a report first"));
+  downloadAuth(`/api/admin/reports/${lastReport}/export.csv`,
+               `report_${lastReport}.csv`).catch(guard);
+};
+
+/* ---------- referrals ---------- */
+async function loadReferrals() {
+  try {
+    const d = await jget("/api/admin/referrals");
+    $("ref-grid").innerHTML = [
+      [d.total, T("Invited total")],
+      [d.rewarded, T("Rewarded")],
+      [d.conversion_pct + "%", T("Reward conversion")],
+    ].map(([v, k]) =>
+      `<div class="stat"><b>${esc(v)}</b><span>${esc(k)}</span></div>`)
+      .join("");
+    $("ref-top").innerHTML =
+      "<tr><th>inviter</th><th>invited</th><th>rewarded</th></tr>" +
+      (d.top_inviters || []).map((r) => `<tr>
+        <td>${esc(r.email || "#" + r.inviter_id)}</td>
+        <td>${r.invited}</td><td>${r.rewarded ?? 0}</td></tr>`).join("");
+    $("ref-recent").innerHTML =
+      "<tr><th>id</th><th>inviter</th><th>invitee</th><th>rewarded</th><th>date</th></tr>" +
+      (d.recent || []).map((r) => `<tr><td>${r.id}</td>
+        <td>${esc(r.inviter_email || "#" + r.inviter_id)}</td>
+        <td>${esc(r.invitee_email || "#" + r.invitee_id)}</td>
+        <td>${r.rewarded ? "✓" : ""}</td>
+        <td>${fmtDate(r.created_at)}</td></tr>`).join("");
+  } catch (e) { guard(e); }
+}
 
 /* ---------- audit ---------- */
 async function loadAudit() {
@@ -425,6 +483,7 @@ $("t-tg").onclick = async () => {
 const LOADERS = {
   stats: loadStats, users: loadUsers, transactions: loadTx, news: loadNews,
   campaigns: loadCampaigns, settings: loadSettings, prompts: loadPrompts,
-  reports: loadReports, audit: loadAudit, tools: loadTools,
+  reports: loadReports, referrals: loadReferrals, audit: loadAudit,
+  tools: loadTools,
 };
 loadStats();

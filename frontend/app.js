@@ -86,7 +86,7 @@ async function loadUserPresets() {
           ? JSON.parse(p.config) : p.config;
         renderChain();
         msg(`Preset "${p.name}" loaded`);
-      } catch (e) { msg("Preset load failed: " + e.message); }
+      } catch (e) { msg(T("Preset load failed: ") + e.message); }
     };
   } catch (e) { /* not signed in */ }
 }
@@ -98,9 +98,9 @@ $("chain-save").onclick = async () => {
   if (!name || !chainConfig) return;
   try {
     await jpost("/api/auth/presets", { name, config: chainConfig });
-    msg("Preset saved");
+    msg(T("Preset saved"));
     loadUserPresets();
-  } catch (e) { msg("Save failed: " + e.message); }
+  } catch (e) { msg(T("Save failed: ") + e.message); }
 };
 
 function chainConfigForSubmit() {
@@ -173,7 +173,7 @@ async function submitMaster(url, extra) {
     resetPipe();
     watchProgress(d.job_id);
   } catch (e) {
-    msg("Error: " + e.message);
+    msg(T("Error: ") + e.message);
     maybeUpgradePrompt(e.message);
     $("btn-master").disabled = false;
     $("btn-auto").disabled = false;
@@ -208,7 +208,7 @@ function watchProgress(jobId, onDone) {
     } else if (d.status === "error") {
       es.close();
       if (onDone) return onDone(d.error || "unknown", d);
-      msg("Mastering failed: " + (d.error || "unknown"), 8000);
+      msg(T("Mastering failed: ") + (d.error || "unknown"), 8000);
       $("btn-master").disabled = false;
       $("btn-auto").disabled = false;
     } else if (onDone) onDone.progress && onDone.progress(d);
@@ -233,12 +233,12 @@ async function pollProgress(jobId, onDone) {
     }
     if (d.status === "error") {
       if (onDone) return onDone(d.error || "unknown", d);
-      msg("Failed: " + d.error, 8000);
+      msg(T("Failed: ") + d.error, 8000);
       $("btn-master").disabled = false;
       return;
     }
     setTimeout(() => pollProgress(jobId, onDone), 700);
-  } catch (e) { if (onDone) onDone(e.message, null); else msg("Lost job: " + e.message); }
+  } catch (e) { if (onDone) onDone(e.message, null); else msg(T("Lost job: ") + e.message); }
 }
 
 $("btn-download").addEventListener("click", () => {
@@ -391,7 +391,7 @@ $("btn-batch").addEventListener("click", async () => {
     const r = await jupload("/api/v2/batch", fd);
     jobIds = (await r.json()).job_ids;
   } catch (e) {
-    msg("Batch failed: " + e.message, 8000);
+    msg(T("Batch failed: ") + e.message, 8000);
     $("btn-batch").disabled = false;
     return;
   }
@@ -425,7 +425,7 @@ $("btn-analyze").addEventListener("click", async () => {
   try {
     const r = await jupload("/api/v2/analyze", fd);
     renderAnalysis(await r.json());
-  } catch (e) { msg("Analyze failed: " + e.message); }
+  } catch (e) { msg(T("Analyze failed: ") + e.message); }
   $("btn-analyze").disabled = false;
 });
 
@@ -459,7 +459,7 @@ function renderAnalysis(a) {
 /* ---------- tools ---------- */
 function toolFile() {
   const f = $("tool-file").files[0];
-  if (!f) { msg("Choose a file first"); return null; }
+  if (!f) { msg(T("Choose a file first")); return null; }
   return f;
 }
 
@@ -488,7 +488,7 @@ $("btn-tool").addEventListener("click", async () => {
       `Spotify ${d.spotify_ready ? "✅" : "✖"} · Apple ${d.apple_ready ? "✅" : "✖"} · ` +
       `YouTube ${d.youtube_ready ? "✅" : "✖"}<br>` +
       d.recommendations.map((x) => "• " + esc(x)).join("<br>");
-  } catch (e) { msg("Tool failed: " + e.message); }
+  } catch (e) { msg(T("Tool failed: ") + e.message); }
 });
 
 $("btn-vocal").addEventListener("click", async () => {
@@ -501,7 +501,7 @@ $("btn-vocal").addEventListener("click", async () => {
     const r = await jupload("/api/v2/isolate-vocal", fd);
     await downloadResponse(r, "vocals.wav");
     $("tool-out").textContent = "Vocals ready — downloaded.";
-  } catch (e) { $("tool-out").textContent = ""; msg("Vocal isolation failed: " + e.message, 8000); }
+  } catch (e) { $("tool-out").textContent = ""; msg(T("Vocal isolation failed: ") + e.message, 8000); }
 });
 
 $("btn-upscale").addEventListener("click", async () => {
@@ -515,14 +515,14 @@ $("btn-upscale").addEventListener("click", async () => {
     const r = await jupload("/api/v2/upscale", fd);
     await downloadResponse(r, "upscaled_48k.wav");
     $("tool-out").textContent = "48 kHz version downloaded.";
-  } catch (e) { $("tool-out").textContent = ""; msg("Upscale failed: " + e.message); }
+  } catch (e) { $("tool-out").textContent = ""; msg(T("Upscale failed: ") + e.message); }
 });
 
 $("btn-refmatch").addEventListener("click", async () => {
   const f = toolFile();
   const ref = $("ref-file").files[0];
   if (!f) return;
-  if (!ref) return msg("Choose a reference track");
+  if (!ref) return msg(T("Choose a reference track"));
   const fd = new FormData();
   fd.append("file", f);
   fd.append("reference", ref);
@@ -532,7 +532,7 @@ $("btn-refmatch").addEventListener("click", async () => {
     const r = await jupload("/api/v2/reference-match", fd);
     await downloadResponse(r, "matched.wav");
     $("tool-out").textContent = "Reference-matched master downloaded.";
-  } catch (e) { $("tool-out").textContent = ""; msg("Reference match failed: " + e.message, 8000); }
+  } catch (e) { $("tool-out").textContent = ""; msg(T("Reference match failed: ") + e.message, 8000); }
 });
 
 /* ---------- AI assistant ---------- */
@@ -550,13 +550,13 @@ $("btn-ai-chat").addEventListener("click", async () => {
   } catch (e) {
     chatHistory.pop();
     $("ai-out").textContent = "";
-    msg("AI failed: " + e.message);
+    msg(T("AI failed: ") + e.message);
   }
 });
 
 $("btn-ai-config").addEventListener("click", async () => {
   const q = $("ai-q").value.trim();
-  if (!q) return msg("Describe the sound you want first");
+  if (!q) return msg(T("Describe the sound you want first"));
   $("ai-out").textContent = "…";
   try {
     const d = await jpost("/api/ai/nl-config", { text: q });
@@ -568,11 +568,11 @@ $("btn-ai-config").addEventListener("click", async () => {
         "Chain config applied — see the chain editor above.\n" +
         (d.reason || "");
     } else $("ai-out").textContent = JSON.stringify(d, null, 2);
-  } catch (e) { $("ai-out").textContent = ""; msg("AI failed: " + e.message); }
+  } catch (e) { $("ai-out").textContent = ""; msg(T("AI failed: ") + e.message); }
 });
 
 $("btn-ai-recommend").addEventListener("click", async () => {
-  if (!currentFile) return msg("Choose a track first (top card)");
+  if (!currentFile) return msg(T("Choose a track first (top card)"));
   const fd = new FormData();
   fd.append("file", currentFile);
   $("ai-out").textContent = "Analyzing…";
@@ -583,7 +583,7 @@ $("btn-ai-recommend").addEventListener("click", async () => {
       `Preset: ${d.style || "standard"} @ ` +
       `${d.target_lufs ?? "-14"} LUFS\n${d.reason || ""}`;
     if (d.style) $("style").value = d.style;
-  } catch (e) { $("ai-out").textContent = ""; msg("AI failed: " + e.message); }
+  } catch (e) { $("ai-out").textContent = ""; msg(T("AI failed: ") + e.message); }
 });
 
 /* ---------- news ---------- */

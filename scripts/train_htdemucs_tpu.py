@@ -72,16 +72,180 @@ def _noise_reverb(x, sr, rng):
     return x + wet * y
 
 
+def _melody_f0(rng, n, sr, lo, hi, rate=(1.0, 4.0), porta=0.02):
+    """Piecewise-note f0 contour with portamento, [n]."""
+    n_notes = max(1, int(round(n / sr * rng.uniform(*rate))))
+    notes = lo * (hi / lo) ** rng.random(n_notes)
+    f0 = np.repeat(notes, n // n_notes + 1)[:n]
+    k = max(3, int(porta * sr) | 1)
+    return np.convolve(np.pad(f0, (k // 2, k // 2), mode="edge"),
+                       np.ones(k) / k, mode="valid")[:n]
+
+
+def _bp_fft(x, sr, f0, q):
+    """Cheap zero-phase resonant bump (vectorized, last axis)."""
+    n = x.shape[-1]
+    f = np.fft.rfftfreq(n, 1.0 / sr)
+    H = 1.0 / (1.0 + ((f - f0) / (f0 / q / 2 + 1e-9)) ** 2)
+    return np.fft.irfft(np.fft.rfft(x, axis=-1) * H, n=n, axis=-1)
+
+
+def _rich_vocal(rng, n, sr):
+    """Wide vocal family: random-rolloff harmonic stack / saw-ish / pulse-ish
+    source on a melody contour, random resonant bumps, syllabic or segment
+    AM.  (Deliberately NOT the eval corpus's formant-vowel recipe.)"""
+    f0 = _melody_f0(rng, n, sr, 120, 420)
+    t = np.arange(n) / sr
+    f0 = f0 * (1.0 + 0.01 * rng.uniform(0, 1)
+               * np.sin(2 * np.pi * rng.uniform(4.5, 6.5) * t))
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    kind = rng.integers(0, 3)
+    nh = int(rng.integers(4, 11))
+    h = np.arange(1, nh + 1)
+    if kind == 0:      # random rolloff stack
+        w = rng.uniform(0.2, 1.0, nh) / h ** rng.uniform(0.3, 1.2)
+    elif kind == 1:    # saw-ish
+        w = 1.0 / h
+    else:              # pulse-ish (odd harmonics)
+        w = np.where(h % 2 == 1, 1.0 / h, 0.02)
+    v = (np.sin(phase[None, :] * h[:, None]
+                + rng.uniform(0, 6, (nh, 1))) * w[:, None]).sum(axis=0)
+    for _ in range(int(rng.integers(1, 4))):   # random resonances
+        v = 0.6 * v + _bp_fft(v, sr, rng.uniform(300, 3200),
+                              rng.uniform(2, 6)) * rng.uniform(0.8, 2.0)
+    if rng.random() < 0.7:  # syllabic AM
+        am = np.clip(np.sin(2 * np.pi * rng.uniform(1.5, 4.5) * t
+                            + rng.uniform(0, 6)), 0, 1) ** rng.uniform(0.4, 1)
+        v *= am
+    if rng.random() < 0.4:  # breath noise at onsets
+        g = rng.standard_normal(n) * 0.05
+        v += _bp_fft(g, sr, rng.uniform(1500, 3500), 1.5)
+    v /= max(np.max(np.abs(v)), 1e-9)
+    return v * rng.uniform(0.15, 0.4)
+
+
+def _rich_drums(rng, n, sr):
+    d = np.zeros(n)
+    t_all = np.arange(n) / sr
+    if rng.random() < 0.6:  # tempo grid
+        beat = int(sr * 60.0 / rng.uniform(80, 160))
+        kicks = list(range(0, n, beat))
+        snares = list(range(beat, n, 2 * beat)) if rng.random() < 0.8 else []
+        hats = list(range(beat // 2, n, beat)) if rng.random() < 0.7 else []
+    else:                   # random hits
+        kicks = list(rng.integers(0, max(n - 800, 1),
+                                  rng.integers(2, 7)))
+        snares = list(rng.integers(0, max(n - 800, 1),
+                                   rng.integers(0, 5)))
+        hats = []
+    for p in kicks:         # pitch-swept sine kick OR noise thump
+        L = min(int(rng.uniform(0.05, 0.12) * sr), n - p)
+        if L < 8:
+            continue
+        tt = np.arange(L) / sr
+        if rng.random() < 0.7:
+            f = rng.uniform(90, 160) * np.exp(-tt / 0.045) + rng.uniform(
+                35, 55)
+            hit = np.sin(2 * np.pi * np.cumsum(f) / sr)
+        else:
+            hit = rng.standard_normal(L)
+        d[p:p + L] += hit * np.exp(-tt / rng.uniform(0.02, 0.08)) \
+            * rng.uniform(0.4, 0.8)
+    for p in snares:
+        L = min(int(0.08 * sr), n - p)
+        if L < 8:
+            continue
+        sn = rng.standard_normal(L) * np.exp(
+            -np.arange(L) / (rng.uniform(0.01, 0.03) * sr))
+        d[p:p + L] += _bp_fft(sn, sr, rng.uniform(1200, 2500), 1.0) * 2.0
+    for p in hats:
+        L = min(int(0.02 * sr), n - p)
+        if L < 8:
+            continue
+        h = rng.standard_normal(L) * np.exp(-np.arange(L) / (0.005 * sr))
+        H = np.fft.rfft(h)
+        f = np.fft.rfftfreq(L, 1.0 / sr)
+        d[p:p + L] += np.fft.irfft(H * (f > rng.uniform(2000, 3200)),
+                                   n=L) * 1.2
+    return d
+
+
+def _rich_bass(rng, n, sr):
+    f0 = _melody_f0(rng, n, sr, 35, 110, rate=(0.8, 2.5))
+    t = np.arange(n) / sr
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    kind = rng.integers(0, 3)
+    if kind == 0:    # pure-ish sine + octave
+        b = np.sin(phase) + rng.uniform(0, 0.4) * np.sin(2 * phase)
+    elif kind == 1:  # phase-modulated (FM-ish)
+        ratio = float(rng.choice([1.5, 2.0, 3.0]))
+        idx = rng.uniform(0.5, 3.0) * np.exp(-(
+            (t * rng.uniform(1.5, 4.0)) % 1.0) / 0.3)
+        b = np.sin(phase + idx * np.sin(ratio * phase))
+    else:            # lowpassed saw stack
+        h = np.arange(1, 7)
+        b = (np.sin(phase[None, :] * h[:, None]) / h[:, None]).sum(axis=0)
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.3, 2.0) * t
+                             + rng.uniform(0, 6))
+    return b * env * rng.uniform(0.2, 0.5)
+
+
+def _rich_other(rng, n, sr):
+    kind = rng.integers(0, 3)
+    t = np.arange(n) / sr
+    if kind == 0:    # sine-pad chord
+        freqs = 220.0 * 2 ** (rng.integers(-5, 13, 3) / 12.0)
+        y = sum(np.sin(2 * np.pi * f * t + rng.uniform(0, 6))
+                for f in freqs)
+    elif kind == 1:  # damped inharmonic "pluck" stack (vectorized KS-ish)
+        f0 = 220.0 * 2 ** (rng.integers(-5, 10) / 12.0)
+        h = np.arange(1, 9)
+        detune = 1.0 + 0.0004 * h ** 2
+        tau = rng.uniform(0.2, 0.8) / h
+        hit = max(1, int(sr * rng.uniform(0.4, 0.9)))
+        y = np.zeros(n)
+        for p in range(0, n, hit):
+            tt = t[: n - p]
+            y[p:] += (np.sin(2 * np.pi * f0 * h[:, None] * detune[:, None]
+                             * tt[None, :])
+                      * np.exp(-tt[None, :] / tau[:, None])).sum(axis=0)
+    else:            # band-passed noise pad
+        y = _bp_fft(rng.standard_normal(n), sr,
+                    rng.uniform(400, 1200), rng.uniform(1.0, 3.0))
+        y *= 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.2, 1.0) * t)
+    y /= max(np.max(np.abs(y)), 1e-9)
+    return y * rng.uniform(0.06, 0.2)
+
+
 def augmented_batch(rng, batch, n, sr):
+    """Training distribution: half the legacy recipe (continuity with the
+    round-4 corpus), half the rich family above — then per-stem tilt EQ,
+    noise-IR reverb, gain/polarity/channel jitter.  Broad enough that the
+    model must key on structural cues (center-panned harmonic + syllabic
+    AM = vocals) rather than the generator's exact spectra; the
+    gen_sep_eval corpus (formant vowels, Karplus-Strong, grid drums, comb
+    room) stays entirely unseen."""
     from train_htdemucs_tiny import synth_batch
 
+    rich_frac = float(os.environ.get("AMW_TRAIN_RICH_FRAC", "0.5"))
+    reverb_p = float(os.environ.get("AMW_TRAIN_REVERB_P", "0.5"))
     stems = synth_batch(rng, batch, n, sr).astype(np.float64)
     for b in range(batch):
+        if rng.random() < rich_frac:
+            d = _rich_drums(rng, n, sr)
+            stems[b, 0] = np.stack([d, d * rng.uniform(0.8, 1.0)])
+            bass = _rich_bass(rng, n, sr)
+            stems[b, 1] = np.stack([bass, bass])
+            o = _rich_other(rng, n, sr)
+            pan = rng.uniform(0.35, 1.0)
+            stems[b, 2] = np.stack([o * pan, o * (1.4 - pan)])
+            v = _rich_vocal(rng, n, sr)
+            stems[b, 3] = np.stack([v, v * rng.uniform(0.92, 1.0)])
         for s in range(4):
             st = stems[b, s]
             if rng.random() < 0.7:
                 st = _fft_tilt(st, sr, rng)
-            if rng.random() < 0.5:
+            if rng.random() < reverb_p:
                 st = _noise_reverb(st, sr, rng)
             st *= rng.uniform(0.5, 1.4)
             if rng.random() < 0.25:
@@ -147,6 +311,23 @@ def main():
     rng = np.random.default_rng(seed)
     t0 = time.time()
     loss_hist = []
+
+    # Fixed generator-independent probe, evaluated during training so runs
+    # can be compared / stopped early (uses a DIFFERENT seed from the final
+    # eval below).
+    import gen_sep_eval as ge
+
+    probe_rng = np.random.default_rng(31337)
+    probe = ge.synth_batch_heldout(probe_rng, 4, n, sr)
+    probe_mix = jnp.asarray(probe.sum(axis=1).astype(np.float32))
+    probe_voc = probe[:, 3]
+    fwd_eval = jax.jit(lambda pp, x: hj.forward(pp, x, cfg))
+
+    def probe_snr(pp):
+        pred = np.asarray(fwd_eval(pp, probe_mix))[:, 3]
+        return 10 * np.log10(np.sum(probe_voc ** 2)
+                             / max(np.sum((pred - probe_voc) ** 2), 1e-12))
+
     for step in range(steps):
         stems = augmented_batch(rng, batch, n, sr)
         mix = jnp.asarray(stems.sum(axis=1))
@@ -158,6 +339,9 @@ def main():
             dt = time.time() - t0
             print(f"step {step:5d}  l1 {lv:.5f}  {dt:.0f}s "
                   f"({dt/max(step,1)*1000:.0f} ms/step)", flush=True)
+        if step % 500 == 499:
+            print(f"    probe gen-independent vocal SNR: "
+                  f"{probe_snr(params):.2f} dB", flush=True)
 
     params_np = {k: np.asarray(v, np.float32) for k, v in params.items()}
 

@@ -189,6 +189,50 @@ def test_payments_webhook(app_factory):
     _run(app_factory, fn)
 
 
+def test_admin_referrals_campaign_stats_report_csv(app_factory):
+    """Round-5 admin depth: referral oversight endpoint, campaign stats
+    drill-down fields, and per-report CSV export."""
+    async def fn(client):
+        hdr = await _admin_hdr(client)
+        # seed one referral via the public flow
+        uhdr = await _user_hdr(client, "inviter@example.com")
+        code = (await (await client.get(
+            "/api/referral/my-link", headers=uhdr)).json())["code"]
+        r = await client.post("/api/auth/register", json={
+            "email": "invitee@example.com", "password": "inviteepw1",
+            "ref": code})
+        assert r.status == 200
+
+        r = await client.get("/api/admin/referrals", headers=hdr)
+        assert r.status == 200, await r.text()
+        d = await r.json()
+        assert d["total"] == 1 and "conversion_pct" in d
+        assert d["top_inviters"][0]["email"] == "inviter@example.com"
+        assert d["recent"][0]["invitee_email"] == "invitee@example.com"
+        # RBAC: plain users are rejected
+        r = await client.get("/api/admin/referrals", headers=uhdr)
+        assert r.status in (401, 403)
+
+        # campaign stats drill-down carries audience + delivery rate
+        r = await client.post("/api/admin/campaigns", json={
+            "subject": "s", "body": "b", "audience": "all"}, headers=hdr)
+        cid = (await r.json())["id"]
+        r = await client.get(f"/api/admin/campaigns/{cid}/stats",
+                             headers=hdr)
+        d = await r.json()
+        assert "audience_total" in d and "delivery_pct" in d
+
+        # per-report CSV export
+        r = await client.get("/api/admin/reports/list", headers=hdr)
+        rid = (await r.json())["reports"][0]
+        r = await client.get(f"/api/admin/reports/{rid}/export.csv",
+                             headers=hdr)
+        assert r.status == 200
+        assert "csv" in r.headers["Content-Type"]
+
+    _run(app_factory, fn)
+
+
 def test_referral_and_misc(app_factory):
     async def fn(client):
         hdr = await _user_hdr(client, "ref@example.com")

@@ -180,3 +180,34 @@ def test_ru_catalog_actually_translated():
     translated = [k for k in latin if ru[k] != k]
     assert len(translated) >= 0.8 * len(latin), (
         f"ru.json looks untranslated: {len(translated)}/{len(latin)}")
+
+
+def test_locale_catalog_depth():
+    """Round-5 item 5: the catalogs must stay at reference depth — the
+    reference ships ~800 site keys per language (frontend/locales/
+    site-en.json); this build's floor is 500 per language with every key
+    translated in ru."""
+    loc = _locales()
+    assert len(loc["en"]) >= 500, f"en catalog shrank: {len(loc['en'])}"
+    assert len(loc["ru"]) >= 500, f"ru catalog shrank: {len(loc['ru'])}"
+    missing = sorted(k for k in loc["en"] if k not in loc["ru"])
+    assert not missing, f"ru.json missing {len(missing)}: {missing[:5]}"
+
+
+def test_every_admin_route_group_has_ui_caller():
+    """Round-5 item 5: every /api/admin/* route group registered by the
+    backend must have a caller in admin.js — no admin capability without
+    an admin-panel affordance (reference admin.html covers its API)."""
+    routes_src = (Path(__file__).resolve().parent.parent / "amw_tpu"
+                  / "runtime" / "admin_routes.py").read_text()
+    reg = re.search(r"def register_routes.*", routes_src, re.S).group(0)
+    paths = re.findall(r'f?"\{p\}(/[a-z0-9_/{}.-]+)"', reg)
+    # group = first path segment (+ second for nested groups like backup/db)
+    groups = set()
+    for p in paths:
+        segs = [s for s in p.split("/") if s and not s.startswith("{")]
+        groups.add(segs[0])
+    js = (FRONT / "admin.js").read_text()
+    missing = sorted(g for g in groups
+                     if f"/api/admin/{g}" not in js)
+    assert not missing, f"admin.js has no caller for groups: {missing}"

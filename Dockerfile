@@ -3,7 +3,8 @@
 FROM python:3.12-slim
 
 RUN apt-get update && apt-get install -y --no-install-recommends \
-        ffmpeg g++ sqlite3 curl \
+        g++ sqlite3 curl \
+        libavformat-dev libavcodec-dev libswresample-dev \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /opt/amw-tpu
@@ -17,13 +18,13 @@ COPY deploy ./deploy
 COPY tests ./tests
 COPY bench.py ./
 
-# Codec round-trips (MP3/FLAC/OPUS/AAC) run here, where ffmpeg exists (the
-# dev image has none and auto-skips them) — a codec regression fails the
-# build.
-RUN python -m pytest tests/test_codecs_ffmpeg.py -q
-
-# Build the native PCM codec.
+# Build the native codecs (PCM, FLAC, and the in-process lavc shim for
+# MP3/OPUS/AAC — no ffmpeg CLI needed, only the libav dev packages above).
 RUN python -m amw_tpu.native.build || true
+
+# Codec round-trips (MP3/FLAC/OPUS/AAC) all run through the native shims —
+# a codec regression fails the build.
+RUN python -m pytest tests/test_codecs_ffmpeg.py -q
 
 # Render the landing A/B demo clips with the chain itself (deterministic,
 # not committed) and the regression fixture used by the QA harness.

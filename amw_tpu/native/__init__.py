@@ -187,3 +187,99 @@ def flac_decode(data: bytes):
     if got < 0:
         raise ValueError("FLAC decode failed (corrupt or unsupported)")
     return out[:, :got], sr, bits
+
+
+# ---------- lossy codecs via FFmpeg libraries (libamwlavc.so, lavc.cpp) -----
+# In-process MP3/OPUS/AAC, replacing the reference's pydub -> ffmpeg-CLI
+# subprocess (reference pipeline.py:819-827, 999-1052).
+
+_LAVC_PATH = _HERE / "libamwlavc.so"
+_lavc_lib = None
+_lavc_tried = False
+
+
+def get_lavc_lib():
+    global _lavc_lib, _lavc_tried
+    if _lavc_lib is not None or _lavc_tried:
+        return _lavc_lib
+    _lavc_tried = True
+    if not _LAVC_PATH.exists():
+        from .build import build_lavc
+
+        if build_lavc(verbose=False) is None:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LAVC_PATH))
+    except OSError:
+        return None
+    i64, i32 = ctypes.c_int64, ctypes.c_int
+    u8p, f32p = ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float)
+    lib.amw_lavc_ok.restype = i32
+    lib.amw_lavc_decode.argtypes = [
+        ctypes.c_char_p, i64, ctypes.POINTER(f32p), ctypes.POINTER(i64),
+        ctypes.POINTER(i32), ctypes.POINTER(i32), ctypes.c_char_p, i32]
+    lib.amw_lavc_decode.restype = i32
+    lib.amw_lavc_encode.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"), i64, i32,
+        i32, ctypes.c_char_p, i32, ctypes.POINTER(u8p), ctypes.POINTER(i64),
+        ctypes.c_char_p, i32]
+    lib.amw_lavc_encode.restype = i32
+    lib.amw_lavc_free.argtypes = [ctypes.c_void_p]
+    if lib.amw_lavc_ok() != 1:
+        return None
+    _lavc_lib = lib
+    return _lavc_lib
+
+
+def lavc_available() -> bool:
+    return get_lavc_lib() is not None
+
+
+def lavc_decode(data: bytes):
+    """Encoded bytes (mp3/opus/aac/ogg/...) -> ([C, N] float32, sr)."""
+    lib = get_lavc_lib()
+    if lib is None:
+        raise RuntimeError("native lavc codec unavailable")
+    pcm = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_int64()
+    ch = ctypes.c_int()
+    sr = ctypes.c_int()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.amw_lavc_decode(data, len(data), ctypes.byref(pcm),
+                             ctypes.byref(frames), ctypes.byref(ch),
+                             ctypes.byref(sr), err, len(err))
+    if rc != 0:
+        raise ValueError(
+            f"lavc decode failed: {err.value.decode(errors='replace')}")
+    try:
+        n, c = frames.value, ch.value
+        flat = np.ctypeslib.as_array(pcm, shape=(n * c,))
+        out = np.ascontiguousarray(flat.reshape(n, c).T, np.float32)
+    finally:
+        lib.amw_lavc_free(pcm)
+    return out, sr.value
+
+
+def lavc_encode(x: np.ndarray, sr: int, fmt: str,
+                bitrate_kbps: int = 0) -> bytes:
+    """[C, N] float32 -> encoded bytes.  fmt in {mp3, opus, aac}."""
+    lib = get_lavc_lib()
+    if lib is None:
+        raise RuntimeError("native lavc codec unavailable")
+    x = np.atleast_2d(np.asarray(x, np.float32))
+    inter = np.ascontiguousarray(x.T.reshape(-1))
+    C, n = x.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_int64()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.amw_lavc_encode(inter, n, C, int(sr), fmt.encode(),
+                             int(bitrate_kbps), ctypes.byref(out),
+                             ctypes.byref(out_size), err, len(err))
+    if rc != 0:
+        raise RuntimeError(
+            f"lavc encode failed: {err.value.decode(errors='replace')}")
+    try:
+        blob = bytes(np.ctypeslib.as_array(out, shape=(out_size.value,)))
+    finally:
+        lib.amw_lavc_free(out)
+    return blob

@@ -143,11 +143,12 @@ async def h_presets_community(request):
 
 async def h_extensions(request):
     """Optional-extension availability (misc.py:209-230)."""
-    from ..utils.audio_io import ffmpeg_available
+    from ..utils.audio_io import ffmpeg_available, lavc_available
     from .. import native
 
     return web.json_response({
         "ffmpeg": ffmpeg_available(),
+        "native_lossy_codec": lavc_available(),
         "native_pcm": native.available(),
         "vocal_isolation": settings.vocal_isolation_enabled,
         "ai_llm": settings_store.get_setting_str("ai_api_key", None) is not None,

@@ -23,6 +23,7 @@ from ..constants import PRESET_LUFS, STYLE_CONFIGS
 from ..utils.trace import TraceContext, trace_job_done, trace_job_error, trace_job_start
 from ..models.analyze import analyze, lufs_analyze_tool
 from ..models.chain import default_chain_config
+from ..utils import audio_io
 from ..utils.audio_io import ffmpeg_available, load_audio_from_bytes
 from ..utils.metadata import embed_branding
 from . import admin_routes, ai_routes, auth_routes, db, deps, jobs, misc_routes, payments, settings_store, users
@@ -113,9 +114,14 @@ def _validate_upload(data: bytes, filename: str, max_mb: int) -> None:
         raise _err(400, f"File larger than {max_mb} MB.")
     if not check_audio_magic_bytes(data, filename):
         raise _err(400, "File content does not match a supported audio format.")
-    if _ext(filename) != "wav" and not ffmpeg_available():
-        raise _err(400, f"Reading {_ext(filename).upper()} requires ffmpeg. "
-                        "Install: sudo apt-get install -y ffmpeg")
+    ext = _ext(filename)
+    if ext != "wav" and not audio_io.lossy_codec_available():
+        # FLAC still decodes through native/flac.cpp without any codec shim
+        from .. import native
+
+        if not (ext == "flac" and native.flac_available()):
+            raise _err(400, f"Reading {ext.upper()} requires ffmpeg. "
+                            "Install: sudo apt-get install -y ffmpeg")
 
 
 def _resolve_target_lufs(fields: dict) -> tuple[float, str]:
@@ -276,7 +282,12 @@ async def h_health(request):
         "status": status,
         "uptime_sec": round(time.time() - START_TIME, 1),
         "db": "ok" if ok_db else "unavailable",
-        "ffmpeg": "ok" if ffmpeg_available() else "missing",
+        # "ffmpeg" is the reference's health key for the lossy-codec
+        # boundary (main.py:381-466); here it is "ok" when either the
+        # in-process lavc shim or the CLI can serve MP3/OPUS/AAC
+        "ffmpeg": "ok" if audio_io.lossy_codec_available() else "missing",
+        "lossy_codec": ("native" if audio_io.lavc_available() else
+                        "cli" if ffmpeg_available() else "missing"),
         "jobs_running": c["jobs_running"],
         "jobs_total": c["jobs_total"],
         "version": __version__,

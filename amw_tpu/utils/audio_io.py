@@ -1,10 +1,13 @@
 """Host-side audio load/export (the chain's I/O boundary).
 
 Mirrors the reference's format policy (pipeline.py:802-827, 965-1052):
-WAV decodes natively (pure numpy codec); MP3/OPUS/AAC/FLAC ride ffmpeg via
-subprocess when present and raise the reference's explanatory error when not.
-Export always quantizes through the dithered 16-bit path (except FLAC/WAV24,
-which are 24-bit).
+WAV decodes natively (pure numpy codec), FLAC via native/flac.cpp, and
+MP3/OPUS/AAC via the in-process FFmpeg-library shim (native/lavc.cpp) —
+the reference needs the ffmpeg CLI for those (pydub subprocess). The CLI
+remains as a fallback when the shim can't build (no g++ / no libav dev
+headers), and the reference's explanatory error is raised when neither
+path exists. Export always quantizes through the dithered 16-bit path
+(except FLAC/WAV24, which are 24-bit).
 """
 
 from __future__ import annotations
@@ -20,6 +23,18 @@ from . import wav
 
 def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
+
+
+def lavc_available() -> bool:
+    """In-process FFmpeg-library codec shim (native/lavc.cpp)."""
+    from .. import native
+
+    return native.lavc_available()
+
+
+def lossy_codec_available() -> bool:
+    """Can MP3/OPUS/AAC be encoded/decoded on this host?"""
+    return lavc_available() or ffmpeg_available()
 
 
 def _ffmpeg_error(fmt: str) -> RuntimeError:
@@ -59,9 +74,17 @@ def load_audio_from_bytes(data: bytes, fmt: str):
                 return (q.astype(np.float32)
                         / np.float32(2 ** (bits - 1))), sr
             except ValueError:
-                if not ffmpeg_available():
+                if not lossy_codec_available():
                     raise
-        # unsupported stream shape or no toolchain: ffmpeg fallback below
+        # unsupported stream shape or no toolchain: lavc/ffmpeg below
+    if lavc_available():
+        from .. import native
+
+        try:
+            return native.lavc_decode(data)
+        except ValueError:
+            if not ffmpeg_available():
+                raise
     if not ffmpeg_available():
         raise _ffmpeg_error(ext)
     out = _run_ffmpeg(
@@ -135,15 +158,28 @@ def export_audio(
             raise _ffmpeg_error(out_format)
         src = wav.write_wav_int24(x, sr)
         return _run_ffmpeg(["-i", "pipe:0", "-f", "flac", "pipe:1"], src)
-    if not ffmpeg_available():
+    if not lossy_codec_available():
         raise _ffmpeg_error(out_format)
-    wav_bytes = wav.write_wav_int16(dithered_int16(x, dither_type, rng), sr)
+    # encode the dithered 16-bit signal — identical input to the CLI path,
+    # which pipes a 16-bit dithered WAV into ffmpeg (reference
+    # pipeline.py:999-1052 likewise encodes post-dither audio via pydub)
+    q16 = dithered_int16(x, dither_type, rng)  # [C, N] int16
     if out_format == "mp3":
         br = bitrate if bitrate in (128, 192, 256, 320) else 320
+    elif out_format == "opus":
+        br = bitrate if bitrate in (128, 192) else 192
+    else:
+        br = 192
+    if lavc_available() and out_format in ("mp3", "opus", "aac"):
+        from .. import native
+
+        xq = q16.astype(np.float32) / 32767.0
+        return native.lavc_encode(xq, sr, out_format, br)
+    wav_bytes = wav.write_wav_int16(q16, sr)
+    if out_format == "mp3":
         return _run_ffmpeg(
             ["-i", "pipe:0", "-f", "mp3", "-b:a", f"{br}k", "pipe:1"], wav_bytes)
     if out_format == "opus":
-        br = bitrate if bitrate in (128, 192) else 192
         return _run_ffmpeg(
             ["-i", "pipe:0", "-f", "opus", "-c:a", "libopus", "-b:a", f"{br}k",
              "pipe:1"], wav_bytes)

@@ -253,6 +253,21 @@ def augmented_batch(rng, batch, n, sr):
             if rng.random() < 0.25:
                 st = st[::-1].copy()  # channel swap
             stems[b, s] = st
+    # Remix augmentation (upstream Demucs trains with the same trick):
+    # shuffle each stem independently across the batch so every mixture is
+    # a NEW combination the generators never produced together — the model
+    # can't key on cross-stem correlations of any one recipe.
+    remix_p = float(os.environ.get("AMW_TRAIN_REMIX_P", "0.5"))
+    if batch > 1 and rng.random() < remix_p:
+        for s in range(4):
+            stems[:, s] = stems[rng.permutation(batch), s]
+    # Stem dropout: occasionally silence a stem (incl. vocals) so the model
+    # learns "absent source -> emit silence" instead of hallucinating.
+    drop_p = float(os.environ.get("AMW_TRAIN_DROP_P", "0.08"))
+    for b in range(batch):
+        for s in range(4):
+            if rng.random() < drop_p:
+                stems[b, s] = 0.0
     return np.clip(stems, -1, 1).astype(np.float32)
 
 
@@ -273,6 +288,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--vocal-weight", type=float, default=1.0,
+                    help="relative L1 weight of the vocals stem (serving "
+                         "quality gates score vocal SNR)")
     cli = ap.parse_args()
     out_path, steps = cli.out_path, cli.steps
     channels, bottom, batch = cli.channels, cli.bottom, cli.batch
@@ -297,9 +315,16 @@ def main():
     tx = optax.adam(sched)
     opt_state = tx.init(params)
 
+    # vocals (source index 3) may carry extra weight; weights normalized
+    # so the loss scale (and thus lr) is comparable across settings
+    w = np.ones(4, np.float32)
+    w[3] = cli.vocal_weight
+    w = w / w.mean()
+    w_stems = jnp.asarray(w).reshape(1, 4, 1, 1)
+
     def loss_fn(pp, mix, target):
         pred = hj.forward(pp, mix, cfg)
-        return jnp.mean(jnp.abs(pred - target))
+        return jnp.mean(jnp.abs(pred - target) * w_stems)
 
     @jax.jit
     def train_step(pp, st, mix, target):

@@ -1,13 +1,13 @@
 """Codec round-trips at the host I/O boundary.
 
-Format policy mirrors the reference exactly (pipeline.py:802-827, 965-1052):
+Format policy beats the reference (pipeline.py:802-827, 965-1052):
 WAV and FLAC are handled natively (numpy codec + native/flac.cpp — the
-reference uses libsndfile for both), while MP3/OPUS/AAC ride ffmpeg — in
-the reference too (pydub). The FLAC tests therefore run everywhere; the
-MP3/OPUS/AAC round-trips auto-skip where ffmpeg is absent (this CI image)
-and run inside the Docker image, which installs it (see Dockerfile) — the
-same machines the reference needs for those formats. The error contract
-for the ffmpeg-gated formats is asserted unconditionally below.
+reference uses libsndfile for both), and MP3/OPUS/AAC run through the
+in-process FFmpeg-library shim (native/lavc.cpp) — the reference needs the
+ffmpeg CLI subprocess (pydub) for those. All round-trips therefore run in
+this CI image (no ffmpeg binary needed, only the libav shared libraries);
+the ffmpeg CLI remains a fallback, and the reference's explanatory error
+contract is asserted for hosts with neither.
 """
 
 import numpy as np
@@ -15,8 +15,9 @@ import pytest
 
 from amw_tpu.utils import audio_io
 
-needs_ffmpeg = pytest.mark.skipif(
-    not audio_io.ffmpeg_available(), reason="ffmpeg not installed")
+needs_lossy = pytest.mark.skipif(
+    not audio_io.lossy_codec_available(),
+    reason="no lossy codec boundary (no lavc shim, no ffmpeg CLI)")
 
 SR = 44100
 
@@ -51,11 +52,13 @@ def test_flac_roundtrip_noise_and_silence():
     assert float(np.max(np.abs(np.clip(x, -1, 1) - y))) < 2e-7 + 2 ** -23
 
 
-def test_ffmpeg_gated_formats_error_contract():
-    """Without ffmpeg the lossy codecs raise the reference's explanatory
-    error (pipeline.py:819-827 semantics) — never a silent fallback."""
-    if audio_io.ffmpeg_available():
-        pytest.skip("ffmpeg present: gated formats actually work here")
+def test_ffmpeg_gated_formats_error_contract(monkeypatch):
+    """Without any codec boundary the lossy formats raise the reference's
+    explanatory error (pipeline.py:819-827 semantics) — never a silent
+    fallback. The no-codec host is simulated so this contract is asserted
+    on every machine."""
+    monkeypatch.setattr(audio_io, "lavc_available", lambda: False)
+    monkeypatch.setattr(audio_io, "ffmpeg_available", lambda: False)
     x = _tone(2048)
     for fmt in ("mp3", "opus", "aac"):
         with pytest.raises(RuntimeError, match="ffmpeg"):
@@ -64,7 +67,7 @@ def test_ffmpeg_gated_formats_error_contract():
         audio_io.load_audio_from_bytes(b"\xff\xfb" + b"\x00" * 100, "t.mp3")
 
 
-@needs_ffmpeg
+@needs_lossy
 @pytest.mark.parametrize("fmt", ["mp3", "opus", "aac"])
 def test_export_then_load_roundtrip_lossy(fmt):
     x = _tone()
@@ -72,6 +75,11 @@ def test_export_then_load_roundtrip_lossy(fmt):
     assert len(blob) > 1000
     y, sr = audio_io.load_audio_from_bytes(blob, f"test.{fmt}")
     assert y.shape[0] == 2
+    if sr != SR:
+        # opus decodes at its native 48 kHz — resample for comparison
+        t_src = np.arange(y.shape[-1]) / sr
+        t_dst = np.arange(int(y.shape[-1] * SR / sr)) / SR
+        y = np.stack([np.interp(t_dst, t_src, ch) for ch in y])
     # Lossy codecs change rate handling/length slightly; compare a trimmed
     # mid-section RMS and correlation instead of samples.
     n = min(x.shape[-1], y.shape[-1]) - 2048
@@ -84,9 +92,11 @@ def test_export_then_load_roundtrip_lossy(fmt):
     assert c > 0.9
 
 
-@needs_ffmpeg
+@needs_lossy
 def test_mp3_bitrate_respected():
     x = _tone(SR * 2)
-    small = audio_io.export_audio(x, SR, "mp3", bitrate=96)
+    # 128 and 320 are both in the reference's allowed set (an
+    # out-of-set bitrate clamps to 320, mastering.py:749-766 semantics)
+    small = audio_io.export_audio(x, SR, "mp3", bitrate=128)
     big = audio_io.export_audio(x, SR, "mp3", bitrate=320)
     assert len(big) > len(small) * 2

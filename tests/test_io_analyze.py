@@ -50,10 +50,10 @@ def test_export_wav_variants(sine_stereo, dt):
     assert np.max(np.abs(back - sine_stereo)) < 0.002
 
 
-def test_export_unavailable_codec_raises(sine_stereo):
+def test_export_unavailable_codec_raises(sine_stereo, monkeypatch):
     from amw_tpu.utils import audio_io
-    if audio_io.ffmpeg_available():
-        pytest.skip("ffmpeg present")
+    monkeypatch.setattr(audio_io, "lavc_available", lambda: False)
+    monkeypatch.setattr(audio_io, "ffmpeg_available", lambda: False)
     with pytest.raises(RuntimeError, match="ffmpeg"):
         export_audio(sine_stereo, SR, "mp3")
 

@@ -491,3 +491,49 @@ def test_community_presets_seed_and_extra(app_factory, monkeypatch, tmp_path):
         assert data["community_presets_extra_loaded"] is True
 
     _client_test(app_factory, fn)
+
+
+@pytest.mark.parametrize("fmt,magic", [
+    ("mp3", None),            # ID3 or MPEG sync — checked below
+    ("opus", b"OggS"),
+    ("aac", None),            # m4a: ftyp at offset 4
+    ("flac", b"fLaC"),
+])
+def test_master_v2_export_formats_e2e(app_factory, fmt, magic):
+    """Full upload -> master -> download per export format (reference
+    tests/test_pipeline.py:150-187 exercises the codecs; here the whole
+    service path is asserted, running on the in-process lavc shim)."""
+    from amw_tpu.utils import audio_io
+
+    if fmt != "flac" and not audio_io.lossy_codec_available():
+        pytest.skip("no lossy codec boundary on this host")
+
+    async def fn(client):
+        form = _form({"file": _wav_bytes(), "preset": "spotify",
+                      "style": "standard", "out_format": fmt})
+        r = await client.post("/api/v2/master", data=form)
+        assert r.status == 200, await r.text()
+        job_id = (await r.json())["job_id"]
+        for _ in range(240):
+            st = await (await client.get(
+                f"/api/master/status/{job_id}")).json()
+            if st["status"] in ("done", "error"):
+                break
+            await asyncio.sleep(0.5)
+        assert st["status"] == "done", st
+        r = await client.get(f"/api/master/result/{job_id}")
+        assert r.status == 200
+        blob = await r.read()
+        assert len(blob) > 500
+        if magic is not None:
+            assert blob[:4] == magic
+        elif fmt == "mp3":
+            assert blob[:3] == b"ID3" or blob[:2] in (b"\xff\xfb", b"\xff\xf3")
+        elif fmt == "aac":
+            assert blob[4:8] == b"ftyp"
+        # the exported blob decodes back to finite audio
+        y, sr = audio_io.load_audio_from_bytes(blob, f"out.{fmt}")
+        assert y.shape[0] == 2 and y.shape[-1] > 0
+        assert np.all(np.isfinite(y))
+
+    _client_test(app_factory, fn)

@@ -196,14 +196,36 @@ def _hann(n):
         np.float32)
 
 
+def _frame(xp, nfft, hop, frames):
+    """Overlapping frames [..., frames, nfft] of xp[..., L].
+
+    When ``hop`` divides ``nfft`` (demucs: nfft/hop = 4) the frame matrix
+    is assembled from R = nfft//hop shifted views of the hop-strided
+    reshape — pure slicing, no gather (a [frames, nfft] advanced-index
+    gather materializes 4x the signal through TPU gather lanes; the
+    reshape path is a relayout XLA fuses away)."""
+    lead = xp.shape[:-1]
+    if nfft % hop == 0:
+        R = nfft // hop
+        need = (frames + R - 1) * hop
+        L = xp.shape[-1]
+        if L < need:
+            xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, need - L)])
+        xr = xp[..., :need].reshape(lead + (frames + R - 1, hop))
+        return jnp.stack(
+            [xr[..., k:k + frames, :] for k in range(R)], axis=-2
+        ).reshape(lead + (frames, nfft))
+    idx = (np.arange(frames) * hop)[:, None] + np.arange(nfft)[None, :]
+    return xp[..., idx]
+
+
 def torch_stft(x, nfft, hop):
     """torch.stft(center=True, pad_mode='reflect', normalized=True,
     onesided).  x: [..., T] -> (re, im) each [..., F, frames]."""
     pad = nfft // 2
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     frames = (xp.shape[-1] - nfft) // hop + 1
-    idx = (np.arange(frames) * hop)[:, None] + np.arange(nfft)[None, :]
-    fr = xp[..., idx] * jnp.asarray(_hann(nfft))
+    fr = _frame(xp, nfft, hop, frames) * jnp.asarray(_hann(nfft))
     Z = jnp.fft.rfft(fr, axis=-1) * (nfft ** -0.5)
     return (jnp.swapaxes(Z.real, -1, -2).astype(jnp.float32),
             jnp.swapaxes(Z.imag, -1, -2).astype(jnp.float32))
@@ -218,10 +240,22 @@ def torch_istft(re, im, nfft, hop, length):
     fr = fr * win
     frames = fr.shape[-2]
     total = (frames - 1) * hop + nfft
-    idx = (np.arange(frames) * hop)[:, None] + np.arange(nfft)[None, :]
     lead = fr.shape[:-2]
-    out = jnp.zeros(lead + (total,), fr.dtype)
-    out = out.at[..., idx.reshape(-1)].add(fr.reshape(lead + (-1,)))
+    if nfft % hop == 0:
+        # Overlap-add as R = nfft//hop shifted adds over the hop-strided
+        # reshape — no scatter.  The scatter-add path (duplicate indices)
+        # serializes on TPU and dominated the forward (ispec ~153 ms of a
+        # 231 ms batch-4 step on v5e before this rewrite).
+        R = nfft // hop
+        frv = fr.reshape(lead + (frames, R, hop))
+        acc = jnp.zeros(lead + (frames + R - 1, hop), fr.dtype)
+        for k in range(R):
+            acc = acc.at[..., k:k + frames, :].add(frv[..., :, k, :])
+        out = acc.reshape(lead + ((frames + R - 1) * hop,))
+    else:
+        idx = (np.arange(frames) * hop)[:, None] + np.arange(nfft)[None, :]
+        out = jnp.zeros(lead + (total,), fr.dtype)
+        out = out.at[..., idx.reshape(-1)].add(fr.reshape(lead + (-1,)))
     norm = np.zeros(total, np.float64)
     w2 = (_hann(nfft).astype(np.float64)) ** 2
     for f in range(frames):

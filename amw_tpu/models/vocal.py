@@ -215,15 +215,24 @@ def separate_htdemucs(audio: np.ndarray, sr: int,
         return None
     cfg, params = loaded
     from . import htdemucs_jax as hj
-    from ..ops.fdfilter import resample_fft, resample_plan
 
     x = np.atleast_2d(np.ascontiguousarray(audio, np.float32))
     if x.shape[0] == 1:
         x = np.repeat(x, 2, axis=0)
     n = x.shape[-1]
     if sr != cfg.samplerate:
+        # Model-rate conversion runs HOST-side (scipy/pocketfft handles
+        # arbitrary lengths).  Only reduced-rate checkpoints (the tiny
+        # 8 kHz one) ever take this branch — released-shape htdemucs runs
+        # natively at 44.1 k — and the device Bluestein resample failed
+        # remote compile (UNIMPLEMENTED) at exactly this 44.1k->8k length
+        # pair (docs/TPU_NOTES.md round-5); the mastering chain's own 48 k
+        # export resample stays on device.
+        import scipy.signal as sg
+
         n_model = int(round(n * cfg.samplerate / sr))
-        x = np.asarray(resample_fft(x, n_model, resample_plan(n, n_model)))
+        x = np.stack([sg.resample(ch.astype(np.float64), n_model)
+                      for ch in x]).astype(np.float32)
     if mesh is not None and mesh.devices.size > 1:
         axis = mesh.axis_names[0]
         vocals = hj.separate_mesh(_mesh_params(params, mesh), x, mesh,
@@ -231,8 +240,11 @@ def separate_htdemucs(audio: np.ndarray, sr: int,
     else:
         vocals = hj.separate(params, x, cfg, stems=("vocals",))[0]
     if sr != cfg.samplerate:
-        vocals = np.asarray(resample_fft(vocals, n,
-                                         resample_plan(vocals.shape[-1], n)))
+        import scipy.signal as sg
+
+        vocals = np.stack(
+            [sg.resample(np.asarray(ch, np.float64), n)
+             for ch in np.asarray(vocals)]).astype(np.float32)
     if audio.ndim == 2 and audio.shape[0] == 1:
         vocals = vocals.mean(axis=0, keepdims=True)
     return np.clip(vocals, -1.0, 1.0).astype(np.float32)

@@ -136,12 +136,21 @@ def main():
     n = int(sr * dur)
     log(f"devices: {jax.devices()}")
 
+    # Tiny transfer FIRST: when the relay is wedged (a dead claim from an
+    # interrupted run — docs/TPU_NOTES.md) this is where the hang shows,
+    # with a clear log line, instead of blaming the big params transfer.
+    t0 = time.perf_counter()
+    float(jnp.sum(jax.device_put(np.ones(8, np.float32))))
+    log(f"relay probe: first tiny put+sum {time.perf_counter() - t0:.1f}s")
+
     spec = GraphSpec(sr=sr, n=n, channels=2, exact=True)
     params, raw_fn, names = build_v1_pipeline(
         spec, target_lufs=-14.0, style="standard", jit=False
     )
     log(f"stages: {names}")
+    t0 = time.perf_counter()
     params_dev = jax.device_put(params)
+    log(f"params transfer dispatched in {time.perf_counter() - t0:.1f}s")
 
     def batched(b):
         return jax.jit(

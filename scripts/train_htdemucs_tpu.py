@@ -353,8 +353,23 @@ def main():
         return 10 * np.log10(np.sum(probe_voc ** 2)
                              / max(np.sum((pred - probe_voc) ** 2), 1e-12))
 
+    # Host corpus generation (numpy FFT augments) costs a large fraction of
+    # a step; a producer thread keeps a small queue of batches so the
+    # device step and the next batch's synthesis overlap.
+    import queue as _queue
+    import threading
+
+    batch_q: "_queue.Queue" = _queue.Queue(maxsize=4)
+
+    def _producer():
+        prng = np.random.default_rng(rng.integers(1 << 31))
+        for _ in range(steps):
+            batch_q.put(augmented_batch(prng, batch, n, sr))
+
+    threading.Thread(target=_producer, daemon=True).start()
+
     for step in range(steps):
-        stems = augmented_batch(rng, batch, n, sr)
+        stems = batch_q.get()
         mix = jnp.asarray(stems.sum(axis=1))
         target = jnp.asarray(stems)
         params, opt_state, loss = train_step(params, opt_state, mix, target)

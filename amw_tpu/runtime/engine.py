@@ -227,8 +227,9 @@ class MasteringEngine:
         if (pro or {}).get("apply_vocal_isolation"):
             from . import settings_store
 
-            if not settings_store.get_setting_bool("vocal_isolation_enabled",
-                                                   False):
+            if not settings_store.get_setting_bool(
+                    "vocal_isolation_enabled",
+                    settings.vocal_isolation_enabled):
                 raise RuntimeError("Vocal isolation is disabled on this server")
             report(3, "Vocal isolation…")
             from ..models import vocal

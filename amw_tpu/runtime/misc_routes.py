@@ -150,7 +150,10 @@ async def h_extensions(request):
         "ffmpeg": ffmpeg_available(),
         "native_lossy_codec": lavc_available(),
         "native_pcm": native.available(),
-        "vocal_isolation": settings.vocal_isolation_enabled,
+        # Same gate the /api/v2/master route enforces: the runtime
+        # settings-store override, falling back to the env default.
+        "vocal_isolation": settings_store.get_setting_bool(
+            "vocal_isolation_enabled", settings.vocal_isolation_enabled),
         "ai_llm": settings_store.get_setting_str("ai_api_key", None) is not None,
         "telegram_bot_url": settings.user_bot_telegram_url or None,
         "backend": "jax-tpu",

@@ -429,7 +429,7 @@ async def h_master_v2(request):
     if fields.get("denoise_preset"):
         pro["denoise_preset"] = fields["denoise_preset"]
     if pro.get("apply_vocal_isolation") and not settings_store.get_setting_bool(
-            "vocal_isolation_enabled", False):
+            "vocal_isolation_enabled", settings.vocal_isolation_enabled):
         raise _err(503, "Vocal isolation is disabled on this server")
 
     job_id = str(uuid.uuid4())
@@ -724,7 +724,8 @@ async def h_master_auto(request):
 
 
 async def h_isolate_vocal(request):
-    if not settings_store.get_setting_bool("vocal_isolation_enabled", False):
+    if not settings_store.get_setting_bool("vocal_isolation_enabled",
+                                            settings.vocal_isolation_enabled):
         raise _err(503, "Vocal isolation is disabled on this server")
     fields, data, filename = await _read_upload(request)
     _validate_upload(data, filename, settings_store.get_max_upload_mb(filename))

@@ -135,23 +135,65 @@ function setFile(f) {
 
 /* ---------- mastering ---------- */
 function proFields(fd) {
-  if ($("p-rumble").checked) fd.append("rumble_enabled", "true");
-  if ($("p-deesser").checked) fd.append("deesser_enabled", "true");
+  if ($("p-rumble").checked) {
+    fd.append("rumble_enabled", "true");
+    const hz = parseFloat($("p-rumble-hz").value);
+    if (hz && Math.abs(hz - 80) > 0.5) fd.append("rumble_cutoff", hz);
+  }
+  if ($("p-deesser").checked) {
+    fd.append("deesser_enabled", "true");
+    const thr = parseFloat($("p-des-thr").value);
+    if (!Number.isNaN(thr) && Math.abs(thr + 6) > 0.05)
+      fd.append("deesser_threshold", thr);
+    const hi = parseFloat($("p-des-hi").value);
+    if (hi && Math.abs(hi - 9000) > 1) fd.append("deesser_freq_hi", hi);
+  }
   if ($("p-dyneq").checked) fd.append("dynamic_eq_enabled", "true");
-  if ($("p-denoise").value) fd.append("denoise_preset", $("p-denoise").value);
+  if ($("p-denoise").value) {
+    fd.append("denoise_preset", $("p-denoise").value);
+    const ds = parseFloat($("p-dn-str").value);
+    if (ds && Math.abs(ds - 1) > 0.02) fd.append("denoise_strength", ds);
+  }
   const ta = parseFloat($("p-ta").value);
   if (Math.abs(ta - 1) > 0.02) fd.append("transient_attack", ta);
   const pm = parseFloat($("p-pm").value);
   if (pm > 0) fd.append("parallel_mix", pm);
+  if ($("p-tp").checked) {
+    fd.append("true_peak_enabled", "true");
+    const tp = parseFloat($("p-tp-db").value);
+    if (!Number.isNaN(tp) && Math.abs(tp + 1) > 0.02)
+      fd.append("true_peak_ceiling_db", tp);
+  }
+  const bl = $("p-blank").value;
+  if (bl !== "") fd.append("auto_blank_sec", parseFloat(bl));
+  if ($("p-vocal").checked) fd.append("apply_vocal_isolation", "true");
+}
+
+/* Output-format dependent bitrate choices (mirrors backend export caps). */
+const BITRATES = { mp3: [320, 256, 192, 128], opus: [192, 128], aac: [192] };
+function syncOutputControls() {
+  const fmt = $("format").value;
+  const bs = BITRATES[fmt];
+  const sel = $("bitrate");
+  if (bs) {
+    sel.innerHTML = bs.map((b) => `<option value="${b}">${b} kbps</option>`)
+      .join("");
+    sel.classList.remove("hidden");
+  } else sel.classList.add("hidden");
+  $("target-lufs").classList.toggle("hidden", $("preset").value !== "custom");
 }
 
 async function submitMaster(url, extra) {
   if (!currentFile) return;
   const fd = new FormData();
   fd.append("file", currentFile);
-  fd.append("preset", $("preset").value);
+  if ($("preset").value === "custom")
+    fd.append("target_lufs", parseFloat($("target-lufs").value) || -14);
+  else fd.append("preset", $("preset").value);
   fd.append("style", $("style").value || "standard");
   fd.append("out_format", $("format").value);
+  if (!$("bitrate").classList.contains("hidden"))
+    fd.append("bitrate", $("bitrate").value);
   fd.append("dither_type", $("dither").value);
   proFields(fd);
   if (extra !== "auto") {
@@ -1234,3 +1276,14 @@ window.addEventListener("resize", () => {
   clearTimeout(_rsz);
   _rsz = setTimeout(repaintAll, 150);
 });
+
+/* ---------- output options + server-gated extensions ---------- */
+$("format").addEventListener("change", syncOutputControls);
+$("preset").addEventListener("change", syncOutputControls);
+syncOutputControls();
+(async () => {
+  try {
+    const ext = await jget("/api/extensions");
+    if (ext.vocal_isolation) $("p-vocal-wrap").classList.remove("hidden");
+  } catch (e) { /* guest / offline */ }
+})();

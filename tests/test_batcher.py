@@ -81,7 +81,10 @@ def test_batched_chain_runner_matches_oracle():
         for th in threads:
             th.start()
         for th in threads:
-            th.join(timeout=120)
+            # First compile of the vmapped chain can exceed 2 min under
+            # full-suite contention; a short join leaves results[i]=None.
+            th.join(timeout=600)
+            assert not th.is_alive(), "batched master thread timed out"
         for i in range(3):
             want = chain_process(tracks[i], SR, config)
             err = np.max(np.abs(results[i].astype(np.float64) - want))

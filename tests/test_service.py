@@ -537,3 +537,62 @@ def test_master_v2_export_formats_e2e(app_factory, fmt, magic):
         assert np.all(np.isfinite(y))
 
     _client_test(app_factory, fn)
+
+
+def test_master_v2_advanced_field_contract(app_factory):
+    """The studio's Advanced controls (custom target LUFS, bitrate,
+    auto_blank_sec, true-peak ceiling, rumble cutoff, de-esser bounds)
+    must be accepted end-to-end (reference mastering.py:749-824 form
+    fields; frontend index.html Advanced block)."""
+    from amw_tpu.utils import audio_io
+
+    if not audio_io.lossy_codec_available():
+        pytest.skip("no lossy codec boundary on this host")
+
+    async def fn(client):
+        form = _form({"file": _wav_bytes(), "target_lufs": "-12.5",
+                      "style": "standard", "out_format": "mp3",
+                      "bitrate": "192", "dither_type": "tpdf",
+                      "auto_blank_sec": "1.0",
+                      "true_peak_enabled": "true",
+                      "true_peak_ceiling_db": "-1.2",
+                      "rumble_enabled": "true", "rumble_cutoff": "95",
+                      "deesser_enabled": "true",
+                      "deesser_threshold": "-8",
+                      "deesser_freq_hi": "10000"})
+        r = await client.post("/api/v2/master", data=form)
+        assert r.status == 200, await r.text()
+        d = await r.json()
+        assert d["target_lufs"] == -12.5 and d["preset"] == "custom"
+        job_id = d["job_id"]
+        for _ in range(240):
+            st = await (await client.get(
+                f"/api/master/status/{job_id}")).json()
+            if st["status"] in ("done", "error"):
+                break
+            await asyncio.sleep(0.5)
+        assert st["status"] == "done", st
+        blob = await (await client.get(
+            f"/api/master/result/{job_id}")).read()
+        assert blob[:3] == b"ID3" or blob[:2] in (b"\xff\xfb", b"\xff\xf3")
+
+    _client_test(app_factory, fn)
+
+
+def test_extensions_vocal_isolation_runtime_override(app_factory):
+    """/api/extensions must report the SAME vocal-isolation gate the
+    master route enforces: the settings-store override, not only the
+    static env flag (the studio shows its in-chain checkbox from this)."""
+    from amw_tpu.runtime import settings_store
+
+    async def fn(client):
+        d = await (await client.get("/api/extensions")).json()
+        assert d["vocal_isolation"] is False
+        settings_store.set_setting("vocal_isolation_enabled", "true")
+        try:
+            d = await (await client.get("/api/extensions")).json()
+            assert d["vocal_isolation"] is True
+        finally:
+            settings_store.set_setting("vocal_isolation_enabled", "false")
+
+    _client_test(app_factory, fn)

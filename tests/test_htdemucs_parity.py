@@ -232,10 +232,13 @@ def test_upstream_key_compatibility(tiny):
 
 def test_bundled_checkpoint_genuinely_separates():
     """The committed tiny checkpoint (models/checkpoints/htdemucs_tiny) is
-    genuinely TRAINED, not random: on a fresh synthetic mixture from its
-    training distribution (held-out seed), the predicted vocals stem beats
-    the mixture-as-estimate baseline by a wide margin (training measured
-    ~13.8 dB model vs -4.3 dB baseline on held-out data)."""
+    genuinely TRAINED, not random: on a fresh synthetic mixture from the
+    legacy recipe (held-out seed), the predicted vocals stem beats the
+    mixture-as-estimate baseline by a wide margin.  The round-5 TPU-trained
+    checkpoint (scripts/train_htdemucs_tpu.py) measured 9.4 dB here
+    (baseline −5.2) and 6.5 dB on the generator-INDEPENDENT corpus
+    (scripts/gen_sep_eval.py, recorded per-run in bench as
+    htdemucs_vocal_snr_heldout_db)."""
     import importlib.util
     import pathlib
 
@@ -271,11 +274,32 @@ def test_bundled_checkpoint_genuinely_separates():
 
     s_model, s_base = snr(voc_pred), snr(mix)
     assert s_model > s_base + 8.0, (s_model, s_base)
-    # Absolute quality floor (VERDICT r3 item 5): training measured
-    # ~13.8 dB held-out vocal SNR; gate well below that so a silently
-    # degraded checkpoint fails here.  bench.py records the same number
-    # per-run as htdemucs_vocal_snr_db.
+    # Absolute quality floor (VERDICT r3 item 5): the TPU-trained model
+    # measured 9.4 dB here; gate below that so a silently degraded
+    # checkpoint fails.  bench.py records the same number per-run as
+    # htdemucs_vocal_snr_db.
     assert s_model > 8.0, s_model
+
+
+def test_bundled_checkpoint_is_tpu_trained_shape():
+    """Pin the bundled checkpoint's identity: the round-5 TPU-trained
+    model is channels=16 / bottom_channels=48 (scripts/train_htdemucs_tpu
+    .py defaults).  A silent downgrade to the round-4 8/24 CPU-trained
+    checkpoint — which scores ~0 dB on the generator-independent corpus —
+    fails here without paying a forward pass."""
+    import os
+
+    from amw_tpu.models import htdemucs_jax as hj
+    from amw_tpu.models.vocal import htdemucs_checkpoint_path
+
+    os.environ["AMW_HTDEMUCS_CKPT"] = "bundled"
+    try:
+        cfg, params = hj.load_params(htdemucs_checkpoint_path())
+    finally:
+        os.environ.pop("AMW_HTDEMUCS_CKPT", None)
+    assert cfg.channels == 16 and cfg.bottom_channels == 48, cfg
+    n_params = sum(int(np.prod(v.shape)) for v in params.values())
+    assert n_params > 1_000_000, n_params
 
 
 def test_released_shape_conversion_dry_run(tmp_path):
